@@ -1,0 +1,83 @@
+"""Inference engine feature flags.
+
+TPU-native equivalent of the reference's InferenceConfig
+(src/config/inference.rs:63-175): device/dtype selection, paged attention
+sizing, prefix caches, chunked prefill, speculative decoding, tensor
+parallelism, MoE offload and decode-graph flags — translated to their XLA
+analogues (decode "graphs" are simply jitted fixed-shape steps on TPU).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+
+@dataclass
+class SpeculativeDecodingConfig:
+    """Speculative decoding knobs (reference src/config/inference.rs:199-208)."""
+
+    draft_model: Optional[str] = None
+    num_speculative_tokens: int = 5
+    adaptive_depth: bool = True
+
+
+@dataclass
+class InferenceConfig:
+    # Device / precision
+    device: str = "auto"             # auto | tpu | cpu
+    dtype: str = "bf16"              # f32 | f16 | bf16 (TPU prefers bf16)
+    flash_attention: bool = True
+
+    # KV cache
+    kv_cache: bool = True
+    max_batch_size: int = 8
+    max_seq_len: Optional[int] = None
+
+    # Paged attention (reference defaults: block_size 16)
+    paged_attention: bool = True
+    block_size: int = 16
+    num_blocks: Optional[int] = None
+    kv_pool_blocks: Optional[int] = None
+
+    # Prefix caching
+    prefix_cache: bool = False
+    max_cached_blocks: int = 10000
+    gpu_prefix_cache: bool = False           # device-resident radix cache
+    prefix_cache_ram_tier: int = 5000
+
+    # Chunked prefill (interleaves decode between chunks to protect ITL)
+    prefill_chunk_size: Optional[int] = None
+
+    # Speculative decoding
+    speculative: Optional[SpeculativeDecodingConfig] = None
+
+    # Parallelism
+    tensor_parallel_size: int = 1
+    data_parallel_size: int = 1
+    expert_parallel_size: int = 1
+    sequence_parallel_size: int = 1
+
+    # MoE expert offload: auto | gpu | cpu | hybrid (reference: hbm vs host)
+    moe_offload: Optional[str] = None
+    moe_gpu_experts: Optional[int] = None
+
+    # Decode graphs: on TPU this toggles the AOT-compiled fixed-shape decode
+    # step (the XLA analogue of CUDA graph capture — SURVEY §3.3).
+    graphs: bool = True
+
+    def to_dict(self) -> dict[str, Any]:
+        d = dataclasses.asdict(self)
+        return d
+
+    @classmethod
+    def from_dict(cls, d: dict[str, Any]) -> "InferenceConfig":
+        d = dict(d)
+        if isinstance(d.get("speculative"), dict):
+            known = {f.name for f in dataclasses.fields(SpeculativeDecodingConfig)}
+            d["speculative"] = SpeculativeDecodingConfig(
+                **{k: v for k, v in d["speculative"].items() if k in known}
+            )
+        known = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in known})
