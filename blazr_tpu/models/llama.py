@@ -1,0 +1,130 @@
+"""Llama-family decoder (Llama/Mistral/Qwen2/Qwen3/Phi3/Gemma variants).
+
+TPU-native equivalent of the reference's standard-transformer forward
+passes inside boostr ``LoadedModel`` (SURVEY §2.9 "Model layer" row:
+``forward_with_kv_cache`` / GQA+RoPE+SwiGLU). Pure functional: one
+``forward`` over a param pytree and a fixed-shape KV cache.
+
+Param tree (per layer ``p``):
+  input_norm, post_norm                          [H]
+  q, k, v, o                                     [in, out] or QuantTensor
+  q_bias, k_bias, v_bias                         optional [out] (Qwen2)
+  q_norm, k_norm                                 optional [D] (Qwen3)
+  gate, up, down                                 MLP weights
+Top level: embed [V, H], final_norm [H], lm_head [H, V] (None → tied).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config.model_config import UniversalConfig
+from ..kvcache.contiguous import KVCache, advance, write_layer
+from .layers import (
+    apply_rope,
+    attend,
+    linear,
+    rms_norm,
+    rope_cos_sin,
+    rope_frequencies,
+    swiglu_mlp,
+)
+
+
+def attention_block(
+    p: dict[str, Any],
+    cfg: UniversalConfig,
+    x: jax.Array,                 # [B, T, H]
+    cache: KVCache,
+    layer: int,
+    positions: jax.Array,         # [B, T]
+    kv_len: jax.Array,            # [B] valid length AFTER this block's write
+    cos: jax.Array,
+    sin: jax.Array,
+) -> tuple[jax.Array, KVCache]:
+    att = cfg.attention
+    b, t, _ = x.shape
+    head_dim = att.resolved_head_dim(cfg.hidden_size)
+    n_heads = att.num_heads
+    n_kv = att.kv_heads()
+
+    q = linear(x, p["q"], p.get("q_bias")).reshape(b, t, n_heads, head_dim)
+    k = linear(x, p["k"], p.get("k_bias")).reshape(b, t, n_kv, head_dim)
+    v = linear(x, p["v"], p.get("v_bias")).reshape(b, t, n_kv, head_dim)
+
+    if p.get("q_norm") is not None:  # Qwen3 per-head QK norm
+        q = rms_norm(q, p["q_norm"], cfg.rms_norm_eps)
+        k = rms_norm(k, p["k_norm"], cfg.rms_norm_eps)
+
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+
+    cache = write_layer(cache, layer, k, v, positions)
+    out = attend(
+        q,
+        cache.k[layer],
+        cache.v[layer],
+        q_positions=positions,
+        kv_len=kv_len,
+        sliding_window=att.sliding_window,
+        logit_softcap=cfg.attn_logit_softcapping,
+    )
+    out = out.reshape(b, t, n_heads * head_dim)
+    return linear(out, p["o"], p.get("o_bias")), cache
+
+
+def forward(
+    params: dict[str, Any],
+    cfg: UniversalConfig,
+    tokens: jax.Array,            # [B, T] int32
+    cache: KVCache,
+    positions: jax.Array,         # [B, T]
+) -> tuple[jax.Array, KVCache]:
+    """Full forward: embeddings → L decoder layers → final norm → logits.
+
+    Returns (logits [B, T, V], updated cache). The same compiled function
+    serves prefill (T = prompt len) and decode (T = 1).
+    """
+    x = jnp.take(params["embed"], tokens, axis=0)
+    if cfg.scale_embeddings:  # Gemma
+        x = x * jnp.asarray(cfg.hidden_size ** 0.5, dtype=x.dtype)
+
+    att = cfg.attention
+    head_dim = att.resolved_head_dim(cfg.hidden_size)
+    inv_freq = rope_frequencies(att, head_dim)
+    cos, sin = rope_cos_sin(positions, inv_freq)
+
+    kv_len = jnp.maximum(cache.length, jnp.max(positions, axis=-1) + 1)
+
+    for i, p in enumerate(params["layers"]):
+        h = rms_norm(x, p["input_norm"], cfg.rms_norm_eps)
+        attn_out, cache = attention_block(
+            p, cfg, h, cache, i, positions, kv_len, cos, sin
+        )
+        x = x + attn_out
+        h = rms_norm(x, p["post_norm"], cfg.rms_norm_eps)
+        x = x + swiglu_mlp(h, p["gate"], p["up"], p["down"])
+
+    cache = advance(cache, positions)
+    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+
+    lm_head = params.get("lm_head")
+    if lm_head is None:  # tied embeddings
+        logits = jnp.dot(x, params["embed"].T.astype(x.dtype),
+                         preferred_element_type=jnp.float32)
+    else:
+        logits = linear(x, lm_head).astype(jnp.float32)
+    logits = logits.astype(jnp.float32)
+    if cfg.final_logit_softcapping:
+        c = cfg.final_logit_softcapping
+        logits = jnp.tanh(logits / c) * c
+    return logits, cache
+
+
+def forward_embed(params: dict[str, Any], cfg: UniversalConfig,
+                  tokens: jax.Array) -> jax.Array:
+    """Token embeddings only (reference LoadedModel::forward_embed)."""
+    return jnp.take(params["embed"], tokens, axis=0)

@@ -1,0 +1,190 @@
+"""Model registry: UniversalConfig + VarMap → (forward fn, params, cache init).
+
+TPU-native equivalent of boostr ``LoadedModel::load(&UniversalConfig,
+&mut VarBuilder)`` + its forward-dispatch surface (SURVEY §2.9 "Model
+layer" row). The registry resolves the architecture (llama-family, mamba2,
+MLA/DeepSeek, MoE, hybrid), pulls weights out of a VarMap, places them on
+device in the requested dtype, and returns a ``Model`` handle exposing the
+reference's introspection surface (num_layers/num_kv_heads/head_dim/...).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config.model_config import (
+    LAYER_ATTENTION,
+    LAYER_MAMBA2,
+    UniversalConfig,
+)
+from ..kvcache.contiguous import KVCache, init_kv_cache
+from ..loader.varmap import VarMap
+from ..quant.qtensor import QuantTensor
+
+
+def _place(w, dtype, transpose: bool = False):
+    """VarMap weight → device array. Dense [out,in] transposes to [in,out];
+    QuantTensors are already canonical [in,out]."""
+    if w is None:
+        return None
+    if isinstance(w, QuantTensor):
+        return w
+    arr = np.asarray(w)
+    if transpose and arr.ndim == 2:
+        arr = arr.T
+    return jnp.asarray(arr, dtype=dtype)
+
+
+class ParamBuilder:
+    """Helper around VarMap with fallback names and device placement."""
+
+    def __init__(self, vm: VarMap, dtype):
+        self.vm = vm
+        self.dtype = dtype
+
+    def get(self, *names: str, transpose: bool = False, required: bool = True,
+            dtype=None):
+        for n in names:
+            if n in self.vm:
+                return _place(self.vm.take(n), dtype or self.dtype, transpose)
+        if required:
+            raise KeyError(f"Missing tensor (tried {names})")
+        return None
+
+
+# ---------------------------------------------------------------------------
+# Llama-family params
+# ---------------------------------------------------------------------------
+
+def build_llama_layer_params(pb: ParamBuilder, i: int, cfg: UniversalConfig) -> dict:
+    p = f"model.layers.{i}."
+    out: dict[str, Any] = {
+        "input_norm": pb.get(p + "input_layernorm.weight"),
+        "post_norm": pb.get(p + "post_attention_layernorm.weight"),
+        "q": pb.get(p + "self_attn.q_proj.weight", transpose=True),
+        "k": pb.get(p + "self_attn.k_proj.weight", transpose=True),
+        "v": pb.get(p + "self_attn.v_proj.weight", transpose=True),
+        "o": pb.get(p + "self_attn.o_proj.weight", transpose=True),
+        "gate": pb.get(p + "mlp.gate_proj.weight", transpose=True),
+        "up": pb.get(p + "mlp.up_proj.weight", transpose=True),
+        "down": pb.get(p + "mlp.down_proj.weight", transpose=True),
+    }
+    for side in ("q", "k", "v", "o"):
+        b = pb.get(p + f"self_attn.{side}_proj.bias", required=False)
+        if b is not None:
+            out[f"{side}_bias"] = b
+    qn = pb.get(p + "self_attn.q_norm.weight", required=False)
+    if qn is not None:
+        out["q_norm"] = qn
+        out["k_norm"] = pb.get(p + "self_attn.k_norm.weight")
+    return out
+
+
+def build_llama_params(cfg: UniversalConfig, vm: VarMap, dtype=jnp.bfloat16) -> dict:
+    pb = ParamBuilder(vm, dtype)
+    params: dict[str, Any] = {
+        "embed": pb.get("model.embed_tokens.weight", "embed_tokens.weight"),
+        "final_norm": pb.get("model.norm.weight"),
+        "layers": [build_llama_layer_params(pb, i, cfg) for i in range(cfg.num_layers)],
+    }
+    params["lm_head"] = pb.get("lm_head.weight", transpose=True, required=False)
+    if params["lm_head"] is None and not cfg.tie_word_embeddings:
+        cfg.tie_word_embeddings = True
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Model handle
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class Model:
+    """Loaded-model handle (the reference's LoadedModel introspection
+    surface: num_layers/num_kv_heads/head_dim/hidden_size/vocab_size/
+    needs_ssm_state/needs_kv_cache)."""
+
+    cfg: UniversalConfig
+    params: dict[str, Any]
+    dtype: Any
+    forward_fn: Callable[..., tuple[jax.Array, Any]]
+
+    # ---- introspection ---------------------------------------------------
+    @property
+    def num_layers(self) -> int:
+        return self.cfg.num_layers
+
+    @property
+    def hidden_size(self) -> int:
+        return self.cfg.hidden_size
+
+    @property
+    def vocab_size(self) -> int:
+        return self.cfg.vocab_size
+
+    @property
+    def num_kv_heads(self) -> int:
+        return self.cfg.attention.kv_heads() if self.cfg.attention else 0
+
+    @property
+    def head_dim(self) -> int:
+        if self.cfg.attention is None:
+            return 0
+        return self.cfg.attention.resolved_head_dim(self.cfg.hidden_size)
+
+    @property
+    def needs_ssm_state(self) -> bool:
+        return self.cfg.needs_ssm_state
+
+    @property
+    def needs_kv_cache(self) -> bool:
+        return self.cfg.needs_kv_cache
+
+    # ---- cache management ------------------------------------------------
+    def init_cache(self, batch: int, capacity: int) -> Any:
+        if self.cfg.model_type in ("mamba2", "mamba3"):
+            from .mamba2 import init_ssm_state
+
+            return init_ssm_state(self.cfg, batch, dtype=self.dtype)
+        if self.cfg.hybrid_layers or (self.needs_ssm_state and self.needs_kv_cache):
+            from .hybrid import init_hybrid_state
+
+            return init_hybrid_state(self.cfg, batch, capacity, dtype=self.dtype)
+        if self.cfg.attention is not None and self.cfg.attention.is_mla:
+            from .mla import init_mla_cache
+
+            return init_mla_cache(self.cfg, batch, capacity, dtype=self.dtype)
+        return init_kv_cache(
+            self.num_layers, batch, capacity, self.num_kv_heads, self.head_dim,
+            dtype=self.dtype,
+        )
+
+    # ---- forward ---------------------------------------------------------
+    def forward(self, tokens: jax.Array, cache: Any, positions: jax.Array):
+        return self.forward_fn(self.params, self.cfg, tokens, cache, positions)
+
+
+def build_model(cfg: UniversalConfig, vm: VarMap, dtype=jnp.bfloat16) -> Model:
+    """Resolve architecture → build params → return Model handle."""
+    types = set(cfg.layer_types())
+    if types == {LAYER_MAMBA2}:
+        from . import mamba2
+
+        return Model(cfg, mamba2.build_mamba2_params(cfg, vm, dtype), dtype,
+                     mamba2.forward)
+    if LAYER_MAMBA2 in types:
+        from . import hybrid
+
+        return Model(cfg, hybrid.build_hybrid_params(cfg, vm, dtype), dtype,
+                     hybrid.forward)
+    if cfg.attention is not None and cfg.attention.is_mla:
+        from . import mla
+
+        return Model(cfg, mla.build_mla_params(cfg, vm, dtype), dtype, mla.forward)
+    from . import llama
+
+    return Model(cfg, build_llama_params(cfg, vm, dtype), dtype, llama.forward)

@@ -1,0 +1,83 @@
+"""Shared test fixtures: synthetic tiny checkpoints in every format.
+
+No real model weights exist in this environment (zero egress), so parity
+is established structurally: HF-convention random checkpoints run through
+both our engine and torch/transformers (golden logits), and quantized
+variants are synthesized with the reference encoders.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import numpy as np
+
+from blazr_tpu.config import AttentionConfig, UniversalConfig
+from blazr_tpu.formats import write_safetensors
+
+TINY_LLAMA_HF_CONFIG = {
+    "architectures": ["LlamaForCausalLM"],
+    "model_type": "llama",
+    "hidden_size": 64,
+    "intermediate_size": 128,
+    "num_hidden_layers": 2,
+    "num_attention_heads": 4,
+    "num_key_value_heads": 2,
+    "vocab_size": 256,
+    "max_position_embeddings": 512,
+    "rms_norm_eps": 1e-5,
+    "rope_theta": 10000.0,
+    "tie_word_embeddings": False,
+    "torch_dtype": "float32",
+}
+
+
+def tiny_llama_weights(rng: np.random.Generator, cfg: dict | None = None,
+                       scale: float = 0.05) -> dict[str, np.ndarray]:
+    """Random HF-named float32 weights for a tiny Llama."""
+    c = dict(TINY_LLAMA_HF_CONFIG)
+    if cfg:
+        c.update(cfg)
+    h = c["hidden_size"]
+    inter = c["intermediate_size"]
+    heads = c["num_attention_heads"]
+    kv = c["num_key_value_heads"]
+    head_dim = c.get("head_dim", h // heads)
+    v = c["vocab_size"]
+
+    def w(*shape):
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    weights = {
+        "model.embed_tokens.weight": w(v, h),
+        "model.norm.weight": np.ones(h, dtype=np.float32),
+        "lm_head.weight": w(v, h),
+    }
+    for i in range(c["num_hidden_layers"]):
+        p = f"model.layers.{i}."
+        weights.update({
+            p + "input_layernorm.weight": np.ones(h, np.float32),
+            p + "post_attention_layernorm.weight": np.ones(h, np.float32),
+            p + "self_attn.q_proj.weight": w(heads * head_dim, h),
+            p + "self_attn.k_proj.weight": w(kv * head_dim, h),
+            p + "self_attn.v_proj.weight": w(kv * head_dim, h),
+            p + "self_attn.o_proj.weight": w(h, heads * head_dim),
+            p + "mlp.gate_proj.weight": w(inter, h),
+            p + "mlp.up_proj.weight": w(inter, h),
+            p + "mlp.down_proj.weight": w(h, inter),
+        })
+    return weights
+
+
+def write_tiny_llama_checkpoint(path: Path, rng: np.random.Generator,
+                                cfg: dict | None = None) -> dict[str, np.ndarray]:
+    """Write a tiny HF-style Llama checkpoint dir (config.json + safetensors)."""
+    c = dict(TINY_LLAMA_HF_CONFIG)
+    if cfg:
+        c.update(cfg)
+    path.mkdir(parents=True, exist_ok=True)
+    weights = tiny_llama_weights(rng, c)
+    write_safetensors(path / "model.safetensors", weights)
+    (path / "config.json").write_text(json.dumps(c))
+    return weights
