@@ -1,0 +1,209 @@
+"""Fused on-device sampling.
+
+TPU-native equivalent of boostr's ``SamplingOps::logits_to_token`` — the
+reference's single fused CUDA launch doing narrow + penalties + temperature
++ top-k/top-p/min-p + seeded sampling (src/engine/sampling.rs:445-460).
+Here the whole chain is one jitted XLA program over fixed shapes, so it
+fuses into the decode step and adds no dispatch overhead.
+
+Host-side "exotic" samplers (mirostat / DRY / typical / dynatemp) live in
+``samplers.py``, mirroring the reference's CPU-side split.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config.generation import GenerationConfig
+
+# Static shape for the penalty window (reference repeat_last_n default 64,
+# src/config/generation.rs). Fixed so the decode step never recompiles.
+PENALTY_WINDOW = 64
+PAD_TOKEN = -1
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class SamplingParams:
+    """Per-sequence device-side sampling parameters [B]-shaped."""
+
+    temperature: jax.Array       # [B] f32; 0 → greedy
+    top_k: jax.Array             # [B] i32; 0 → disabled
+    top_p: jax.Array             # [B] f32; 1 → disabled
+    min_p: jax.Array             # [B] f32; 0 → disabled
+    repeat_penalty: jax.Array    # [B] f32; 1 → disabled
+    freq_penalty: jax.Array      # [B] f32
+    presence_penalty: jax.Array  # [B] f32
+    key: jax.Array               # [B, 2] u32 PRNG keys
+
+    @classmethod
+    def from_config(cls, cfgs: list[GenerationConfig],
+                    step: int = 0) -> "SamplingParams":
+        """Build batched device params from per-request GenerationConfigs."""
+        def arr(get, dtype=np.float32):
+            return jnp.asarray(np.array([get(c) for c in cfgs], dtype=dtype))
+
+        keys = []
+        for i, c in enumerate(cfgs):
+            seed = c.seed if c.seed is not None else 0x5EED ^ (i * 7919)
+            keys.append(np.asarray(
+                jax.random.fold_in(jax.random.PRNGKey(seed), step)))
+        return cls(
+            temperature=arr(lambda c: c.temperature),
+            top_k=arr(lambda c: c.top_k, np.int32),
+            top_p=arr(lambda c: c.top_p),
+            min_p=arr(lambda c: c.min_p),
+            repeat_penalty=arr(lambda c: c.repeat_penalty),
+            freq_penalty=arr(lambda c: c.frequency_penalty),
+            presence_penalty=arr(lambda c: c.presence_penalty),
+            key=jnp.asarray(np.stack(keys)),
+        )
+
+
+def apply_penalties(
+    logits: jax.Array,            # [B, V] f32
+    window_tokens: jax.Array,     # [B, W] i32, PAD_TOKEN for empty slots
+    repeat_penalty: jax.Array,    # [B]
+    freq_penalty: jax.Array,      # [B]
+    presence_penalty: jax.Array,  # [B]
+) -> jax.Array:
+    """Repetition (CTRL-style), frequency and presence penalties over the
+    recent-token window (reference sampling.rs penalty stage)."""
+    b, v = logits.shape
+    valid = window_tokens >= 0
+    safe = jnp.where(valid, window_tokens, 0)
+    one_hot_counts = jnp.zeros((b, v), dtype=jnp.float32).at[
+        jnp.arange(b)[:, None], safe
+    ].add(valid.astype(jnp.float32))
+    seen = one_hot_counts > 0
+
+    rp = repeat_penalty[:, None]
+    penalized = jnp.where(logits > 0, logits / rp, logits * rp)
+    logits = jnp.where(seen, penalized, logits)
+    logits = logits - one_hot_counts * freq_penalty[:, None]
+    logits = logits - seen.astype(jnp.float32) * presence_penalty[:, None]
+    return logits
+
+
+def apply_top_k(logits: jax.Array, top_k: jax.Array) -> jax.Array:
+    """Mask all but the k highest logits (0 → disabled). Vector-k per row."""
+    v = logits.shape[-1]
+    sorted_desc = jnp.sort(logits, axis=-1)[:, ::-1]
+    k = jnp.where(top_k <= 0, v, jnp.minimum(top_k, v))
+    kth = jnp.take_along_axis(sorted_desc, (k - 1)[:, None], axis=-1)
+    return jnp.where(logits >= kth, logits, -jnp.inf)
+
+
+def apply_top_p(logits: jax.Array, top_p: jax.Array) -> jax.Array:
+    """Nucleus filtering: keep the smallest prefix of sorted probs whose sum
+    exceeds p (always keeps the argmax)."""
+    sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    # Token i is kept if the cumulative mass BEFORE it is < p.
+    keep_sorted = (cum - probs) < top_p[:, None]
+    # Threshold = smallest kept logit.
+    threshold = jnp.min(
+        jnp.where(keep_sorted, sorted_logits, jnp.inf), axis=-1, keepdims=True
+    )
+    return jnp.where(logits >= threshold, logits, -jnp.inf)
+
+
+def apply_min_p(logits: jax.Array, min_p: jax.Array) -> jax.Array:
+    """Drop tokens with prob < min_p * max_prob (reference min_p stage)."""
+    probs = jax.nn.softmax(logits, axis=-1)
+    max_p = jnp.max(probs, axis=-1, keepdims=True)
+    keep = probs >= (min_p[:, None] * max_p)
+    return jnp.where(keep, logits, -jnp.inf)
+
+
+def sample_tokens(
+    logits: jax.Array,                       # [B, V] f32
+    params: SamplingParams,
+    window_tokens: Optional[jax.Array] = None,   # [B, W]
+    logit_bias_ids: Optional[jax.Array] = None,  # [B, Nb] i32 (PAD_TOKEN pad)
+    logit_bias_vals: Optional[jax.Array] = None, # [B, Nb] f32
+    grammar_mask: Optional[jax.Array] = None,    # [B, V] bool (True=allowed)
+) -> tuple[jax.Array, jax.Array]:
+    """The fused sampling chain. Returns (tokens [B] i32, logprobs [B, V]).
+
+    Order matches the reference: penalties → bias → grammar mask → temp →
+    top-k → top-p → min-p → seeded categorical; temp==0 short-circuits to
+    argmax per row.
+    """
+    logits = logits.astype(jnp.float32)
+
+    if window_tokens is not None:
+        logits = apply_penalties(
+            logits, window_tokens, params.repeat_penalty,
+            params.freq_penalty, params.presence_penalty,
+        )
+    if logit_bias_ids is not None:
+        b = logits.shape[0]
+        valid = logit_bias_ids >= 0
+        safe = jnp.where(valid, logit_bias_ids, 0)
+        logits = logits.at[jnp.arange(b)[:, None], safe].add(
+            jnp.where(valid, logit_bias_vals, 0.0)
+        )
+    if grammar_mask is not None:
+        logits = jnp.where(grammar_mask, logits, -jnp.inf)
+
+    # Log-probs of the (penalized, masked) distribution for logprob output.
+    logprobs = jax.nn.log_softmax(logits, axis=-1)
+
+    greedy_tokens = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    temp = jnp.maximum(params.temperature, 1e-6)[:, None]
+    scaled = logits / temp
+    scaled = apply_top_k(scaled, params.top_k)
+    scaled = apply_top_p(scaled, params.top_p)
+    scaled = apply_min_p(scaled, params.min_p)
+
+    # Gumbel-max seeded sampling, one key per row.
+    def row_sample(key, row_logits):
+        g = jax.random.gumbel(key, row_logits.shape, dtype=jnp.float32)
+        safe = jnp.where(jnp.isfinite(row_logits), row_logits + g, -jnp.inf)
+        return jnp.argmax(safe).astype(jnp.int32)
+
+    sampled = jax.vmap(row_sample)(params.key, scaled)
+
+    tokens = jnp.where(params.temperature <= 0.0, greedy_tokens, sampled)
+    return tokens, logprobs
+
+
+@partial(jax.jit, static_argnames=())
+def greedy_token(logits: jax.Array) -> jax.Array:
+    """argmax over the last position (reference decode_graph::argmax_to_buf)."""
+    return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Host-side helpers for windows / bias (fixed-shape padding)
+# ---------------------------------------------------------------------------
+
+def make_window(history: list[int], repeat_last_n: int = PENALTY_WINDOW,
+                width: int = PENALTY_WINDOW) -> np.ndarray:
+    """Last ``repeat_last_n`` tokens padded to a fixed [W] row."""
+    n = min(repeat_last_n, width)
+    recent = history[-n:] if n > 0 else []
+    row = np.full((width,), PAD_TOKEN, dtype=np.int32)
+    if recent:
+        row[: len(recent)] = np.asarray(recent[-width:], dtype=np.int32)
+    return row
+
+
+def make_bias_rows(cfgs: list[GenerationConfig], width: int = 16
+                   ) -> tuple[np.ndarray, np.ndarray]:
+    ids = np.full((len(cfgs), width), PAD_TOKEN, dtype=np.int32)
+    vals = np.zeros((len(cfgs), width), dtype=np.float32)
+    for i, c in enumerate(cfgs):
+        for j, (tid, v) in enumerate(list(c.logit_bias.items())[:width]):
+            ids[i, j] = tid
+            vals[i, j] = v
+    return ids, vals
