@@ -1,0 +1,245 @@
+"""Tokenizer tests: BPE engine roundtrips, cross-check vs tiktoken and HF
+tokenizers where available, GGUF-embedded tokenizers (ports the reference's
+tokenizer unit tier, splintr_tokenizer.rs:229-319)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from blazr_tpu.tokenizer import (
+    load_hf_tokenizer,
+    load_tokenizer,
+    tokenizer_from_gguf,
+    vocab_name_for_size,
+)
+from blazr_tpu.tokenizer.bpe import (
+    PATTERN_CL100K,
+    BpeTokenizer,
+    gpt2_byte_encoder,
+    gpt2_unicode_to_bytes,
+)
+from blazr_tpu.tokenizer.gguf_tokenizer import (
+    TOKEN_TYPE_BYTE,
+    TOKEN_TYPE_CONTROL,
+    TOKEN_TYPE_NORMAL,
+    SentencePieceBpeTokenizer,
+)
+
+
+def _tiny_ranks():
+    """Byte-complete rank table + a few merges."""
+    ranks = {bytes([i]): i for i in range(256)}
+    nxt = 256
+    for merge in [b"he", b"ll", b"llo", b"hello", b" w", b"or", b"ld",
+                  b"orld", b" world"]:
+        ranks[merge] = nxt
+        nxt += 1
+    return ranks
+
+
+def test_bpe_roundtrip_ascii():
+    tok = BpeTokenizer(_tiny_ranks())
+    text = "hello world"
+    ids = tok.encode(text)
+    assert tok.decode(ids) == text
+    # Merges applied: far fewer tokens than bytes.
+    assert len(ids) < len(text)
+
+
+def test_bpe_roundtrip_unicode():
+    tok = BpeTokenizer(_tiny_ranks())
+    text = "héllo wörld 你好"
+    assert tok.decode(tok.encode(text)) == text
+
+
+def test_bpe_special_tokens():
+    tok = BpeTokenizer(
+        _tiny_ranks(),
+        special_tokens={"<|eot|>": 999, "<s>": 998},
+        bos_token_id=998, eos_token_id=999,
+    )
+    ids = tok.encode("hello<|eot|>world", add_bos=True)
+    assert ids[0] == 998
+    assert 999 in ids
+    assert tok.is_eos(999) and not tok.is_eos(5)
+    assert tok.special_token_id("<|eot|>") == 999
+    # special text reassembles on decode
+    assert "<|eot|>" in tok.decode(ids)
+
+
+def test_bpe_matches_tiktoken():
+    """Cross-check our BPE merge loop against tiktoken on its own ranks."""
+    tiktoken = pytest.importorskip("tiktoken")
+    try:
+        enc = tiktoken.get_encoding("cl100k_base")
+    except Exception:
+        pytest.skip("tiktoken vocab not available offline")
+    ours = BpeTokenizer(enc._mergeable_ranks, pattern=PATTERN_CL100K,
+                        special_tokens=enc._special_tokens)
+    for text in ["Hello, world!", "The quick brown fox jumps over 42 lazy dogs.",
+                 "  indented\n\ncode() {\n  return 1;\n}", "émojis 🎉 and ünïcode"]:
+        assert ours.encode_ordinary(text) == enc.encode_ordinary(text), text
+
+
+def test_gpt2_byte_table():
+    enc = gpt2_byte_encoder()
+    assert len(enc) == 256
+    assert gpt2_unicode_to_bytes("".join(enc[b] for b in b"hello")) == b"hello"
+
+
+# ---------------------------------------------------------------------------
+# HF tokenizer.json
+# ---------------------------------------------------------------------------
+
+def _write_hf_tokenizer(tmp_path):
+    """Minimal byte-level BPE tokenizer.json."""
+    enc = gpt2_byte_encoder()
+    vocab = {enc[b]: b for b in range(256)}
+    merges = []
+    nxt = 256
+
+    def tok_str(raw: bytes) -> str:
+        return "".join(enc[b] for b in raw)
+
+    for a, b in [(b"h", b"e"), (b"l", b"l"), (b"ll", b"o"), (b"he", b"llo")]:
+        merges.append(f"{tok_str(a)} {tok_str(b)}")
+        vocab[tok_str(a + b)] = nxt
+        nxt += 1
+    data = {
+        "version": "1.0",
+        "truncation": None,
+        "padding": None,
+        "added_tokens_decoder": {},
+        "normalizer": None,
+        "post_processor": None,
+        "model": {"type": "BPE", "dropout": None, "unk_token": None,
+                  "continuing_subword_prefix": None, "end_of_word_suffix": None,
+                  "fuse_unk": False, "byte_fallback": False,
+                  "ignore_merges": False, "vocab": vocab, "merges": merges},
+        "pre_tokenizer": {"type": "ByteLevel", "add_prefix_space": False,
+                          "trim_offsets": True, "use_regex": True},
+        "decoder": {"type": "ByteLevel", "add_prefix_space": False,
+                    "trim_offsets": True, "use_regex": True},
+        "added_tokens": [
+            {"id": nxt, "content": "<|eos|>", "special": True},
+        ],
+    }
+    (tmp_path / "tokenizer.json").write_text(json.dumps(data))
+    return nxt
+
+
+def test_hf_tokenizer_loads(tmp_path):
+    eos = _write_hf_tokenizer(tmp_path)
+    tok = load_hf_tokenizer(tmp_path)
+    ids = tok.encode("hello")
+    assert tok.decode(ids) == "hello"
+    assert len(ids) == 1          # fully merged
+    assert tok.special_token_id("<|eos|>") == eos
+
+
+def test_hf_tokenizer_matches_hf_lib(tmp_path):
+    """Cross-check against the `tokenizers` library: IT writes the file
+    (realistic schema), our loader reads it back."""
+    tokenizers = pytest.importorskip("tokenizers")
+    enc = gpt2_byte_encoder()
+    vocab = {enc[b]: b for b in range(256)}
+    merges = []
+    nxt = 256
+
+    def tok_str(raw: bytes) -> str:
+        return "".join(enc[b] for b in raw)
+
+    for a, b in [(b"h", b"e"), (b"l", b"l"), (b"ll", b"o"), (b"he", b"llo"),
+                 (b" ", b"w"), (b"o", b"r"), (b"l", b"d")]:
+        merges.append((tok_str(a), tok_str(b)))
+        vocab[tok_str(a + b)] = nxt
+        nxt += 1
+    tk = tokenizers.Tokenizer(tokenizers.models.BPE(vocab=vocab, merges=merges))
+    tk.pre_tokenizer = tokenizers.pre_tokenizers.ByteLevel(add_prefix_space=False)
+    tk.decoder = tokenizers.decoders.ByteLevel()
+    tk.save(str(tmp_path / "tokenizer.json"))
+
+    theirs = tokenizers.Tokenizer.from_file(str(tmp_path / "tokenizer.json"))
+    ours = load_hf_tokenizer(tmp_path)
+    for text in ["hello", "hellohello", "hhlelo", "hello world or ld"]:
+        assert ours.encode_ordinary(text) == theirs.encode(text).ids, text
+
+
+# ---------------------------------------------------------------------------
+# GGUF-embedded (SentencePiece + gpt2 families)
+# ---------------------------------------------------------------------------
+
+def _spm_tokenizer():
+    tokens = ["<unk>", "<s>", "</s>"]
+    types = [2, TOKEN_TYPE_CONTROL, TOKEN_TYPE_CONTROL]
+    scores = [0.0, 0.0, 0.0]
+    for b in range(256):
+        tokens.append(f"<0x{b:02X}>")
+        types.append(TOKEN_TYPE_BYTE)
+        scores.append(-1e6)
+    pieces = [("▁", -1.0), ("h", -2.0), ("e", -2.1), ("l", -2.2), ("o", -2.3),
+              ("he", -0.5), ("ll", -0.6), ("llo", -0.4), ("hello", -0.1),
+              ("▁hello", -0.05), ("▁world", -0.2), ("w", -2.4), ("r", -2.5),
+              ("d", -2.6), ("or", -0.8), ("ld", -0.85), ("orld", -0.7),
+              ("world", -0.3)]
+    for t, s in pieces:
+        tokens.append(t)
+        types.append(TOKEN_TYPE_NORMAL)
+        scores.append(s)
+    return SentencePieceBpeTokenizer(tokens, scores, types, 1, 2)
+
+
+def test_spm_encode_merges_by_score():
+    tok = _spm_tokenizer()
+    ids = tok.encode("hello world", add_bos=True)
+    assert ids[0] == 1
+    text = tok.decode(ids[1:])
+    assert text == "hello world"
+    # "▁hello" and "▁world" should be produced as single pieces
+    assert tok.tokens[ids[1]] == "▁hello"
+    assert tok.tokens[ids[2]] == "▁world"
+
+
+def test_spm_byte_fallback():
+    tok = _spm_tokenizer()
+    ids = tok.encode("hz", add_bos=False)
+    # 'z' has no piece → byte fallback token <0x7A>
+    assert any(tok.tokens[i] == "<0x7A>" for i in ids)
+    assert tok.decode(ids) == "hz"
+
+
+def test_gguf_embedded_tokenizer(tmp_path, rng):
+    from blazr_tpu.formats import Gguf, GgmlType, write_gguf
+
+    tok = _spm_tokenizer()
+    meta = {
+        "general.architecture": "llama",
+        "llama.embedding_length": 16,
+        "llama.block_count": 1,
+        "tokenizer.ggml.model": "llama",
+        "tokenizer.ggml.tokens": tok.tokens,
+        "tokenizer.ggml.scores": tok.scores,
+        "tokenizer.ggml.token_type": tok.token_types,
+        "tokenizer.ggml.bos_token_id": 1,
+        "tokenizer.ggml.eos_token_id": 2,
+    }
+    w = np.zeros((4, 4), dtype=np.float32)
+    write_gguf(tmp_path / "m.gguf", meta, {"token_embd.weight": (w, GgmlType.F32, (4, 4))})
+    with Gguf.open(tmp_path / "m.gguf") as g:
+        emb = tokenizer_from_gguf(g)
+    assert emb.decode(emb.encode("hello world")[1:]) == "hello world"
+    assert emb.is_eos(2)
+    # load_tokenizer directory resolution
+    tok2 = load_tokenizer(tmp_path)
+    assert tok2.vocab_size == emb.vocab_size
+
+
+def test_vocab_size_thresholds():
+    assert vocab_name_for_size(32000) == "mistral"
+    assert vocab_name_for_size(50257) == "gpt2"
+    assert vocab_name_for_size(100277) == "cl100k_base"
+    assert vocab_name_for_size(128256) == "llama3"
+    assert vocab_name_for_size(152064) == "qwen2"
+    assert vocab_name_for_size(199998) == "o200k_base"
+    assert vocab_name_for_size(300000) == "o200k_base"
