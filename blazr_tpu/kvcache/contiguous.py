@@ -35,7 +35,15 @@ class KVCache:
 
     @property
     def capacity(self) -> int:
-        return self.k.shape[2]
+        """Usable capacity (one extra hidden slot absorbs padded writes)."""
+        return self.k.shape[2] - 1
+
+    @property
+    def trash_position(self) -> int:
+        """Write target for padding tokens: beyond every valid kv_len, so
+        masked attention never reads it (enables fixed-shape bucketed
+        prefill without corrupting real slots)."""
+        return self.k.shape[2] - 1
 
     def reset(self) -> "KVCache":
         return KVCache(k=self.k, v=self.v, length=jnp.zeros_like(self.length))
@@ -43,7 +51,7 @@ class KVCache:
 
 def init_kv_cache(num_layers: int, batch: int, capacity: int, kv_heads: int,
                   head_dim: int, dtype=jnp.bfloat16) -> KVCache:
-    shape = (num_layers, batch, capacity, kv_heads, head_dim)
+    shape = (num_layers, batch, capacity + 1, kv_heads, head_dim)
     return KVCache(
         k=jnp.zeros(shape, dtype=dtype),
         v=jnp.zeros(shape, dtype=dtype),
@@ -65,7 +73,15 @@ def write_layer(cache: KVCache, layer: int, k_new: jax.Array, v_new: jax.Array,
     return KVCache(k=k, v=v, length=cache.length)
 
 
-def advance(cache: KVCache, positions: jax.Array) -> KVCache:
-    """Update per-sequence lengths after writing tokens at ``positions``."""
-    new_len = jnp.maximum(cache.length, jnp.max(positions, axis=-1) + 1)
+def advance(cache: KVCache, positions: jax.Array,
+            seq_lens: Optional[jax.Array] = None) -> KVCache:
+    """Update per-sequence lengths after writing tokens at ``positions``.
+
+    ``seq_lens`` overrides the derived length (needed for bucketed/padded
+    prefill where pad positions point at the trash slot).
+    """
+    if seq_lens is not None:
+        new_len = jnp.maximum(cache.length, seq_lens)
+    else:
+        new_len = jnp.maximum(cache.length, jnp.max(positions, axis=-1) + 1)
     return KVCache(k=cache.k, v=cache.v, length=new_len.astype(jnp.int32))

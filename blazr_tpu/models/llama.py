@@ -82,11 +82,14 @@ def forward(
     tokens: jax.Array,            # [B, T] int32
     cache: KVCache,
     positions: jax.Array,         # [B, T]
+    seq_lens: Optional[jax.Array] = None,   # [B] valid length after write
 ) -> tuple[jax.Array, KVCache]:
     """Full forward: embeddings → L decoder layers → final norm → logits.
 
     Returns (logits [B, T, V], updated cache). The same compiled function
-    serves prefill (T = prompt len) and decode (T = 1).
+    serves prefill (T = prompt len) and decode (T = 1). For bucketed
+    prefill, pad positions point at the cache trash slot and ``seq_lens``
+    carries the true lengths.
     """
     x = jnp.take(params["embed"], tokens, axis=0)
     if cfg.scale_embeddings:  # Gemma
@@ -97,7 +100,10 @@ def forward(
     inv_freq = rope_frequencies(att, head_dim)
     cos, sin = rope_cos_sin(positions, inv_freq)
 
-    kv_len = jnp.maximum(cache.length, jnp.max(positions, axis=-1) + 1)
+    if seq_lens is not None:
+        kv_len = jnp.maximum(cache.length, seq_lens)
+    else:
+        kv_len = jnp.maximum(cache.length, jnp.max(positions, axis=-1) + 1)
 
     for i, p in enumerate(params["layers"]):
         h = rms_norm(x, p["input_norm"], cfg.rms_norm_eps)
@@ -108,7 +114,7 @@ def forward(
         h = rms_norm(x, p["post_norm"], cfg.rms_norm_eps)
         x = x + swiglu_mlp(h, p["gate"], p["up"], p["down"])
 
-    cache = advance(cache, positions)
+    cache = advance(cache, positions, seq_lens)
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
 
     lm_head = params.get("lm_head")

@@ -23,8 +23,10 @@ from ..config.model_config import (
     UniversalConfig,
 )
 from ..kvcache.contiguous import KVCache, init_kv_cache
-from ..loader.varmap import VarMap
 from ..quant.qtensor import QuantTensor
+
+if False:  # type-checking only; avoids loader<->models import cycle
+    from ..loader.varmap import VarMap
 
 
 def _place(w, dtype, transpose: bool = False):
@@ -43,7 +45,7 @@ def _place(w, dtype, transpose: bool = False):
 class ParamBuilder:
     """Helper around VarMap with fallback names and device placement."""
 
-    def __init__(self, vm: VarMap, dtype):
+    def __init__(self, vm: "VarMap", dtype):
         self.vm = vm
         self.dtype = dtype
 
@@ -85,7 +87,7 @@ def build_llama_layer_params(pb: ParamBuilder, i: int, cfg: UniversalConfig) -> 
     return out
 
 
-def build_llama_params(cfg: UniversalConfig, vm: VarMap, dtype=jnp.bfloat16) -> dict:
+def build_llama_params(cfg: UniversalConfig, vm: "VarMap", dtype=jnp.bfloat16) -> dict:
     pb = ParamBuilder(vm, dtype)
     params: dict[str, Any] = {
         "embed": pb.get("model.embed_tokens.weight", "embed_tokens.weight"),
@@ -164,11 +166,13 @@ class Model:
         )
 
     # ---- forward ---------------------------------------------------------
-    def forward(self, tokens: jax.Array, cache: Any, positions: jax.Array):
-        return self.forward_fn(self.params, self.cfg, tokens, cache, positions)
+    def forward(self, tokens: jax.Array, cache: Any, positions: jax.Array,
+                seq_lens: Optional[jax.Array] = None):
+        return self.forward_fn(self.params, self.cfg, tokens, cache, positions,
+                               seq_lens)
 
 
-def build_model(cfg: UniversalConfig, vm: VarMap, dtype=jnp.bfloat16) -> Model:
+def build_model(cfg: UniversalConfig, vm: "VarMap", dtype=jnp.bfloat16) -> Model:
     """Resolve architecture → build params → return Model handle."""
     types = set(cfg.layer_types())
     if types == {LAYER_MAMBA2}:
