@@ -1,0 +1,133 @@
+"""Flagship benchmark: Mistral-7B AWQ-INT4 single-stream decode on one chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "tok/s", "vs_baseline": N/roofline, ...}
+
+vs_baseline is measured against the memory-bandwidth roofline for this
+chip (decode is weight-bound): roofline tok/s = HBM_BW / bytes_touched_per
+_token. The reference publishes no absolute numbers (BASELINE.md), so the
+roofline is the bar.
+
+Weights are synthesized on device (no checkpoints in this environment);
+decode throughput is content-independent.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# v5e (TPU v5 lite) HBM bandwidth, bytes/s (public spec: 819 GB/s).
+HBM_BW = 819e9
+
+
+def _param_bytes(params) -> int:
+    leaves = jax.tree.leaves(params)
+    return sum(l.size * l.dtype.itemsize for l in leaves)
+
+
+def bench_decode(cfg, steps: int = 48, warmup: int = 4, batch: int = 1,
+                 ctx: int = 1024, prompt_len: int = 128) -> dict:
+    from blazr_tpu.engine.sampling import greedy_token
+    from blazr_tpu.kvcache.contiguous import init_kv_cache
+    from blazr_tpu.models import llama
+    from blazr_tpu.utils.synthetic import synth_llama_params
+    from functools import partial
+
+    att = cfg.attention
+    params = synth_llama_params(cfg, quant="awq", dtype=jnp.bfloat16)
+    cache = init_kv_cache(cfg.num_layers, batch, ctx, att.kv_heads(),
+                          att.resolved_head_dim(cfg.hidden_size),
+                          dtype=jnp.bfloat16)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def decode_step(cache, token, positions):
+        logits, cache = llama.forward(params, cfg, token, cache, positions)
+        tok = greedy_token(logits[:, -1, :])
+        return tok[:, None], cache
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def prefill(cache, tokens, positions):
+        logits, cache = llama.forward(params, cfg, tokens, cache, positions)
+        return greedy_token(logits[:, -1, :])[:, None], cache
+
+    rng = np.random.default_rng(0)
+    prompt = jnp.asarray(rng.integers(0, cfg.vocab_size, (batch, prompt_len)),
+                         dtype=jnp.int32)
+    ppos = jnp.asarray(np.broadcast_to(np.arange(prompt_len, dtype=np.int32),
+                                       (batch, prompt_len)))
+    t0 = time.time()
+    tok, cache = prefill(cache, prompt, ppos)
+    tok.block_until_ready()
+    prefill_s = time.time() - t0
+
+    pos = prompt_len
+    for i in range(warmup):
+        positions = jnp.full((batch, 1), pos, dtype=jnp.int32)
+        tok, cache = decode_step(cache, tok, positions)
+        pos += 1
+    tok.block_until_ready()
+
+    t0 = time.time()
+    for i in range(steps):
+        positions = jnp.full((batch, 1), pos, dtype=jnp.int32)
+        tok, cache = decode_step(cache, tok, positions)
+        pos += 1
+    tok.block_until_ready()
+    dt = time.time() - t0
+
+    toks_per_s = steps * batch / dt
+    weight_bytes = _param_bytes(params)
+    kv_bytes_per_tok = (2 * cfg.num_layers * att.kv_heads()
+                        * att.resolved_head_dim(cfg.hidden_size)
+                        * (pos) * 2)  # bf16 K+V read per decode token
+    roofline = HBM_BW / (weight_bytes + kv_bytes_per_tok)
+    return {
+        "toks_per_s": toks_per_s,
+        "prefill_s": prefill_s,
+        "weight_gb": weight_bytes / 1e9,
+        "roofline": roofline,
+        "batch": batch,
+    }
+
+
+def main() -> None:
+    from blazr_tpu.utils.synthetic import llama_3_2_1b_config, mistral_7b_config
+
+    platform = jax.default_backend()
+    attempts = [("mistral-7b-awq-int4", mistral_7b_config()),
+                ("llama-3.2-1b-awq-int4", llama_3_2_1b_config())]
+    err = None
+    for name, cfg in attempts:
+        try:
+            r = bench_decode(cfg)
+            print(json.dumps({
+                "metric": f"decode_tok_s_per_chip_{name.replace('-', '_')}",
+                "value": round(r["toks_per_s"], 2),
+                "unit": "tok/s",
+                "vs_baseline": round(r["toks_per_s"] / r["roofline"], 4),
+                "roofline_tok_s": round(r["roofline"], 1),
+                "weight_gb": round(r["weight_gb"], 2),
+                "platform": platform,
+            }))
+            return
+        except Exception as e:  # OOM or compile failure → smaller model
+            err = e
+            continue
+    print(json.dumps({
+        "metric": "decode_tok_s_per_chip_mistral7b_awq_int4",
+        "value": 0.0, "unit": "tok/s", "vs_baseline": 0.0,
+        "error": str(err)[:200], "platform": platform,
+    }))
+
+
+if __name__ == "__main__":
+    main()
