@@ -1,0 +1,368 @@
+"""Continuous-batching engine over the paged KV cache.
+
+TPU-native port of the reference BatchEngine + RequestScheduler + batched
+decode (src/engine/batch_engine.rs:93-143, request_scheduler.rs:50,
+batch_decode.rs:35-209): an async loop that admits requests, runs
+(chunked) prefills, then ONE fused batched decode step for every running
+sequence — fixed [B_max] shapes, padded block tables, per-sequence fused
+sampling — and streams tokens back through per-request asyncio queues.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import dataclasses
+import logging
+import time
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config.app import AppConfig
+from ..config.generation import GenerationConfig
+from ..kvcache.block_allocator import BlockAllocator
+from ..kvcache.paged import (
+    PagedKVCache,
+    compute_slot_mapping,
+    init_paged_cache,
+    pad_block_table,
+)
+from ..kvcache.prefix_cache import PrefixCache, PrefixCacheConfig
+from ..models.llama_paged import forward_paged
+from ..models.registry import Model
+from .grammar import GrammarState, compile_grammar_to_dfa
+from .grammar_json import JSON_GRAMMAR, json_schema_to_gbnf
+from .sampling import PAD_TOKEN, SamplingParams, make_window, sample_tokens
+from .sequence_scheduler import (
+    ScheduledBatch,
+    SchedulerConfig,
+    Sequence,
+    SequenceScheduler,
+    SequenceState,
+)
+from .types import FinishReason, GeneratedToken
+
+logger = logging.getLogger(__name__)
+
+
+def _next_pow2(n: int, minimum: int = 16) -> int:
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
+@dataclasses.dataclass
+class RequestHandle:
+    """Token stream handle (reference RequestHandle, request_scheduler.rs:25-46)."""
+
+    seq_id: int
+    queue: "asyncio.Queue[tuple[Optional[GeneratedToken], Optional[FinishReason]]]"
+    prompt_tokens: int
+
+    async def tokens(self):
+        while True:
+            tok, fin = await self.queue.get()
+            if tok is not None:
+                yield tok
+            if fin is not None:
+                return
+
+
+class BatchEngine:
+    """Paged-KV continuous-batching executor + scheduler loop."""
+
+    def __init__(self, model: Model, tokenizer, app_cfg: Optional[AppConfig] = None):
+        self.model = model
+        self.tokenizer = tokenizer
+        self.app_cfg = app_cfg or AppConfig(model=model.cfg)
+        inf = self.app_cfg.inference
+        self.block_size = inf.block_size
+        self.max_batch = inf.max_batch_size
+        self.max_seq_len = min(self.app_cfg.effective_max_seq_len() or 4096,
+                               model.cfg.max_seq_len or 4096)
+        self.max_blocks_per_seq = (self.max_seq_len + self.block_size - 1) // self.block_size
+
+        num_blocks = inf.num_blocks or inf.kv_pool_blocks or (
+            self.max_batch * self.max_blocks_per_seq)
+        self.allocator = BlockAllocator(num_blocks, self.block_size)
+        self.prefix_cache = (
+            PrefixCache(self.allocator,
+                        PrefixCacheConfig(max_cached_blocks=inf.max_cached_blocks))
+            if inf.prefix_cache else None
+        )
+        self.scheduler = SequenceScheduler(
+            self.allocator,
+            SchedulerConfig(
+                max_batch_size=self.max_batch,
+                max_batch_tokens=inf.prefill_chunk_size or 4096,
+                block_size=self.block_size,
+                max_seq_len=self.max_seq_len,
+            ),
+            prefix_cache=self.prefix_cache,
+        )
+
+        att = model.cfg.attention
+        self.cache = init_paged_cache(
+            model.cfg.num_layers, num_blocks, self.block_size,
+            att.kv_heads(), att.resolved_head_dim(model.cfg.hidden_size),
+            dtype=model.dtype,
+        )
+
+        self._handles: dict[int, RequestHandle] = {}
+        self._grammars: dict[int, GrammarState] = {}
+        self._windows: dict[int, list[int]] = {}
+        self._notify = asyncio.Event()
+        self._stop = False
+        self._vocab_bytes: Optional[list[bytes]] = None
+
+        params = model.params
+        cfg = model.cfg
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def prefill_step(cache, tokens, positions, slots, block_tables,
+                         seq_lens, last_idx):
+            logits, cache = forward_paged(params, cfg, tokens, cache,
+                                          positions, slots, block_tables,
+                                          seq_lens)
+            last = jnp.take_along_axis(logits, last_idx[:, None, None],
+                                       axis=1)[:, 0, :]
+            return last, cache
+
+        @partial(jax.jit, donate_argnums=(0,), static_argnames=("use_mask",))
+        def decode_step(cache, tokens, positions, slots, block_tables,
+                        seq_lens, window, sp, grammar_mask, use_mask=False):
+            logits, cache = forward_paged(params, cfg, tokens, cache,
+                                          positions, slots, block_tables,
+                                          seq_lens)
+            last = logits[:, -1, :]
+            tok, logprobs = sample_tokens(
+                last, sp, window_tokens=window,
+                grammar_mask=grammar_mask if use_mask else None,
+            )
+            lp = jnp.take_along_axis(logprobs, tok[:, None], axis=1)[:, 0]
+            return tok, lp, cache
+
+        @jax.jit
+        def sample_from(last, window, sp, grammar_mask):
+            tok, logprobs = sample_tokens(last, sp, window_tokens=window,
+                                          grammar_mask=grammar_mask)
+            lp = jnp.take_along_axis(logprobs, tok[:, None], axis=1)[:, 0]
+            return tok, lp
+
+        self._prefill_step = prefill_step
+        self._decode_step = decode_step
+        self._sample_from = sample_from
+
+    # ------------------------------------------------------------------
+    # submission API (reference RequestScheduler::submit)
+    # ------------------------------------------------------------------
+    def submit(self, prompt_tokens: list[int],
+               gen_cfg: Optional[GenerationConfig] = None) -> RequestHandle:
+        gen_cfg = gen_cfg or GenerationConfig()
+        gen_cfg.validate()
+        seq_id = self.scheduler.add_request(prompt_tokens, gen_cfg)
+        handle = RequestHandle(seq_id=seq_id, queue=asyncio.Queue(),
+                               prompt_tokens=len(prompt_tokens))
+        self._handles[seq_id] = handle
+        g = self._grammar_for(gen_cfg)
+        if g is not None:
+            self._grammars[seq_id] = g
+        self._windows[seq_id] = list(prompt_tokens)
+        self._notify.set()
+        return handle
+
+    def cancel(self, seq_id: int) -> None:
+        self.scheduler.abort_sequence(seq_id)
+        self._finish(seq_id, None)
+
+    def stop(self) -> None:
+        self._stop = True
+        self._notify.set()
+
+    # ------------------------------------------------------------------
+    def _grammar_for(self, cfg: GenerationConfig) -> Optional[GrammarState]:
+        src = cfg.grammar or (
+            json_schema_to_gbnf(cfg.json_schema) if cfg.json_schema
+            else JSON_GRAMMAR if cfg.json_mode else None)
+        if src is None:
+            return None
+        if self._vocab_bytes is None:
+            self._vocab_bytes = self.tokenizer.vocab_bytes()
+        return GrammarState(compile_grammar_to_dfa(src), self._vocab_bytes,
+                            eos_token_id=self.tokenizer.eos_token_id)
+
+    # ------------------------------------------------------------------
+    # main loop (reference BatchEngine::run, batch_engine.rs:93-143)
+    # ------------------------------------------------------------------
+    async def run(self) -> None:
+        logger.info("batch engine started (max_batch=%d, blocks=%d)",
+                    self.max_batch, self.allocator.num_blocks)
+        while not self._stop:
+            if not self.scheduler.has_work:
+                self._notify.clear()
+                await self._notify.wait()
+                continue
+            try:
+                batch = self.scheduler.schedule()
+                if batch.is_empty:
+                    await asyncio.sleep(0.001)  # backoff (reference :134-137)
+                    continue
+                for seq in batch.prefill_sequences:
+                    await asyncio.to_thread(self._process_prefill, seq)
+                decodes = [s for s in batch.decode_sequences
+                           if s.state == SequenceState.RUNNING]
+                if decodes:
+                    await asyncio.to_thread(self._process_decode_batch, decodes)
+                self.scheduler.cleanup_finished()
+            except Exception:
+                logger.exception("batch failed; aborting batch sequences")
+                for seq in list(self.scheduler.running.values()):
+                    self.scheduler.abort_sequence(seq.seq_id)
+                    self._finish(seq.seq_id, None)
+        logger.info("batch engine stopped")
+
+    # ------------------------------------------------------------------
+    def _process_prefill(self, seq: Sequence) -> None:
+        """Prefill the uncached/unprefilled prompt suffix (chunked), then
+        sample the first token (reference process_prefill)."""
+        chunk_cfg = self.app_cfg.inference.prefill_chunk_size
+        prompt = seq.prompt_tokens
+        start = seq.prefilled_tokens
+        remaining = len(prompt) - start
+        chunk = min(chunk_cfg or remaining, remaining)
+        piece = prompt[start : start + chunk]
+        is_last = start + chunk >= len(prompt)
+
+        padded = _next_pow2(len(piece))
+        toks = np.zeros((1, padded), dtype=np.int32)
+        toks[0, : len(piece)] = piece
+        positions = np.full((1, padded), 0, dtype=np.int32)
+        positions[0, : len(piece)] = np.arange(start, start + len(piece))
+        slots = np.full((1, padded), self.cache.trash_slot, dtype=np.int32)
+        slots[0, : len(piece)] = compute_slot_mapping(
+            seq.block_table, start, len(piece), self.block_size,
+            self.cache.trash_slot)
+        bt = pad_block_table(seq.block_table, self.max_blocks_per_seq)[None, :]
+        seq_lens = np.array([start + len(piece)], dtype=np.int32)
+        last_idx = np.array([len(piece) - 1], dtype=np.int32)
+
+        last, self.cache = self._prefill_step(
+            self.cache, jnp.asarray(toks), jnp.asarray(positions),
+            jnp.asarray(slots), jnp.asarray(bt), jnp.asarray(seq_lens),
+            jnp.asarray(last_idx),
+        )
+        self.scheduler.prefill_complete(seq.seq_id, len(piece))
+        if not is_last:
+            return
+
+        # First sampled token.
+        sp = SamplingParams.from_config([seq.gen_cfg], step=0)
+        window = jnp.asarray(make_window(self._windows[seq.seq_id])[None, :])
+        mask = self._grammar_mask([seq.seq_id])
+        tok_dev, lp_dev = self._sample_from(last, window, sp, jnp.asarray(mask))
+        self._emit(seq, int(tok_dev[0]), float(lp_dev[0]))
+
+    # ------------------------------------------------------------------
+    def _process_decode_batch(self, decodes: list[Sequence]) -> None:
+        """ONE fused forward+sample for all running sequences
+        (reference process_decode_batch, batch_decode.rs:35-209)."""
+        bmax = _next_pow2(len(decodes), minimum=1)
+        bmax = min(bmax, self.max_batch)
+        decodes = decodes[:bmax]
+        n = len(decodes)
+
+        tokens = np.zeros((bmax, 1), dtype=np.int32)
+        positions = np.zeros((bmax, 1), dtype=np.int32)
+        slots = np.full((bmax, 1), self.cache.trash_slot, dtype=np.int32)
+        bts = np.full((bmax, self.max_blocks_per_seq), 0x7FFFFFFF, dtype=np.int32)
+        seq_lens = np.zeros((bmax,), dtype=np.int32)
+        windows = np.full((bmax, 64), PAD_TOKEN, dtype=np.int32)
+        cfgs = []
+        any_mask = False
+        for i, seq in enumerate(decodes):
+            pos = seq.total_len - 1       # position of the last token
+            last_tok = seq.all_tokens[-1]
+            tokens[i, 0] = last_tok
+            positions[i, 0] = pos
+            slots[i, 0] = compute_slot_mapping(
+                seq.block_table, pos, 1, self.block_size,
+                self.cache.trash_slot)[0]
+            bts[i] = pad_block_table(seq.block_table, self.max_blocks_per_seq)
+            seq_lens[i] = pos + 1
+            windows[i] = make_window(self._windows[seq.seq_id],
+                                     seq.gen_cfg.repeat_last_n)
+            cfgs.append(seq.gen_cfg)
+            any_mask |= seq.seq_id in self._grammars
+        for i in range(n, bmax):
+            cfgs.append(GenerationConfig())
+
+        steps = max((len(s.output_tokens) for s in decodes), default=0)
+        sp = SamplingParams.from_config(cfgs, step=steps)
+        mask = self._grammar_mask([s.seq_id for s in decodes], bmax)
+
+        tok_dev, lp_dev, self.cache = self._decode_step(
+            self.cache, jnp.asarray(tokens), jnp.asarray(positions),
+            jnp.asarray(slots), jnp.asarray(bts), jnp.asarray(seq_lens),
+            jnp.asarray(windows), sp, jnp.asarray(mask), use_mask=any_mask,
+        )
+        toks = np.asarray(tok_dev)
+        lps = np.asarray(lp_dev)
+        for i, seq in enumerate(decodes):
+            self._emit(seq, int(toks[i]), float(lps[i]))
+
+    # ------------------------------------------------------------------
+    def _grammar_mask(self, seq_ids: list[int], bmax: Optional[int] = None
+                      ) -> np.ndarray:
+        v = self.model.vocab_size
+        b = bmax or len(seq_ids)
+        mask = np.ones((b, v), dtype=bool)
+        for i, sid in enumerate(seq_ids):
+            g = self._grammars.get(sid)
+            if g is not None:
+                m = g.mask()
+                mask[i, : len(m)] = m[:v]
+        return mask
+
+    # ------------------------------------------------------------------
+    def _emit(self, seq: Sequence, token: int, logprob: float) -> None:
+        """Record a sampled token, stream it, and finish on EOS/length."""
+        self.scheduler.append_token(seq.seq_id, token)
+        self._windows[seq.seq_id].append(token)
+        g = self._grammars.get(seq.seq_id)
+        if g is not None:
+            g.accept_token(token)
+
+        is_eos = self.tokenizer.is_eos(token)
+        hit_len = len(seq.output_tokens) >= seq.gen_cfg.max_tokens or \
+            seq.total_len >= self.max_seq_len - 1
+        text = "" if is_eos else self._token_text(token)
+        gt = GeneratedToken(token_id=token, text=text, logprob=logprob)
+        fin = (FinishReason.EOS if is_eos
+               else FinishReason.LENGTH if hit_len else None)
+        handle = self._handles.get(seq.seq_id)
+        if handle is not None:
+            handle.queue.put_nowait((gt, fin))
+        if fin is not None:
+            self.scheduler.finish_sequence(seq.seq_id)
+            self._cleanup_seq(seq.seq_id)
+
+    def _finish(self, seq_id: int, fin: Optional[FinishReason]) -> None:
+        handle = self._handles.get(seq_id)
+        if handle is not None:
+            handle.queue.put_nowait((None, fin or FinishReason.STOP))
+        self._cleanup_seq(seq_id)
+
+    def _cleanup_seq(self, seq_id: int) -> None:
+        self._handles.pop(seq_id, None)
+        self._grammars.pop(seq_id, None)
+        self._windows.pop(seq_id, None)
+
+    def _token_text(self, tok: int) -> str:
+        try:
+            return self.tokenizer.decode([tok])
+        except Exception:
+            return ""

@@ -1,0 +1,123 @@
+"""Llama-family forward over the paged KV cache.
+
+TPU-native equivalent of boostr ``forward_with_paged_kv_cache`` (SURVEY
+§2.9 "Model layer" row). Same math as ``llama.forward`` but K/V live in
+block pages: writes scatter to flat slots, attention gathers each
+sequence's pages to a padded [B, MB*BS] view (the XLA fallback; the Pallas
+paged-attention kernel replaces the gather on TPU).
+
+All shapes static (padded batch + padded block tables), so the batched
+decode step compiles once — the pattern the reference uses for its padded
+[N, max_blocks] decode batches (batch_decode.rs:107-131).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config.model_config import UniversalConfig
+from ..kvcache.paged import PagedKVCache, gather_pages, write_paged_layer
+from .layers import apply_rope, linear, repeat_kv, rms_norm, rope_cos_sin, rope_frequencies, swiglu_mlp
+
+
+def _paged_attention_block(
+    p: dict[str, Any],
+    cfg: UniversalConfig,
+    x: jax.Array,                  # [B, T, H]
+    cache: PagedKVCache,
+    layer: int,
+    positions: jax.Array,          # [B, T]
+    slot_mapping: jax.Array,       # [B, T]
+    block_tables: jax.Array,       # [B, MB]
+    seq_lens: jax.Array,           # [B] total valid tokens (incl. this step)
+    cos: jax.Array,
+    sin: jax.Array,
+) -> tuple[jax.Array, PagedKVCache]:
+    att = cfg.attention
+    b, t, _ = x.shape
+    head_dim = att.resolved_head_dim(cfg.hidden_size)
+    n_heads = att.num_heads
+    n_kv = att.kv_heads()
+
+    q = linear(x, p["q"], p.get("q_bias")).reshape(b, t, n_heads, head_dim)
+    k = linear(x, p["k"], p.get("k_bias")).reshape(b, t, n_kv, head_dim)
+    v = linear(x, p["v"], p.get("v_bias")).reshape(b, t, n_kv, head_dim)
+    if p.get("q_norm") is not None:
+        q = rms_norm(q, p["q_norm"], cfg.rms_norm_eps)
+        k = rms_norm(k, p["k_norm"], cfg.rms_norm_eps)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+
+    cache = write_paged_layer(cache, layer, k, v, slot_mapping)
+
+    k_all, v_all = gather_pages(cache, layer, block_tables)   # [B, S_pad, ...]
+    s_pad = k_all.shape[1]
+    n_rep = n_heads // n_kv
+    k_all = repeat_kv(k_all, n_rep)
+    v_all = repeat_kv(v_all, n_rep)
+
+    scale = 1.0 / math.sqrt(head_dim)
+    qf = (q * scale).astype(jnp.float32)
+    logits = jnp.einsum("bthd,bshd->bhts", qf, k_all.astype(jnp.float32))
+    if cfg.attn_logit_softcapping:
+        c = cfg.attn_logit_softcapping
+        logits = jnp.tanh(logits / c) * c
+
+    kv_pos = jnp.arange(s_pad, dtype=jnp.int32)[None, :]
+    valid = kv_pos < seq_lens[:, None]
+    causal = kv_pos[:, None, :] <= positions[:, :, None]
+    mask = valid[:, None, :] & causal
+    if att.sliding_window is not None:
+        mask = mask & (kv_pos[:, None, :] > positions[:, :, None] - att.sliding_window)
+    logits = jnp.where(mask[:, None, :, :], logits, -1e30)
+    probs = jax.nn.softmax(logits, axis=-1).astype(v_all.dtype)
+    out = jnp.einsum("bhts,bshd->bthd", probs, v_all)
+    out = out.reshape(b, t, n_heads * head_dim).astype(x.dtype)
+    return linear(out, p["o"], p.get("o_bias")), cache
+
+
+def forward_paged(
+    params: dict[str, Any],
+    cfg: UniversalConfig,
+    tokens: jax.Array,            # [B, T]
+    cache: PagedKVCache,
+    positions: jax.Array,         # [B, T]
+    slot_mapping: jax.Array,      # [B, T]
+    block_tables: jax.Array,      # [B, MB]
+    seq_lens: jax.Array,          # [B]
+) -> tuple[jax.Array, PagedKVCache]:
+    x = jnp.take(params["embed"], tokens, axis=0)
+    if cfg.scale_embeddings:
+        x = x * jnp.asarray(cfg.hidden_size ** 0.5, dtype=x.dtype)
+
+    att = cfg.attention
+    head_dim = att.resolved_head_dim(cfg.hidden_size)
+    inv_freq = rope_frequencies(att, head_dim)
+    cos, sin = rope_cos_sin(positions, inv_freq)
+
+    for i, p in enumerate(params["layers"]):
+        h = rms_norm(x, p["input_norm"], cfg.rms_norm_eps)
+        attn_out, cache = _paged_attention_block(
+            p, cfg, h, cache, i, positions, slot_mapping, block_tables,
+            seq_lens, cos, sin,
+        )
+        x = x + attn_out
+        h = rms_norm(x, p["post_norm"], cfg.rms_norm_eps)
+        x = x + swiglu_mlp(h, p["gate"], p["up"], p["down"])
+
+    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+    lm_head = params.get("lm_head")
+    if lm_head is None:
+        logits = jnp.dot(x, params["embed"].T.astype(x.dtype),
+                         preferred_element_type=jnp.float32)
+    else:
+        logits = linear(x, lm_head)
+    logits = logits.astype(jnp.float32)
+    if cfg.final_logit_softcapping:
+        c = cfg.final_logit_softcapping
+        logits = jnp.tanh(logits / c) * c
+    return logits, cache

@@ -1,0 +1,321 @@
+"""Paged KV + continuous batching tests: block allocator, prefix cache,
+sequence scheduler, paged forward parity vs contiguous, and the async
+batch engine end-to-end (ports the reference's batching behavior,
+SURVEY §3.2)."""
+
+import asyncio
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from blazr_tpu.config import GenerationConfig
+from blazr_tpu.engine.batch_engine import BatchEngine
+from blazr_tpu.engine.sequence_scheduler import (
+    SchedulerConfig,
+    SequenceScheduler,
+    SequenceState,
+)
+from blazr_tpu.engine.types import FinishReason
+from blazr_tpu.kvcache.block_allocator import BlockAllocator, blocks_needed
+from blazr_tpu.kvcache.paged import (
+    compute_slot_mapping,
+    init_paged_cache,
+    pad_block_table,
+)
+from blazr_tpu.kvcache.prefix_cache import PrefixCache, PrefixCacheConfig
+from blazr_tpu.loader import load_model
+from blazr_tpu.models.llama_paged import forward_paged
+from fixtures import write_tiny_llama_checkpoint
+from tests_helpers import ByteTok
+
+
+# ---------------------------------------------------------------------------
+# block allocator
+# ---------------------------------------------------------------------------
+
+def test_allocator_roundtrip():
+    a = BlockAllocator(10, 16)
+    blocks = a.allocate(3)
+    assert len(set(blocks)) == 3
+    assert a.free_blocks == 7
+    a.free(blocks)
+    assert a.free_blocks == 10
+
+
+def test_allocator_refcounts():
+    a = BlockAllocator(4, 16)
+    (b,) = a.allocate(1)
+    a.inc_ref(b)
+    a.free([b])
+    assert a.free_blocks == 3          # still held by second ref
+    a.free([b])
+    assert a.free_blocks == 4
+
+
+def test_allocator_exhaustion():
+    a = BlockAllocator(2, 16)
+    a.allocate(2)
+    assert not a.can_allocate(1)
+    with pytest.raises(MemoryError):
+        a.allocate(1)
+
+
+def test_blocks_needed():
+    assert blocks_needed(1, 16) == 1
+    assert blocks_needed(16, 16) == 1
+    assert blocks_needed(17, 16) == 2
+
+
+# ---------------------------------------------------------------------------
+# prefix cache
+# ---------------------------------------------------------------------------
+
+def test_prefix_cache_shares_blocks():
+    a = BlockAllocator(64, 4)
+    pc = PrefixCache(a)
+    toks = list(range(12))              # 3 full blocks
+    c1, b1 = pc.get_or_allocate_blocks(1, toks)
+    assert c1 == 0
+    c2, b2 = pc.get_or_allocate_blocks(2, toks)
+    assert c2 == 12 - 1 or c2 == 12     # full-hit capped for logits recompute
+    assert b2[:2] == b1[:2]             # shared full blocks
+    pc.release_blocks(1)
+    pc.release_blocks(2)
+    # Registered blocks stay cached (the cache holds a ref) until evicted.
+    assert a.free_blocks == 64 - pc.stats.cached_blocks
+    while pc.stats.cached_blocks:
+        pc._evict_one()
+    assert a.free_blocks == 64
+
+
+def test_prefix_cache_partial_hit():
+    a = BlockAllocator(64, 4)
+    pc = PrefixCache(a)
+    pc.get_or_allocate_blocks(1, [1, 2, 3, 4, 5, 6, 7, 8])
+    cached, blocks = pc.get_or_allocate_blocks(2, [1, 2, 3, 4, 9, 9, 9, 9])
+    assert cached == 4                  # first block shared only
+    assert pc.stats.hits >= 1
+
+
+def test_prefix_cache_chain_identity():
+    """Same block content after different prefixes must NOT collide."""
+    a = BlockAllocator(64, 4)
+    pc = PrefixCache(a)
+    _, b1 = pc.get_or_allocate_blocks(1, [1, 2, 3, 4, 9, 9, 9, 9])
+    cached, b2 = pc.get_or_allocate_blocks(2, [5, 6, 7, 8, 9, 9, 9, 9])
+    assert cached == 0                  # [9,9,9,9] after different prefix
+
+
+# ---------------------------------------------------------------------------
+# sequence scheduler
+# ---------------------------------------------------------------------------
+
+def _sched(blocks=64, bs=4, max_batch=4, max_tokens=256):
+    a = BlockAllocator(blocks, bs)
+    return SequenceScheduler(a, SchedulerConfig(
+        max_batch_size=max_batch, max_batch_tokens=max_tokens,
+        block_size=bs, max_seq_len=64))
+
+
+def test_scheduler_admission_and_decode():
+    s = _sched()
+    sid = s.add_request([1, 2, 3, 4, 5], GenerationConfig())
+    batch = s.schedule()
+    assert [q.seq_id for q in batch.prefill_sequences] == [sid]
+    s.prefill_complete(sid, 5)
+    s.append_token(sid, 42)
+    batch2 = s.schedule()
+    assert [q.seq_id for q in batch2.decode_sequences] == [sid]
+    assert not batch2.prefill_sequences
+
+
+def test_scheduler_batch_size_cap():
+    s = _sched(max_batch=2)
+    ids = [s.add_request([1, 2, 3], GenerationConfig()) for _ in range(4)]
+    batch = s.schedule()
+    assert len(batch.prefill_sequences) == 2
+    assert len(s.waiting) == 2
+    for sid in ids[:2]:
+        s.finish_sequence(sid)
+    batch = s.schedule()
+    assert len(batch.prefill_sequences) == 2
+
+
+def test_scheduler_block_growth():
+    s = _sched(bs=4)
+    sid = s.add_request([1, 2, 3], GenerationConfig())
+    s.schedule()
+    s.prefill_complete(sid, 3)
+    seq = s.sequences[sid]
+    n0 = len(seq.block_table)
+    for t in range(10):
+        s.append_token(sid, t)
+        s.schedule()
+    assert len(seq.block_table) > n0
+
+
+def test_scheduler_finish_releases_blocks():
+    s = _sched(blocks=8, bs=4)
+    sid = s.add_request(list(range(20)), GenerationConfig())
+    s.schedule()
+    used = s.allocator.stats().allocated_blocks
+    assert used > 0
+    s.finish_sequence(sid)
+    assert s.allocator.free_blocks == 8
+
+
+def test_scheduler_rejects_too_long():
+    s = _sched()
+    with pytest.raises(ValueError):
+        s.add_request(list(range(100)), GenerationConfig())
+
+
+# ---------------------------------------------------------------------------
+# paged forward parity
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def model(tmp_path_factory):
+    rng = np.random.default_rng(21)
+    path = tmp_path_factory.mktemp("paged_model")
+    write_tiny_llama_checkpoint(path, rng)
+    model, _ = load_model(path, dtype="f32")
+    return model
+
+
+def test_paged_forward_matches_contiguous(model):
+    """Paged attention must reproduce the contiguous-cache logits."""
+    rng = np.random.default_rng(3)
+    tokens = rng.integers(0, 256, (1, 10)).astype(np.int32)
+    pos = np.arange(10, dtype=np.int32)[None, :]
+
+    cache = model.init_cache(1, 32)
+    ref, _ = model.forward(jnp.asarray(tokens), cache, jnp.asarray(pos))
+
+    bs = 4
+    pcache = init_paged_cache(model.num_layers, 16, bs, model.num_kv_heads,
+                              model.head_dim, dtype=jnp.float32)
+    blocks = [3, 7, 1]                       # deliberately non-contiguous
+    slots = compute_slot_mapping(blocks, 0, 10, bs, pcache.trash_slot)[None, :]
+    bt = pad_block_table(blocks, 8)[None, :]
+    got, pcache = forward_paged(
+        model.params, model.cfg, jnp.asarray(tokens), pcache,
+        jnp.asarray(pos), jnp.asarray(slots), jnp.asarray(bt),
+        jnp.asarray(np.array([10], dtype=np.int32)),
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_paged_decode_step_matches(model):
+    """Prefill 6 + 4 paged decode steps == full contiguous forward."""
+    rng = np.random.default_rng(4)
+    tokens = rng.integers(0, 256, (1, 10)).astype(np.int32)
+    pos = np.arange(10, dtype=np.int32)[None, :]
+    cache = model.init_cache(1, 32)
+    ref, _ = model.forward(jnp.asarray(tokens), cache, jnp.asarray(pos))
+
+    bs = 4
+    pcache = init_paged_cache(model.num_layers, 16, bs, model.num_kv_heads,
+                              model.head_dim, dtype=jnp.float32)
+    blocks = [5, 2, 9]
+    bt = pad_block_table(blocks, 8)[None, :]
+    slots = compute_slot_mapping(blocks, 0, 6, bs, pcache.trash_slot)[None, :]
+    out1, pcache = forward_paged(
+        model.params, model.cfg, jnp.asarray(tokens[:, :6]), pcache,
+        jnp.asarray(pos[:, :6]), jnp.asarray(slots), jnp.asarray(bt),
+        jnp.asarray(np.array([6], dtype=np.int32)))
+    pieces = [np.asarray(out1)]
+    for t in range(6, 10):
+        slots = compute_slot_mapping(blocks, t, 1, bs, pcache.trash_slot)[None, :]
+        out, pcache = forward_paged(
+            model.params, model.cfg, jnp.asarray(tokens[:, t:t+1]), pcache,
+            jnp.asarray(pos[:, t:t+1]), jnp.asarray(slots), jnp.asarray(bt),
+            jnp.asarray(np.array([t + 1], dtype=np.int32)))
+        pieces.append(np.asarray(out))
+    inc = np.concatenate(pieces, axis=1)
+    np.testing.assert_allclose(inc, np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# batch engine end-to-end
+# ---------------------------------------------------------------------------
+
+async def _collect(handle, limit=64):
+    out = []
+    fin = None
+    async for tok in handle.tokens():
+        out.append(tok.token_id)
+        if len(out) >= limit:
+            break
+    return out
+
+
+def _mk_engine(model):
+    from blazr_tpu.config import AppConfig
+
+    app = AppConfig(model=model.cfg)
+    app.inference.max_seq_len = 64
+    app.inference.max_batch_size = 4
+    app.inference.prefix_cache = True
+    return BatchEngine(model, ByteTok(), app)
+
+
+def test_batch_engine_single(model):
+    async def main():
+        eng = _mk_engine(model)
+        task = asyncio.create_task(eng.run())
+        h = eng.submit([10, 20, 30], GenerationConfig(max_tokens=6, temperature=0.0))
+        toks = await asyncio.wait_for(_collect(h), timeout=60)
+        eng.stop()
+        await task
+        return toks
+
+    toks = asyncio.run(main())
+    assert 1 <= len(toks) <= 6
+
+
+def test_batch_engine_concurrent_matches_sequential(model):
+    """3 concurrent greedy requests must match 3 sequential ones."""
+    async def run_n(prompts, concurrent):
+        eng = _mk_engine(model)
+        task = asyncio.create_task(eng.run())
+        results = []
+        if concurrent:
+            handles = [eng.submit(p, GenerationConfig(max_tokens=5, temperature=0.0))
+                       for p in prompts]
+            results = await asyncio.gather(*[
+                asyncio.wait_for(_collect(h), timeout=120) for h in handles])
+        else:
+            for p in prompts:
+                h = eng.submit(p, GenerationConfig(max_tokens=5, temperature=0.0))
+                results.append(await asyncio.wait_for(_collect(h), timeout=120))
+        eng.stop()
+        await task
+        return results
+
+    prompts = [[1, 2, 3], [9, 8, 7, 6], [100, 101]]
+    seq = asyncio.run(run_n(prompts, concurrent=False))
+    con = asyncio.run(run_n(prompts, concurrent=True))
+    assert seq == con
+
+
+def test_batch_engine_prefix_cache_hit(model):
+    async def main():
+        eng = _mk_engine(model)
+        task = asyncio.create_task(eng.run())
+        p = list(range(1, 40))            # > 2 full blocks
+        h1 = eng.submit(p, GenerationConfig(max_tokens=2, temperature=0.0))
+        t1 = await asyncio.wait_for(_collect(h1), timeout=60)
+        h2 = eng.submit(p, GenerationConfig(max_tokens=2, temperature=0.0))
+        t2 = await asyncio.wait_for(_collect(h2), timeout=60)
+        stats = eng.prefix_cache.stats
+        eng.stop()
+        await task
+        return t1, t2, stats
+
+    t1, t2, stats = asyncio.run(main())
+    assert t1 == t2                       # cache reuse must not change logits
+    assert stats.hits > 0
