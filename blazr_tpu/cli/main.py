@@ -1,0 +1,376 @@
+"""Command-line interface.
+
+TPU-native port of the reference CLI tree (src/cli/commands.rs:87-354,
+dispatched from src/main.rs:20-188): run/generate, chat, serve, bench,
+info, list, ps, tokenize, convert.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import sys
+import time
+from pathlib import Path
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="blazr-tpu",
+        description="TPU-native quantized LLM inference engine",
+    )
+    p.add_argument("-v", "--verbose", action="store_true")
+    p.add_argument("--device", choices=["auto", "tpu", "cpu"],
+                   default=os.environ.get("BLAZR_TPU_DEVICE", "auto"),
+                   help="compute backend (auto = TPU if healthy, else CPU)")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    run = sub.add_parser("run", help="run a model (one-shot or REPL)")
+    run.add_argument("model", help="model dir / file")
+    run.add_argument("--prompt", "-p", help="prompt (omits REPL)")
+    run.add_argument("--max-tokens", "-n", type=int, default=256)
+    run.add_argument("--temperature", "-t", type=float, default=0.7)
+    run.add_argument("--top-p", type=float, default=0.9)
+    run.add_argument("--top-k", type=int, default=40)
+    run.add_argument("--seed", type=int)
+    run.add_argument("--dtype", choices=["f32", "f16", "bf16"])
+    run.add_argument("--grammar", help="GBNF grammar file or inline")
+    run.add_argument("--json", action="store_true", dest="json_mode")
+    run.add_argument("--no-warmup", action="store_true")
+
+    gen = sub.add_parser("generate", help="alias of run --prompt")
+    gen.add_argument("model")
+    gen.add_argument("prompt")
+    gen.add_argument("--max-tokens", "-n", type=int, default=256)
+    gen.add_argument("--temperature", "-t", type=float, default=0.7)
+    gen.add_argument("--dtype", choices=["f32", "f16", "bf16"])
+
+    chat = sub.add_parser("chat", help="multi-turn chat REPL")
+    chat.add_argument("model")
+    chat.add_argument("--system", help="system prompt")
+    chat.add_argument("--template", help="chat template override")
+    chat.add_argument("--max-tokens", "-n", type=int, default=512)
+    chat.add_argument("--temperature", "-t", type=float, default=0.7)
+    chat.add_argument("--dtype", choices=["f32", "f16", "bf16"])
+
+    serve = sub.add_parser("serve", help="start the OpenAI-compatible server")
+    serve.add_argument("--model", default=os.environ.get("BLAZR_TPU_MODEL_DIR", "."))
+    serve.add_argument("--host", default="0.0.0.0")
+    serve.add_argument("--port", type=int, default=8080)
+    serve.add_argument("--api-key", action="append", default=None,
+                       help="require bearer token(s); env BLAZR_TPU_API_KEY")
+    serve.add_argument("--max-inflight-tokens", type=int)
+    serve.add_argument("--dtype", choices=["f32", "f16", "bf16"])
+    serve.add_argument("--max-loaded", type=int, default=1)
+    serve.add_argument("--no-warmup", action="store_true")
+
+    bench = sub.add_parser("bench", help="benchmark a model")
+    bench.add_argument("model", nargs="?", help="model dir (synthetic if omitted)")
+    bench.add_argument("--prompt-lens", default="32,128,512")
+    bench.add_argument("--decode-tokens", type=int, default=128)
+    bench.add_argument("--runs", type=int, default=3)
+    bench.add_argument("--json", dest="json_out", help="write JSON results to file")
+    bench.add_argument("--dtype", choices=["f32", "f16", "bf16"])
+
+    info = sub.add_parser("info", help="show checkpoint metadata")
+    info.add_argument("model")
+
+    lst = sub.add_parser("list", help="list local models")
+    lst.add_argument("--dir", default=os.environ.get("BLAZR_TPU_MODEL_DIR", "."))
+
+    ps = sub.add_parser("ps", help="query a running server for loaded models")
+    ps.add_argument("--host", default="localhost")
+    ps.add_argument("--port", type=int, default=8080)
+
+    tok = sub.add_parser("tokenize", help="tokenize text with a model's tokenizer")
+    tok.add_argument("model")
+    tok.add_argument("text")
+
+    conv = sub.add_parser("convert", help="convert checkpoint formats")
+    conv.add_argument("src")
+    conv.add_argument("dst")
+    conv.add_argument("--quant", default=None,
+                      help="ggml quant type for GGUF output (Q8_0, Q4_K, ...)")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    logging.basicConfig(
+        level=logging.DEBUG if args.verbose else logging.INFO,
+        format="%(asctime)s %(levelname).1s %(name)s: %(message)s",
+    )
+    _pin_backend(args.device)
+    return {
+        "run": cmd_run, "generate": cmd_generate, "chat": cmd_chat,
+        "serve": cmd_serve, "bench": cmd_bench, "info": cmd_info,
+        "list": cmd_list, "ps": cmd_ps, "tokenize": cmd_tokenize,
+        "convert": cmd_convert,
+    }[args.command](args)
+
+
+# ---------------------------------------------------------------------------
+
+def _pin_backend(device: str) -> None:
+    """Pin the JAX backend, falling back to CPU when the TPU plugin is
+    unhealthy (the axon tunnel in this environment can drop)."""
+    import jax
+
+    if device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+        return
+    try:
+        jax.devices()
+    except RuntimeError as e:
+        if device == "tpu":
+            raise
+        logging.getLogger(__name__).warning(
+            "accelerator backend unavailable (%s); falling back to CPU",
+            str(e).splitlines()[0][:120])
+        jax.config.update("jax_platforms", "cpu")
+
+
+def _load_executor(model_path: str, dtype):
+    from ..engine.executor import Executor
+    from ..loader import load_model
+    from ..tokenizer import load_tokenizer
+
+    t0 = time.time()
+    model, app_cfg = load_model(model_path, dtype=dtype)
+    p = Path(model_path)
+    gguf = p if p.suffix == ".gguf" else None
+    tok = load_tokenizer(p.parent if p.is_file() else p, gguf_path=gguf)
+    ex = Executor(model, tok, app_cfg)
+    print(f"loaded {model.cfg.model_type} "
+          f"({model.hidden_size}d x{model.num_layers}L, "
+          f"vocab {model.vocab_size}) in {time.time()-t0:.1f}s",
+          file=sys.stderr)
+    return ex
+
+
+def _print_stream(executor, prompt_ids, cfg) -> None:
+    from ..engine.generate_text import stream_generation
+
+    t0 = time.time()
+    first = None
+    count = 0
+    for delta, fin in stream_generation(executor, prompt_ids, cfg):
+        if delta:
+            if first is None:
+                first = time.time()
+            count += 1
+            print(delta, end="", flush=True)
+    dt = time.time() - (first or t0)
+    print()
+    if count > 1 and dt > 0:
+        print(f"[{count} tokens, {count/dt:.1f} tok/s, "
+              f"ttft {((first or t0)-t0)*1e3:.0f} ms]", file=sys.stderr)
+
+
+def cmd_run(args) -> int:
+    from ..config.generation import GenerationConfig
+
+    ex = _load_executor(args.model, args.dtype)
+    if not args.no_warmup:
+        ex.warmup()
+    cfg = GenerationConfig(
+        max_tokens=args.max_tokens, temperature=args.temperature,
+        top_p=args.top_p, top_k=args.top_k, seed=args.seed,
+        json_mode=getattr(args, "json_mode", False),
+    )
+    if args.grammar:
+        g = Path(args.grammar)
+        cfg.grammar = g.read_text() if g.exists() else args.grammar
+    if args.prompt:
+        _print_stream(ex, ex.tokenizer.encode(args.prompt), cfg)
+        return 0
+    # REPL (reference run.rs:215-307)
+    history: list[str] = []
+    print("interactive mode — /exit to quit, /clear to reset", file=sys.stderr)
+    while True:
+        try:
+            line = input(">>> ").strip()
+        except (EOFError, KeyboardInterrupt):
+            break
+        if line in ("/exit", "/quit"):
+            break
+        if line == "/clear":
+            history.clear()
+            continue
+        if line == "/history":
+            print("\n".join(history))
+            continue
+        if not line:
+            continue
+        history.append(line)
+        _print_stream(ex, ex.tokenizer.encode(line), cfg)
+    return 0
+
+
+def cmd_generate(args) -> int:
+    from ..config.generation import GenerationConfig
+
+    ex = _load_executor(args.model, args.dtype)
+    cfg = GenerationConfig(max_tokens=args.max_tokens,
+                           temperature=args.temperature)
+    _print_stream(ex, ex.tokenizer.encode(args.prompt), cfg)
+    return 0
+
+
+def cmd_chat(args) -> int:
+    from ..config.generation import GenerationConfig
+    from ..model_meta.chat_template import ChatMessage, ChatTemplate, TemplateFormat
+
+    ex = _load_executor(args.model, args.dtype)
+    template = (ChatTemplate(TemplateFormat.from_name(args.template))
+                if args.template
+                else ChatTemplate.detect(model_type=ex.model.cfg.model_type))
+    msgs: list[ChatMessage] = []
+    if args.system:
+        msgs.append(ChatMessage("system", args.system))
+    cfg = GenerationConfig(max_tokens=args.max_tokens,
+                           temperature=args.temperature)
+    print("chat mode — /exit to quit", file=sys.stderr)
+    while True:
+        try:
+            line = input("user> ").strip()
+        except (EOFError, KeyboardInterrupt):
+            break
+        if line in ("/exit", "/quit"):
+            break
+        if not line:
+            continue
+        msgs.append(ChatMessage("user", line))
+        prompt = template.apply(msgs)
+        from ..engine.generate_text import collect_generation
+
+        res = collect_generation(ex, ex.tokenizer.encode(prompt), cfg)
+        print(f"assistant> {res.text}")
+        msgs.append(ChatMessage("assistant", res.text))
+    return 0
+
+
+def cmd_serve(args) -> int:
+    from ..config.server import ServerConfig
+    from ..engine.model_scheduler import ModelScheduler
+    from ..server import run_server
+
+    api_keys = args.api_key or []
+    env_key = os.environ.get("BLAZR_TPU_API_KEY")
+    if env_key:
+        api_keys.append(env_key)
+    scheduler = ModelScheduler(args.model, max_loaded=args.max_loaded,
+                               dtype=args.dtype)
+    if not args.no_warmup:
+        try:
+            ex = scheduler.get_executor("default")
+            ex.warmup()
+        except FileNotFoundError:
+            print("no default model found; loading on demand", file=sys.stderr)
+    cfg = ServerConfig(host=args.host, port=args.port, api_keys=api_keys,
+                       max_inflight_tokens=args.max_inflight_tokens)
+    run_server(scheduler, cfg)
+    return 0
+
+
+def cmd_bench(args) -> int:
+    from ..config.generation import GenerationConfig
+    from ..engine.bench import run_benchmark
+
+    results = run_benchmark(
+        model_path=args.model,
+        prompt_lens=[int(x) for x in args.prompt_lens.split(",")],
+        decode_tokens=args.decode_tokens,
+        runs=args.runs,
+        dtype=args.dtype,
+    )
+    print(json.dumps(results, indent=2))
+    if args.json_out:
+        Path(args.json_out).write_text(json.dumps(results, indent=2))
+    return 0
+
+
+def cmd_info(args) -> int:
+    from ..formats import Gguf, ModelFormat, detect_model_source
+    from ..loader import resolve_config
+
+    src = detect_model_source(args.model)
+    out = {
+        "format": src.format.value,
+        "quant": src.quant.value,
+        "path": str(src.path),
+    }
+    if src.format == ModelFormat.GGUF:
+        with Gguf.open(src.path) as g:
+            md = g.metadata()
+            out.update({
+                "architecture": md.architecture(),
+                "hidden_size": md.embedding_length(),
+                "num_layers": md.block_count(),
+                "context_length": md.context_length(),
+                "dominant_quant": g.dominant_quant_type(),
+                "num_tensors": len(g.tensor_names()),
+                "is_mla": md.get_u32(
+                    f"{md.architecture()}.attention.kv_lora_rank") is not None,
+                "is_moe": md.get_u32(
+                    f"{md.architecture()}.expert_count") is not None,
+            })
+    else:
+        cfg = resolve_config(src, None if src.config_path else
+                             __import__("blazr_tpu.loader", fromlist=["load_varmap"]
+                                        ).load_varmap(src))
+        m = cfg.model
+        out.update({
+            "architecture": m.model_type,
+            "hidden_size": m.hidden_size,
+            "num_layers": m.num_layers,
+            "vocab_size": m.vocab_size,
+            "is_mla": bool(m.attention and m.attention.is_mla),
+            "is_moe": m.moe is not None,
+            "is_ssm": m.ssm is not None,
+        })
+    print(json.dumps(out, indent=2))
+    return 0
+
+
+def cmd_list(args) -> int:
+    from ..engine.model_scheduler import ModelScheduler
+
+    s = ModelScheduler(args.dir)
+    for name in s.discover_models():
+        print(name)
+    return 0
+
+
+def cmd_ps(args) -> int:
+    import urllib.request
+
+    url = f"http://{args.host}:{args.port}/api/ps"
+    with urllib.request.urlopen(url, timeout=10) as r:
+        print(r.read().decode())
+    return 0
+
+
+def cmd_tokenize(args) -> int:
+    from ..tokenizer import load_tokenizer
+
+    p = Path(args.model)
+    tok = load_tokenizer(p.parent if p.is_file() else p,
+                         gguf_path=p if p.suffix == ".gguf" else None)
+    ids = tok.encode(args.text)
+    print(json.dumps({"tokens": ids, "count": len(ids)}))
+    return 0
+
+
+def cmd_convert(args) -> int:
+    from ..loader.convert import convert_checkpoint
+
+    convert_checkpoint(args.src, args.dst, quant=args.quant)
+    print(f"converted {args.src} -> {args.dst}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,713 @@
+"""OpenAI-compatible HTTP server (aiohttp).
+
+TPU-native port of the reference server layer (src/server/): route table
+(routes.rs:28-61), AppState + token-budget admission control
+(handlers.rs:30-103 — 503 + Retry-After when over max_inflight_tokens),
+middleware stack (request-id/logging, bearer auth, CORS, body limit —
+startup.rs:41-120), chat/completions endpoints with SSE streaming,
+tokenize/detokenize/apply-template, health with device memory, Prometheus
+metrics, Ollama-style management routes, and slots.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import logging
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+from aiohttp import web
+
+from ..config.app import AppConfig
+from ..config.generation import GenerationConfig
+from ..config.server import ServerConfig
+from ..engine.generate_text import StopScanner, collect_generation
+from ..engine.model_scheduler import ModelScheduler
+from ..engine.types import FinishReason
+from ..model_meta.chat_template import ChatMessage, ChatTemplate, TemplateFormat
+from ..model_meta.think import extract_thinking
+from .api_types import (
+    ApiError,
+    chat_response,
+    completion_response,
+    gen_config_from_body,
+    logprobs_block,
+    new_id,
+    usage_dict,
+    validate_generation_params,
+)
+from .metrics import Metrics
+from .slo import SloTracker
+from .slots import SlotManager
+from .tools import extract_tool_calls, tools_system_prompt
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class AppState:
+    """Shared server state (reference AppState, handlers.rs:30-42)."""
+
+    scheduler: ModelScheduler
+    server_cfg: ServerConfig
+    metrics: Metrics = field(default_factory=Metrics)
+    slots: SlotManager = field(default_factory=lambda: SlotManager())
+    batch_engine: Any = None          # optional continuous-batching engine
+    start_time: float = field(default_factory=time.time)
+    inflight_tokens: int = 0
+    slo: SloTracker = None            # type: ignore[assignment]
+
+    def __post_init__(self) -> None:
+        if self.slo is None:
+            self.slo = SloTracker(self.server_cfg.slo, self.metrics)
+
+    # -- admission control (reference handlers.rs:72-103) ------------------
+    def try_admit(self, tokens: int) -> bool:
+        limit = self.server_cfg.max_inflight_tokens
+        if limit is None:
+            return True
+        if self.inflight_tokens + tokens > limit:
+            return False
+        self.inflight_tokens += tokens
+        self._update_budget_gauge()
+        return True
+
+    def release(self, tokens: int) -> None:
+        self.inflight_tokens = max(0, self.inflight_tokens - tokens)
+        self._update_budget_gauge()
+
+    def _update_budget_gauge(self) -> None:
+        limit = self.server_cfg.max_inflight_tokens
+        if limit:
+            self.metrics.token_budget_utilization.set(
+                self.inflight_tokens / limit)
+
+
+STATE_KEY = web.AppKey("state", AppState)
+REAPER_KEY = web.AppKey("reaper", object)
+
+
+# ---------------------------------------------------------------------------
+# middleware (reference startup.rs:41-120)
+# ---------------------------------------------------------------------------
+
+@web.middleware
+async def request_id_mw(request: web.Request, handler):
+    rid = request.headers.get("x-request-id", uuid.uuid4().hex[:16])
+    request["request_id"] = rid
+    t0 = time.time()
+    try:
+        resp = await handler(request)
+    except ApiError as e:
+        resp = web.json_response(e.body(), status=e.status)
+    except web.HTTPException:
+        raise
+    except Exception:
+        logger.exception("unhandled error [%s] %s", rid, request.path)
+        resp = web.json_response(
+            {"error": {"message": "internal server error",
+                       "type": "server_error"}}, status=500)
+    resp.headers["x-request-id"] = rid
+    dt = time.time() - t0
+    logger.info("%s %s -> %d (%.1f ms) [%s]", request.method, request.path,
+                resp.status, dt * 1e3, rid)
+    return resp
+
+
+def auth_middleware(api_keys: list[str]):
+    unprotected = {"/health", "/metrics"}
+
+    @web.middleware
+    async def mw(request: web.Request, handler):
+        if not api_keys or request.path in unprotected:
+            return await handler(request)
+        auth = request.headers.get("Authorization", "")
+        key = auth[7:] if auth.startswith("Bearer ") else \
+            request.headers.get("x-api-key", "")
+        if key not in api_keys:
+            return web.json_response(
+                {"error": {"message": "invalid API key",
+                           "type": "authentication_error"}}, status=401)
+        return await handler(request)
+
+    return mw
+
+
+@web.middleware
+async def cors_mw(request: web.Request, handler):
+    if request.method == "OPTIONS":
+        resp = web.Response(status=204)
+    else:
+        resp = await handler(request)
+    resp.headers["Access-Control-Allow-Origin"] = "*"
+    resp.headers["Access-Control-Allow-Methods"] = "GET, POST, DELETE, OPTIONS"
+    resp.headers["Access-Control-Allow-Headers"] = "Content-Type, Authorization, x-api-key"
+    return resp
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+async def _json(request: web.Request) -> dict:
+    try:
+        return await request.json()
+    except json.JSONDecodeError:
+        raise ApiError(400, "invalid JSON body")
+
+
+def _overloaded() -> web.Response:
+    resp = web.json_response(
+        {"error": {"message": "server overloaded, retry later",
+                   "type": "overloaded_error"}}, status=503)
+    resp.headers["Retry-After"] = "1"
+    return resp
+
+
+def _build_prompt(request_body: dict, executor, model_cfg) -> tuple[str, list]:
+    """Apply the chat template (+ tools system prompt, sanitization)."""
+    messages = [
+        ChatMessage(m.get("role", "user"), _content_text(m.get("content")))
+        for m in request_body.get("messages", [])
+    ]
+    if not messages:
+        raise ApiError(400, "messages must not be empty")
+    tools = request_body.get("tools")
+    if tools:
+        sys_prompt = tools_system_prompt(tools)
+        if messages and messages[0].role == "system":
+            messages[0].content += "\n\n" + sys_prompt
+        else:
+            messages.insert(0, ChatMessage("system", sys_prompt))
+
+    override = request_body.get("template")
+    if override:
+        template = ChatTemplate(TemplateFormat.from_name(override))
+    else:
+        template = ChatTemplate.detect(model_type=model_cfg.model_type)
+    if request_body.get("raw"):
+        prompt = "\n".join(m.content for m in messages)
+    else:
+        prompt = template.apply(messages)
+    return prompt, messages
+
+
+def _content_text(content) -> str:
+    """Flatten string-or-parts message content (reference multimodal.rs)."""
+    if content is None:
+        return ""
+    if isinstance(content, str):
+        return content
+    if isinstance(content, list):
+        parts = []
+        for p in content:
+            if isinstance(p, dict) and p.get("type") == "text":
+                parts.append(p.get("text", ""))
+        return "".join(parts)
+    return str(content)
+
+
+# ---------------------------------------------------------------------------
+# handlers
+# ---------------------------------------------------------------------------
+
+async def health(request: web.Request) -> web.Response:
+    state = request.app[STATE_KEY]
+    body = {
+        "status": "ok",
+        "uptime_seconds": round(time.time() - state.start_time, 1),
+        "models_loaded": state.scheduler.num_loaded,
+    }
+    try:
+        import jax
+
+        dev = jax.devices()[0]
+        stats = dev.memory_stats() or {}
+        if stats:
+            body["device_memory"] = {
+                "bytes_in_use": stats.get("bytes_in_use"),
+                "bytes_limit": stats.get("bytes_limit"),
+            }
+        body["device"] = str(dev)
+    except Exception:
+        pass
+    return web.json_response(body)
+
+
+async def metrics_handler(request: web.Request) -> web.Response:
+    state = request.app[STATE_KEY]
+    # Render-time gauge refresh (reference metrics.rs:197-244).
+    state.metrics.models_loaded.set(state.scheduler.num_loaded)
+    eng = state.batch_engine
+    if eng is not None:
+        st = eng.scheduler.stats()
+        state.metrics.queue_depth.set(st["waiting"])
+        state.metrics.active_decode_slots.set(st["running"])
+        bs = st["block_stats"]
+        if bs["total_blocks"]:
+            state.metrics.kv_block_utilization.set(
+                bs["allocated_blocks"] / bs["total_blocks"])
+    return web.Response(body=state.metrics.render(),
+                        content_type="text/plain", charset="utf-8")
+
+
+async def list_models(request: web.Request) -> web.Response:
+    state = request.app[STATE_KEY]
+    names = state.scheduler.discover_models() or ["default"]
+    return web.json_response({
+        "object": "list",
+        "data": [{"id": n, "object": "model", "created": 0,
+                  "owned_by": "blazr_tpu"} for n in names],
+    })
+
+
+async def get_model(request: web.Request) -> web.Response:
+    state = request.app[STATE_KEY]
+    mid = request.match_info["model_id"]
+    names = state.scheduler.discover_models() or ["default"]
+    if mid not in names:
+        raise ApiError(404, f"model {mid!r} not found", "not_found_error")
+    return web.json_response({"id": mid, "object": "model", "created": 0,
+                              "owned_by": "blazr_tpu"})
+
+
+def _get_executor(state: AppState, body: dict):
+    name = body.get("model") or "default"
+    try:
+        return state.scheduler.get_executor(name, body.get("keep_alive"))
+    except FileNotFoundError as e:
+        raise ApiError(404, str(e), "not_found_error")
+
+
+async def completions(request: web.Request) -> web.Response:
+    state = request.app[STATE_KEY]
+    body = await _json(request)
+    validate_generation_params(body)
+    executor = await asyncio.to_thread(_get_executor, state, body)
+    cfg = gen_config_from_body(body, executor.app_cfg.generation)
+
+    prompt = body.get("prompt", "")
+    prompts = prompt if isinstance(prompt, list) else [prompt]
+    if not prompts or any(not isinstance(p, str) for p in prompts):
+        # token-id arrays also allowed
+        if all(isinstance(p, list) for p in prompts):
+            prompt_ids_list = [list(map(int, p)) for p in prompts]
+        else:
+            raise ApiError(400, "prompt must be a string or array")
+    else:
+        prompt_ids_list = [executor.tokenizer.encode(p) for p in prompts]
+
+    total_prompt = sum(len(p) for p in prompt_ids_list)
+    budget = total_prompt + cfg.max_tokens * len(prompt_ids_list)
+    if not state.try_admit(budget):
+        return _overloaded()
+    state.metrics.requests_active.inc()
+    t0 = time.time()
+    try:
+        if body.get("stream"):
+            return await _stream_completion(request, state, executor,
+                                            prompt_ids_list[0], cfg, body)
+        n = int(body.get("n", 1))
+        echo = bool(body.get("echo", False))
+        choices = []
+        usage_p = usage_c = 0
+        for ids in prompt_ids_list:
+            for i in range(n):
+                c = GenerationConfig.from_dict(cfg.to_dict())
+                if c.seed is not None:
+                    c.seed += i
+                res = await asyncio.to_thread(
+                    collect_generation, executor, ids, c)
+                text = res.text
+                if echo:
+                    text = executor.tokenizer.decode(ids) + text
+                choices.append({
+                    "index": len(choices),
+                    "text": text,
+                    "finish_reason": res.finish_reason.to_openai(),
+                    "logprobs": None,
+                })
+                usage_p += res.prompt_tokens
+                usage_c += res.completion_tokens
+        state.metrics.tokens_prompted.inc(usage_p)
+        state.metrics.tokens_generated.inc(usage_c)
+        state.slo.record_e2e(time.time() - t0)
+        model_name = body.get("model", "default")
+        return web.json_response(completion_response(
+            model_name, choices, usage_dict(usage_p, usage_c)))
+    finally:
+        state.release(budget)
+        state.metrics.requests_active.dec()
+        state.metrics.requests_total.labels(
+            endpoint="completions", status="200").inc()
+        state.metrics.request_duration.observe(time.time() - t0)
+
+
+async def chat_completions(request: web.Request) -> web.Response:
+    state = request.app[STATE_KEY]
+    body = await _json(request)
+    validate_generation_params(body)
+    executor = await asyncio.to_thread(_get_executor, state, body)
+    cfg = gen_config_from_body(body, executor.app_cfg.generation)
+
+    prompt, _ = _build_prompt(body, executor, executor.model.cfg)
+    prompt_ids = executor.tokenizer.encode(prompt)
+    budget = len(prompt_ids) + cfg.max_tokens
+    if not state.try_admit(budget):
+        return _overloaded()
+    state.metrics.requests_active.inc()
+    t0 = time.time()
+    try:
+        if body.get("stream"):
+            return await _stream_chat(request, state, executor, prompt_ids,
+                                      cfg, body)
+        n = int(body.get("n", 1))
+        choices = []
+        usage_p = usage_c = 0
+        want_think = bool(body.get("think", True))
+        for i in range(n):
+            c = GenerationConfig.from_dict(cfg.to_dict())
+            if c.seed is not None and i:
+                c.seed += i
+            res = await asyncio.to_thread(
+                collect_generation, executor, prompt_ids, c, True)
+            text = res.text
+            tool_calls = extract_tool_calls(text) if body.get("tools") else None
+            msg: dict[str, Any] = {"role": "assistant",
+                                   "content": None if tool_calls else text}
+            if res.thinking and want_think:
+                msg["reasoning_content"] = res.thinking
+            finish = res.finish_reason.to_openai()
+            if tool_calls:
+                msg["tool_calls"] = tool_calls
+                finish = "tool_calls"
+            choices.append({"index": i, "message": msg,
+                            "finish_reason": finish,
+                            "logprobs": None})
+            usage_p += res.prompt_tokens
+            usage_c += res.completion_tokens
+        state.metrics.tokens_prompted.inc(usage_p)
+        state.metrics.tokens_generated.inc(usage_c)
+        state.slo.record_e2e(time.time() - t0)
+        return web.json_response(chat_response(
+            body.get("model", "default"), choices,
+            usage_dict(usage_p, usage_c, eval_duration=time.time() - t0)))
+    finally:
+        state.release(budget)
+        state.metrics.requests_active.dec()
+        state.metrics.requests_total.labels(
+            endpoint="chat", status="200").inc()
+        state.metrics.request_duration.observe(time.time() - t0)
+
+
+async def _stream_chat(request, state: AppState, executor, prompt_ids,
+                       cfg: GenerationConfig, body: dict) -> web.StreamResponse:
+    from .streaming import SSE_DONE, SSE_HEADERS, ChatStream
+
+    resp = web.StreamResponse(headers=SSE_HEADERS)
+    await resp.prepare(request)
+    stream = ChatStream(body.get("model", "default"))
+    await resp.write(stream.role_chunk())
+
+    loop = asyncio.get_running_loop()
+    queue: asyncio.Queue = asyncio.Queue()
+
+    def produce():
+        try:
+            if state.batch_engine is not None:
+                raise RuntimeError("batch path handled elsewhere")
+            from ..engine.generate_text import stream_generation
+
+            for delta, fin in stream_generation(executor, prompt_ids, cfg):
+                loop.call_soon_threadsafe(queue.put_nowait, (delta, fin, None))
+        except Exception as e:  # surfaced as SSE error event
+            loop.call_soon_threadsafe(queue.put_nowait, ("", None, str(e)))
+        loop.call_soon_threadsafe(queue.put_nowait, None)
+
+    task = loop.run_in_executor(None, produce)
+    t0 = time.time()
+    first = True
+    count = 0
+    last_t = t0
+    try:
+        while True:
+            item = await queue.get()
+            if item is None:
+                break
+            delta, fin, err = item
+            if err is not None:
+                await resp.write(stream.error(err))
+                break
+            now = time.time()
+            if first and delta:
+                state.slo.record_ttft(now - t0)
+                state.metrics.ttft.observe(now - t0)
+                first = False
+            elif delta:
+                state.slo.record_itl(now - last_t)
+                state.metrics.itl.observe(now - last_t)
+            last_t = now
+            if delta:
+                count += 1
+                await resp.write(stream.delta(delta))
+            if fin is not None:
+                await resp.write(stream.finish(
+                    fin.to_openai(),
+                    usage_dict(len(prompt_ids), count)))
+                break
+        await resp.write(SSE_DONE)
+    except (ConnectionResetError, asyncio.CancelledError):
+        logger.info("client disconnected mid-stream")
+    finally:
+        await task
+    await resp.write_eof()
+    return resp
+
+
+async def _stream_completion(request, state: AppState, executor, prompt_ids,
+                             cfg, body) -> web.StreamResponse:
+    from .streaming import SSE_DONE, SSE_HEADERS, CompletionStream
+
+    resp = web.StreamResponse(headers=SSE_HEADERS)
+    await resp.prepare(request)
+    stream = CompletionStream(body.get("model", "default"))
+    loop = asyncio.get_running_loop()
+    queue: asyncio.Queue = asyncio.Queue()
+
+    def produce():
+        try:
+            from ..engine.generate_text import stream_generation
+
+            for delta, fin in stream_generation(executor, prompt_ids, cfg):
+                loop.call_soon_threadsafe(queue.put_nowait, (delta, fin))
+        except Exception as e:
+            logger.exception("stream failed")
+            loop.call_soon_threadsafe(queue.put_nowait, ("", FinishReason.STOP))
+        loop.call_soon_threadsafe(queue.put_nowait, None)
+
+    task = loop.run_in_executor(None, produce)
+    try:
+        while True:
+            item = await queue.get()
+            if item is None:
+                break
+            delta, fin = item
+            if delta:
+                await resp.write(stream.delta(delta))
+            if fin is not None:
+                await resp.write(stream.delta("", finish_reason=fin.to_openai()))
+                break
+        await resp.write(SSE_DONE)
+    except (ConnectionResetError, asyncio.CancelledError):
+        pass
+    finally:
+        await task
+    await resp.write_eof()
+    return resp
+
+
+# ---------------------------------------------------------------------------
+# tokenize / detokenize / template (reference handlers.rs:201-348)
+# ---------------------------------------------------------------------------
+
+async def tokenize(request: web.Request) -> web.Response:
+    state = request.app[STATE_KEY]
+    body = await _json(request)
+    executor = await asyncio.to_thread(_get_executor, state, body)
+    text = body.get("content", body.get("text", ""))
+    ids = executor.tokenizer.encode(text)
+    return web.json_response({"tokens": ids, "count": len(ids)})
+
+
+async def detokenize(request: web.Request) -> web.Response:
+    state = request.app[STATE_KEY]
+    body = await _json(request)
+    executor = await asyncio.to_thread(_get_executor, state, body)
+    ids = body.get("tokens", [])
+    return web.json_response({"content": executor.tokenizer.decode(ids)})
+
+
+async def apply_template(request: web.Request) -> web.Response:
+    state = request.app[STATE_KEY]
+    body = await _json(request)
+    executor = await asyncio.to_thread(_get_executor, state, body)
+    prompt, _ = _build_prompt(body, executor, executor.model.cfg)
+    return web.json_response({"prompt": prompt})
+
+
+# ---------------------------------------------------------------------------
+# management (reference management.rs: /api/tags, show, ps, delete, copy)
+# ---------------------------------------------------------------------------
+
+async def api_tags(request: web.Request) -> web.Response:
+    state = request.app[STATE_KEY]
+    models = []
+    for name in state.scheduler.discover_models():
+        p = state.scheduler.model_dir / name
+        size = 0
+        mtime = 0.0
+        if p.exists():
+            files = [p] if p.is_file() else list(p.glob("*"))
+            for f in files:
+                if f.is_file():
+                    st = f.stat()
+                    size += st.st_size
+                    mtime = max(mtime, st.st_mtime)
+        models.append({
+            "name": name, "model": name, "size": size,
+            "modified_at": time.strftime(
+                "%Y-%m-%dT%H:%M:%SZ", time.gmtime(mtime)) if mtime else None,
+        })
+    return web.json_response({"models": models})
+
+
+async def api_ps(request: web.Request) -> web.Response:
+    state = request.app[STATE_KEY]
+    out = []
+    for e in state.scheduler.loaded_models():
+        out.append({
+            "name": e.name,
+            "model": e.name,
+            "expires_at": (time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                                         time.gmtime(e.expires_at))
+                           if e.expires_at else "never"),
+            "size_vram": e.size_bytes,
+        })
+    return web.json_response({"models": out})
+
+
+async def api_show(request: web.Request) -> web.Response:
+    state = request.app[STATE_KEY]
+    body = await _json(request)
+    name = body.get("name", body.get("model", "default"))
+    executor = await asyncio.to_thread(
+        state.scheduler.get_executor, name)
+    cfg = executor.model.cfg
+    return web.json_response({
+        "model_info": {
+            "model_type": cfg.model_type,
+            "hidden_size": cfg.hidden_size,
+            "num_layers": cfg.num_layers,
+            "vocab_size": cfg.vocab_size,
+            "max_seq_len": cfg.max_seq_len,
+            "num_heads": cfg.attention.num_heads if cfg.attention else None,
+            "num_kv_heads": executor.model.num_kv_heads,
+        },
+        "details": {"family": cfg.model_type, "format": "auto"},
+    })
+
+
+async def api_delete(request: web.Request) -> web.Response:
+    state = request.app[STATE_KEY]
+    body = await _json(request)
+    name = body.get("name", body.get("model"))
+    if not name:
+        raise ApiError(400, "name required")
+    unloaded = state.scheduler.unload(name)
+    return web.json_response({"unloaded": unloaded})
+
+
+# ---------------------------------------------------------------------------
+# slots (reference handlers.rs:366-416, slots.rs)
+# ---------------------------------------------------------------------------
+
+async def slots_list(request: web.Request) -> web.Response:
+    state = request.app[STATE_KEY]
+    return web.json_response({"slots": state.slots.list()})
+
+
+async def slots_create(request: web.Request) -> web.Response:
+    state = request.app[STATE_KEY]
+    body = await _json(request)
+    slot = state.slots.create(body.get("model", "default"))
+    return web.json_response(slot, status=201)
+
+
+async def slots_delete(request: web.Request) -> web.Response:
+    state = request.app[STATE_KEY]
+    sid = request.match_info["slot_id"]
+    if not state.slots.delete(sid):
+        raise ApiError(404, f"slot {sid} not found", "not_found_error")
+    return web.json_response({"deleted": sid})
+
+
+# ---------------------------------------------------------------------------
+# app factory
+# ---------------------------------------------------------------------------
+
+def create_app(scheduler: ModelScheduler,
+               server_cfg: Optional[ServerConfig] = None,
+               batch_engine=None) -> web.Application:
+    server_cfg = server_cfg or ServerConfig()
+    state = AppState(scheduler=scheduler, server_cfg=server_cfg,
+                     batch_engine=batch_engine)
+
+    middlewares = [request_id_mw]
+    if server_cfg.enable_cors:
+        middlewares.append(cors_mw)
+    middlewares.append(auth_middleware(server_cfg.api_keys))
+
+    app = web.Application(middlewares=middlewares,
+                          client_max_size=server_cfg.max_body_bytes)
+    app[STATE_KEY] = state
+
+    r = app.router
+    # Route table (reference routes.rs:28-61)
+    r.add_get("/health", health)
+    r.add_get("/metrics", metrics_handler)
+    r.add_get("/v1/models", list_models)
+    r.add_get("/v1/models/{model_id}", get_model)
+    r.add_post("/v1/completions", completions)
+    r.add_post("/v1/chat/completions", chat_completions)
+    r.add_post("/tokenize", tokenize)
+    r.add_post("/detokenize", detokenize)
+    r.add_post("/apply-template", apply_template)
+    r.add_get("/api/tags", api_tags)
+    r.add_get("/api/ps", api_ps)
+    r.add_post("/api/show", api_show)
+    r.add_delete("/api/delete", api_delete)
+    r.add_get("/api/slots", slots_list)
+    r.add_post("/api/slots", slots_create)
+    r.add_delete("/api/slots/{slot_id}", slots_delete)
+
+    from .embeddings import embeddings_handler
+    from .anthropic import count_tokens_handler, messages_handler
+
+    r.add_post("/v1/embeddings", embeddings_handler)
+    r.add_post("/v1/messages", messages_handler)
+    r.add_post("/v1/messages/count_tokens", count_tokens_handler)
+
+    async def start_reaper(app):
+        async def reaper():
+            while True:
+                await asyncio.sleep(30)
+                n = await asyncio.to_thread(scheduler.evict_expired)
+                if n:
+                    logger.info("reaper unloaded %d model(s)", n)
+        app[REAPER_KEY] = asyncio.create_task(reaper())
+
+    async def stop_reaper(app):
+        app[REAPER_KEY].cancel()
+
+    app.on_startup.append(start_reaper)
+    app.on_cleanup.append(stop_reaper)
+    return app
+
+
+def run_server(scheduler: ModelScheduler,
+               server_cfg: Optional[ServerConfig] = None,
+               batch_engine=None) -> None:
+    server_cfg = server_cfg or ServerConfig()
+    app = create_app(scheduler, server_cfg, batch_engine)
+    logger.info("serving on %s:%d", server_cfg.host, server_cfg.port)
+    ssl_ctx = None
+    if server_cfg.tls_cert and server_cfg.tls_key:
+        import ssl
+
+        ssl_ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+        ssl_ctx.load_cert_chain(server_cfg.tls_cert, server_cfg.tls_key)
+    web.run_app(app, host=server_cfg.host, port=server_cfg.port,
+                ssl_context=ssl_ctx, access_log=None)

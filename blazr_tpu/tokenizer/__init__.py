@@ -55,7 +55,10 @@ def load_tokenizer(model_dir: str | Path,
         from ..formats.gguf import Gguf
 
         with Gguf.open(gguf_path) as g:
-            return tokenizer_from_gguf(g)
+            try:
+                return tokenizer_from_gguf(g)
+            except ValueError:
+                pass  # no embedded tokenizer → try sibling tokenizer.json
     tok_json = model_dir / "tokenizer.json"
     if tok_json.exists():
         return load_hf_tokenizer(tok_json)

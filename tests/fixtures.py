@@ -81,3 +81,28 @@ def write_tiny_llama_checkpoint(path: Path, rng: np.random.Generator,
     write_safetensors(path / "model.safetensors", weights)
     (path / "config.json").write_text(json.dumps(c))
     return weights
+
+
+def write_byte_tokenizer_json(path: Path) -> None:
+    """Write a byte-level tokenizer.json (full 256-byte vocab + eos) so
+    server tests can load a real tokenizer from the checkpoint dir."""
+    import json as _json
+
+    from blazr_tpu.tokenizer.bpe import gpt2_byte_encoder
+
+    enc = gpt2_byte_encoder()
+    vocab = {enc[b]: b for b in range(256)}
+    eos_id = 256
+    data = {
+        "version": "1.0",
+        "model": {"type": "BPE", "vocab": vocab, "merges": []},
+        "pre_tokenizer": {"type": "ByteLevel", "add_prefix_space": False,
+                          "trim_offsets": True, "use_regex": True},
+        "decoder": {"type": "ByteLevel", "add_prefix_space": False,
+                    "trim_offsets": True, "use_regex": True},
+        "added_tokens": [{"id": eos_id, "content": "<|eos|>", "special": True}],
+    }
+    (path / "tokenizer.json").write_text(_json.dumps(data))
+    (path / "tokenizer_config.json").write_text(_json.dumps({
+        "eos_token": "<|eos|>",
+    }))
