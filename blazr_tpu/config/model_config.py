@@ -71,6 +71,8 @@ class AttentionConfig:
     use_alibi: bool = False
     # qkv bias (Qwen2-style)
     qkv_bias: bool = False
+    # MLA decoupled-RoPE pairing convention (HF deepseek rope_interleave)
+    rope_interleave: bool = True
 
     def kv_heads(self) -> int:
         return self.num_kv_heads if self.num_kv_heads is not None else self.num_heads
@@ -298,6 +300,7 @@ def universal_from_hf_config(cfg: dict[str, Any]) -> UniversalConfig:
             (_HF_ARCH_TO_MODEL_TYPE[a] for a in archs if a in _HF_ARCH_TO_MODEL_TYPE),
             "llama",
         )
+    is_deepseek_v3 = model_type == "deepseek_v3"
     if model_type in ("deepseek_v2", "deepseek_v3"):
         model_type = "deepseek"
 
@@ -328,6 +331,7 @@ def universal_from_hf_config(cfg: dict[str, Any]) -> UniversalConfig:
             v_head_dim=cfg.get("v_head_dim"),
             sliding_window=cfg.get("sliding_window"),
             use_alibi=bool(cfg.get("alibi", False)),
+            rope_interleave=bool(cfg.get("rope_interleave", True)),
             qkv_bias=bool(
                 cfg.get("attention_bias", model_type == "qwen2")
             ),
@@ -359,8 +363,13 @@ def universal_from_hf_config(cfg: dict[str, Any]) -> UniversalConfig:
             intermediate_size=cfg.get("moe_intermediate_size"),
             num_dense_layers=cfg.get("first_k_dense_replace", 0),
             routed_scaling_factor=cfg.get("routed_scaling_factor", 1.0),
-            norm_topk_prob=bool(cfg.get("norm_topk_prob", False)),
-            scoring_func=cfg.get("scoring_func", "softmax"),
+            # Mixtral/Qwen-MoE always renormalize the top-k weights.
+            norm_topk_prob=bool(cfg.get(
+                "norm_topk_prob",
+                model_type in ("mixtral", "qwen2_moe", "qwen3_moe"))),
+            # DeepSeek-V3 routes with sigmoid + correction bias by default.
+            scoring_func=cfg.get("scoring_func")
+            or ("sigmoid" if is_deepseek_v3 else "softmax"),
             n_group=cfg.get("n_group", 1),
             topk_group=cfg.get("topk_group", 1),
         )

@@ -72,10 +72,22 @@ def build_llama_layer_params(pb: ParamBuilder, i: int, cfg: UniversalConfig) -> 
         "k": pb.get(p + "self_attn.k_proj.weight", transpose=True),
         "v": pb.get(p + "self_attn.v_proj.weight", transpose=True),
         "o": pb.get(p + "self_attn.o_proj.weight", transpose=True),
-        "gate": pb.get(p + "mlp.gate_proj.weight", transpose=True),
-        "up": pb.get(p + "mlp.up_proj.weight", transpose=True),
-        "down": pb.get(p + "mlp.down_proj.weight", transpose=True),
     }
+    is_moe_layer = cfg.moe is not None and (
+        p + "mlp.gate.weight" in pb.vm
+        or p + "block_sparse_moe.gate.weight" in pb.vm
+        or p + "mlp.experts.gate_proj.weight" in pb.vm
+        or p + "mlp.experts.0.gate_proj.weight" in pb.vm
+        or p + "block_sparse_moe.experts.0.w1.weight" in pb.vm
+    )
+    if is_moe_layer:
+        from .moe import build_moe_params
+
+        out["moe"] = build_moe_params(pb, p, cfg)
+    else:
+        out["gate"] = pb.get(p + "mlp.gate_proj.weight", transpose=True)
+        out["up"] = pb.get(p + "mlp.up_proj.weight", transpose=True)
+        out["down"] = pb.get(p + "mlp.down_proj.weight", transpose=True)
     for side in ("q", "k", "v", "o"):
         b = pb.get(p + f"self_attn.{side}_proj.bias", required=False)
         if b is not None:
@@ -149,7 +161,7 @@ class Model:
     # ---- cache management ------------------------------------------------
     def init_cache(self, batch: int, capacity: int) -> Any:
         if self.cfg.model_type in ("mamba2", "mamba3"):
-            from .mamba2 import init_ssm_state
+            from ..kvcache.ssm_state import init_ssm_state
 
             return init_ssm_state(self.cfg, batch, dtype=self.dtype)
         if self.cfg.hybrid_layers or (self.needs_ssm_state and self.needs_kv_cache):
