@@ -103,6 +103,12 @@ class Executor:
             logits, cache = fwd(params, cfg, token, cache, positions, seq_lens)
             return logits[:, -1, :], cache
 
+        @partial(jax.jit, donate_argnums=(0,))
+        def verify_step(cache, tokens, positions, seq_lens):
+            # Full-logits multi-token step (speculative verification).
+            logits, cache = fwd(params, cfg, tokens, cache, positions, seq_lens)
+            return logits, cache
+
         @jax.jit
         def sample_only(last, window, sp: SamplingParams, bias_ids, bias_vals,
                         grammar_mask):
@@ -118,6 +124,7 @@ class Executor:
         self._prefill_step = prefill_step
         self._decode_step = decode_step
         self._forward_step = forward_step
+        self._verify_step = verify_step
         self._sample_only = sample_only
 
     # ------------------------------------------------------------------

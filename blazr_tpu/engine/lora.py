@@ -1,0 +1,160 @@
+"""LoRA adapter loading + hot-swappable registry.
+
+TPU-native port of the reference LoRA module (src/engine/lora.rs:306):
+HF-PEFT ``adapter_model.safetensors`` loading (lora_A [r, in] /
+lora_B [out, r], alpha/r scaling), a thread-safe named registry for hot
+load/unload, and application to a param tree (W' = W + scale·(A·B),
+applied on the activation side for quantized weights so the base stays
+packed).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import threading
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..formats.safetensors import SafeTensorsReader
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class LoraAdapter:
+    """One loaded adapter (reference LoraAdapter, lora.rs:32)."""
+
+    name: str
+    rank: int
+    alpha: float
+    # module path (e.g. "model.layers.0.self_attn.q_proj") → (A [r,in], B [out,r])
+    weights: dict[str, tuple[np.ndarray, np.ndarray]]
+
+    @property
+    def scale(self) -> float:
+        return self.alpha / self.rank
+
+    def num_modules(self) -> int:
+        return len(self.weights)
+
+
+def load_lora_adapter(path: str | Path, name: Optional[str] = None) -> LoraAdapter:
+    """Load a HF-PEFT adapter dir (reference load_lora_adapter, lora.rs:138)."""
+    path = Path(path)
+    cfg_path = path / "adapter_config.json"
+    rank, alpha = 8, 16.0
+    if cfg_path.exists():
+        cfg = json.loads(cfg_path.read_text())
+        rank = int(cfg.get("r", rank))
+        alpha = float(cfg.get("lora_alpha", alpha))
+    st = path / "adapter_model.safetensors"
+    if not st.exists():
+        raise FileNotFoundError(f"no adapter_model.safetensors in {path}")
+
+    weights: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    with SafeTensorsReader(st) as r:
+        pairs: dict[str, dict[str, np.ndarray]] = {}
+        for tname in r.tensor_names():
+            # base_model.model.model.layers.0.self_attn.q_proj.lora_A.weight
+            if ".lora_A." in tname:
+                key, part = tname.split(".lora_A."), "A"
+            elif ".lora_B." in tname:
+                key, part = tname.split(".lora_B."), "B"
+            else:
+                continue
+            module = key[0].replace("base_model.model.", "")
+            pairs.setdefault(module, {})[part] = r.load_numpy(tname).astype(np.float32)
+    for module, ab in pairs.items():
+        if "A" in ab and "B" in ab:
+            weights[module] = (ab["A"], ab["B"])
+    if not weights:
+        raise ValueError(f"no LoRA weight pairs found in {st}")
+    inferred_rank = next(iter(weights.values()))[0].shape[0]
+    return LoraAdapter(name=name or path.name, rank=inferred_rank or rank,
+                       alpha=alpha, weights=weights)
+
+
+class LoraAdapterRegistry:
+    """Thread-safe named registry (reference LoraAdapterRegistry, lora.rs:63)."""
+
+    def __init__(self) -> None:
+        self._adapters: dict[str, LoraAdapter] = {}
+        self._lock = threading.Lock()
+
+    def load(self, path: str | Path, name: Optional[str] = None) -> LoraAdapter:
+        adapter = load_lora_adapter(path, name)
+        with self._lock:
+            self._adapters[adapter.name] = adapter
+        logger.info("loaded LoRA adapter %r (rank=%d, %d modules)",
+                    adapter.name, adapter.rank, adapter.num_modules())
+        return adapter
+
+    def get(self, name: str) -> Optional[LoraAdapter]:
+        with self._lock:
+            return self._adapters.get(name)
+
+    def unload(self, name: str) -> bool:
+        with self._lock:
+            return self._adapters.pop(name, None) is not None
+
+    def list(self) -> list[dict]:
+        with self._lock:
+            return [{"name": a.name, "rank": a.rank, "alpha": a.alpha,
+                     "modules": a.num_modules()}
+                    for a in self._adapters.values()]
+
+
+# ---------------------------------------------------------------------------
+# Application to a llama-family param tree
+# ---------------------------------------------------------------------------
+
+_MODULE_TO_KEY = {
+    "q_proj": "q", "k_proj": "k", "v_proj": "v", "o_proj": "o",
+    "gate_proj": "gate", "up_proj": "up", "down_proj": "down",
+}
+
+
+def merge_lora(params: dict[str, Any], adapter: LoraAdapter) -> dict[str, Any]:
+    """Return params with LoRA deltas merged into dense weights.
+
+    Quantized (QuantTensor) base weights get a ``lora`` entry instead —
+    applied on the activation side by ``layers.linear`` (keeps the base
+    packed; W + s·BA would force dequantization).
+    """
+    from ..quant.qtensor import QuantTensor
+
+    new_params = dict(params)
+    new_layers = [dict(l) for l in params["layers"]]
+    new_params["layers"] = new_layers
+    applied = 0
+    for module, (a, b) in adapter.weights.items():
+        parts = module.split(".")
+        try:
+            li = parts.index("layers") + 1
+            layer_idx = int(parts[li])
+            proj = parts[-1]
+        except (ValueError, IndexError):
+            continue
+        key = _MODULE_TO_KEY.get(proj)
+        if key is None or layer_idx >= len(new_layers):
+            continue
+        layer = new_layers[layer_idx]
+        base = layer.get(key)
+        if base is None:
+            continue
+        # delta in [in, out] orientation: (B @ A)^T = A^T @ B^T
+        delta = (a.T @ b.T) * adapter.scale
+        if isinstance(base, QuantTensor):
+            lora_map = dict(layer.get("lora") or {})
+            lora_map[key] = (jnp.asarray(a.T), jnp.asarray(b.T * adapter.scale))
+            layer["lora"] = lora_map
+        else:
+            layer[key] = base + jnp.asarray(delta, dtype=base.dtype)
+        applied += 1
+    logger.info("merged LoRA %r into %d modules", adapter.name, applied)
+    return new_params

@@ -675,10 +675,26 @@ def create_app(scheduler: ModelScheduler,
 
     from .embeddings import embeddings_handler
     from .anthropic import count_tokens_handler, messages_handler
+    from .audio import speech_handler, transcriptions_handler
+    from .infill import infill_handler
+    from .lora_routes import REGISTRY_KEY, lora_delete, lora_list, lora_load
+    from .rerank import rerank_handler
+    from .responses import responses_handler
+    from ..engine.lora import LoraAdapterRegistry
 
     r.add_post("/v1/embeddings", embeddings_handler)
     r.add_post("/v1/messages", messages_handler)
     r.add_post("/v1/messages/count_tokens", count_tokens_handler)
+    r.add_post("/v1/responses", responses_handler)
+    r.add_post("/rerank", rerank_handler)
+    r.add_post("/v1/rerank", rerank_handler)
+    r.add_post("/v1/infill", infill_handler)
+    r.add_post("/v1/audio/speech", speech_handler)
+    r.add_post("/v1/audio/transcriptions", transcriptions_handler)
+    app[REGISTRY_KEY] = LoraAdapterRegistry()
+    r.add_post("/v1/lora", lora_load)
+    r.add_get("/v1/lora", lora_list)
+    r.add_delete("/v1/lora/{name}", lora_delete)
 
     async def start_reaper(app):
         async def reaper():

@@ -1,0 +1,230 @@
+"""Tests for the remaining engine subsystems: LoRA adapters, speculative
+decoding, DP routing, cache router, MoE offload, model scheduler
+(ports the reference unit tiers for tensor_parallel/moe_offload/
+cache_router/slots, SURVEY §4)."""
+
+import json
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from blazr_tpu.config import GenerationConfig
+from blazr_tpu.engine.cache_router import CacheAwareRouter, fnv1a
+from blazr_tpu.engine.data_parallel import DataParallelGroup
+from blazr_tpu.engine.executor import Executor
+from blazr_tpu.engine.lora import LoraAdapterRegistry, load_lora_adapter, merge_lora
+from blazr_tpu.engine.model_scheduler import ModelScheduler, parse_keep_alive
+from blazr_tpu.engine.moe_offload import (
+    ExpertFrequencyTracker,
+    MoeOffloadManager,
+    OffloadStrategy,
+    resolve_strategy,
+)
+from blazr_tpu.engine.speculative import SpeculativeExecutor
+from blazr_tpu.formats import write_safetensors
+from blazr_tpu.loader import load_model
+from fixtures import write_byte_tokenizer_json, write_tiny_llama_checkpoint
+from tests_helpers import ByteTok
+
+
+# ---------------------------------------------------------------------------
+# LoRA
+# ---------------------------------------------------------------------------
+
+def _write_adapter(path, rng, rank=4, alpha=8.0):
+    path.mkdir(exist_ok=True)
+    weights = {}
+    for proj, dims in [("q_proj", (64, 64)), ("v_proj", (32, 64))]:
+        base = f"base_model.model.model.layers.0.self_attn.{proj}"
+        weights[f"{base}.lora_A.weight"] = (
+            rng.standard_normal((rank, dims[1])) * 0.05).astype(np.float32)
+        weights[f"{base}.lora_B.weight"] = (
+            rng.standard_normal((dims[0], rank)) * 0.05).astype(np.float32)
+    write_safetensors(path / "adapter_model.safetensors", weights)
+    (path / "adapter_config.json").write_text(json.dumps(
+        {"r": rank, "lora_alpha": alpha}))
+
+
+def test_lora_load_and_registry(tmp_path):
+    rng = np.random.default_rng(0)
+    _write_adapter(tmp_path / "ad1", rng)
+    reg = LoraAdapterRegistry()
+    a = reg.load(tmp_path / "ad1", "style")
+    assert a.rank == 4 and a.alpha == 8.0 and a.num_modules() == 2
+    assert reg.get("style") is a
+    assert [x["name"] for x in reg.list()] == ["style"]
+    assert reg.unload("style") and not reg.unload("style")
+
+
+def test_lora_merge_changes_logits(tmp_path):
+    rng = np.random.default_rng(1)
+    mdir = tmp_path / "model"
+    write_tiny_llama_checkpoint(mdir, rng)
+    _write_adapter(tmp_path / "ad", rng)
+    model, _ = load_model(mdir, dtype="f32")
+    adapter = load_lora_adapter(tmp_path / "ad")
+
+    tokens = jnp.asarray([[1, 2, 3]], dtype=jnp.int32)
+    pos = jnp.asarray(np.arange(3, dtype=np.int32)[None, :])
+    base_logits, _ = model.forward(tokens, model.init_cache(1, 8), pos)
+
+    merged = merge_lora(model.params, adapter)
+    model.params = merged
+    lora_logits, _ = model.forward(tokens, model.init_cache(1, 8), pos)
+    assert not np.allclose(np.asarray(base_logits), np.asarray(lora_logits))
+
+
+# ---------------------------------------------------------------------------
+# speculative decoding
+# ---------------------------------------------------------------------------
+
+def test_speculative_matches_target_greedy(tmp_path):
+    """Greedy speculative output must EXACTLY match target-only greedy
+    (same model as draft+target → 100% acceptance)."""
+    rng = np.random.default_rng(2)
+    mdir = tmp_path / "m"
+    write_tiny_llama_checkpoint(mdir, rng)
+    model_t, cfg_t = load_model(mdir, dtype="f32")
+    model_d, cfg_d = load_model(mdir, dtype="f32")
+    cfg_t.inference.max_seq_len = 64
+    cfg_d.inference.max_seq_len = 64
+    target = Executor(model_t, ByteTok(), cfg_t)
+    draft = Executor(model_d, ByteTok(), cfg_d)
+
+    # NOTE: argmax near-ties can flip between differently-shaped compiled
+    # programs (T=1 decode vs T=k verify) — outputs are deterministic per
+    # config; this config is verified tie-free.
+    gen = GenerationConfig(max_tokens=12, temperature=0.0, repeat_penalty=1.0)
+    ref = [t.token_id for t in target.generate([5, 9, 13], gen)]
+
+    spec = SpeculativeExecutor(draft, target)
+    got = [t.token_id for t in spec.generate([5, 9, 13], gen)]
+    assert got == ref
+    assert spec.stats.drafted > 0
+    assert spec.stats.acceptance_rate > 0.5
+
+
+def test_speculative_divergent_draft_still_correct(tmp_path):
+    """A DIFFERENT draft model must not change the greedy target output."""
+    rng = np.random.default_rng(3)
+    mdir1 = tmp_path / "target"
+    mdir2 = tmp_path / "draft"
+    write_tiny_llama_checkpoint(mdir1, np.random.default_rng(3))
+    write_tiny_llama_checkpoint(mdir2, np.random.default_rng(99))
+    model_t, cfg_t = load_model(mdir1, dtype="f32")
+    model_d, cfg_d = load_model(mdir2, dtype="f32")
+    cfg_t.inference.max_seq_len = 64
+    cfg_d.inference.max_seq_len = 64
+    target = Executor(model_t, ByteTok(), cfg_t)
+    draft = Executor(model_d, ByteTok(), cfg_d)
+
+    gen = GenerationConfig(max_tokens=8, temperature=0.0, repeat_penalty=1.0)
+    ref = [t.token_id for t in target.generate([7, 11], gen)]
+    spec = SpeculativeExecutor(draft, target)
+    got = [t.token_id for t in spec.generate([7, 11], gen)]
+    assert got == ref
+
+
+# ---------------------------------------------------------------------------
+# DP routing / cache router (ports cache_router.rs:148-176 tests)
+# ---------------------------------------------------------------------------
+
+def test_fnv1a_deterministic():
+    assert fnv1a(b"hello") == fnv1a(b"hello")
+    assert fnv1a(b"hello") != fnv1a(b"world")
+
+
+def test_cache_router_sticky():
+    r = CacheAwareRouter(4)
+    a = r.route("common prefix A" * 10, [0, 0, 0, 0])
+    assert r.route("common prefix A" * 10, [1, 1, 1, 1]) == a
+
+
+def test_cache_router_overload_fallback():
+    r = CacheAwareRouter(2, overload_factor=1.5)
+    sticky = r.route("prompt X", [0, 0])
+    loads = [0, 0]
+    loads[sticky] = 100
+    assert r.route("prompt X", loads) != sticky
+
+
+def test_dp_group_round_robin_and_release():
+    g = DataParallelGroup(["e0", "e1", "e2"], cache_aware=False)
+    picks = [g.select().index for _ in range(6)]
+    assert picks == [0, 1, 2, 0, 1, 2]
+    for r in g.replicas:
+        assert r.active == 2
+    g.release(g.replicas[0])
+    assert g.stats()[0]["active"] == 1
+
+
+# ---------------------------------------------------------------------------
+# MoE offload (ports moe_offload.rs:254-375 tests)
+# ---------------------------------------------------------------------------
+
+def test_frequency_tracker_decay():
+    t = ExpertFrequencyTracker(1, 4, decay=0.5)
+    t.record(0, [0, 0, 1])
+    t.step()
+    t.record(0, [2])
+    assert t.hot_set(0, 2) == [2, 0] or t.hot_set(0, 2) == [0, 2]
+    assert t.counts[0, 0] == pytest.approx(1.0)   # 2 * 0.5
+
+
+def test_offload_rebalance_plan():
+    m = MoeOffloadManager(num_layers=1, num_experts=4,
+                          device_experts_per_layer=2, rebalance_interval=2)
+    assert m.placement.on_device[0] == {0, 1}
+    plans = []
+    for _ in range(3):
+        m.record_usage(0, [2, 3, 2, 3])
+        p = m.step()
+        if p:
+            plans.append(p)
+    assert plans, "rebalance expected"
+    plan = plans[0]
+    layer, to_device, to_host = plan[0]
+    assert set(to_device) == {2, 3} and set(to_host) == {0, 1}
+    assert m.placement.on_device[0] == {2, 3}
+
+
+def test_resolve_strategy():
+    GB = 1 << 30
+    assert resolve_strategy(OffloadStrategy.AUTO, 1 * GB, 16 * GB) == OffloadStrategy.DEVICE
+    assert resolve_strategy(OffloadStrategy.AUTO, 20 * GB, 13 * GB) == OffloadStrategy.HYBRID
+    assert resolve_strategy(OffloadStrategy.AUTO, 100 * GB, 10 * GB) == OffloadStrategy.HOST
+    assert resolve_strategy(OffloadStrategy.HOST, 1, 100 * GB) == OffloadStrategy.HOST
+
+
+# ---------------------------------------------------------------------------
+# model scheduler (ports scheduler.rs keep_alive tests)
+# ---------------------------------------------------------------------------
+
+def test_parse_keep_alive():
+    assert parse_keep_alive(None) == 300.0
+    assert parse_keep_alive(60) == 60.0
+    assert parse_keep_alive("5m") == 300.0
+    assert parse_keep_alive("1h") == 3600.0
+    assert parse_keep_alive("30s") == 30.0
+    assert parse_keep_alive("500ms") == 0.5
+    assert parse_keep_alive(-1) is None          # forever
+    assert parse_keep_alive(0) == 0.0            # unload now
+    assert parse_keep_alive("garbage") == 300.0
+
+
+def test_model_scheduler_lru_and_ttl(tmp_path):
+    for name in ("a", "b"):
+        d = tmp_path / name
+        write_tiny_llama_checkpoint(d, np.random.default_rng(4))
+        write_byte_tokenizer_json(d)
+    s = ModelScheduler(tmp_path, max_loaded=1, dtype="f32")
+    assert sorted(s.discover_models()) == ["a", "b"]
+    s.get_executor("a")
+    assert s.num_loaded == 1
+    s.get_executor("b")                 # evicts a (LRU)
+    assert s.num_loaded == 1 and s.evictions == 1
+    s.get_executor("b", keep_alive=0)   # expires immediately
+    assert s.evict_expired() == 1
+    assert s.num_loaded == 0
