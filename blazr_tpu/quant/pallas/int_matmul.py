@@ -36,7 +36,17 @@ from ..qtensor import QuantTensor
 
 
 def _unpack_tile(qw, bits: int, signed: bool, bk: int, bn: int):
-    """[bk*bits/32, bn] u32 → [bk, bn] f32 integer values."""
+    """[bk*bits/32, bn] u32 → [bk, bn] f32 integer values.
+
+    For signed 4/8-bit payloads (every canonical format after load-time
+    sign biasing) the unpack is ONE native bitcast — Mosaic expands the
+    sublane axis ×(32/bits) in exactly our K-packed row order — plus a
+    convert. The shift/mask loop remains only for 2-bit payloads.
+    """
+    if signed and bits == 4:
+        return pltpu.bitcast(qw, jnp.int4).astype(jnp.float32)
+    if signed and bits == 8:
+        return pltpu.bitcast(qw, jnp.int8).astype(jnp.float32)
     r = 32 // bits
     mask = jnp.uint32((1 << bits) - 1)
     planes = [(qw >> jnp.uint32(bits * j)) & mask for j in range(r)]
@@ -51,29 +61,39 @@ def _unpack_tile(qw, bits: int, signed: bool, bk: int, bn: int):
 def _qmm_kernel(x_ref, qw_ref, s_ref, m_ref, o_ref, acc_ref, *,
                 bits: int, signed: bool, group_size: int,
                 bk: int, bn: int, k_tiles: int):
+    """Per-group matmul formulation: the affine scale/min never touch
+    per-ELEMENT space —
+
+        y += Σ_g (x_g @ q_g) ⊙ s_g  −  (Σ_k∈g x)_g ⊙ m_g
+
+    so the only per-element VPU work is the native int4/int8 bitcast +
+    one convert to bf16; scaling is a [bm, bn] FMA per group."""
     @pl.when(pl.program_id(2) == 0)
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    q = _unpack_tile(qw_ref[...], bits, signed, bk, bn)        # [bk, bn] f32
-    # Scales/mins come pre-reshaped [k_tiles, gpb, N] so the block picks
-    # this k-tile's groups with a full-dim (alignment-free) middle axis.
-    s = s_ref[0]                                               # [gpb, bn]
-    m = m_ref[0]
-    g = s.shape[0]
-    reps = bk // g
-    if reps > 1:
-        # Per-group expansion (row r ← group r // gs): broadcast along a new
-        # sublane axis then merge — np.repeat semantics, not tiling.
-        s_full = jnp.broadcast_to(s[:, None, :], (g, reps, bn)).reshape(bk, bn)
-        m_full = jnp.broadcast_to(m[:, None, :], (g, reps, bn)).reshape(bk, bn)
+    bm = x_ref.shape[0]
+    if signed and bits == 4:
+        q = pltpu.bitcast(qw_ref[...], jnp.int4).astype(jnp.bfloat16)
+    elif signed and bits == 8:
+        q = pltpu.bitcast(qw_ref[...], jnp.int8).astype(jnp.bfloat16)
     else:
-        s_full, m_full = s, m
-    w = (q * s_full - m_full).astype(jnp.bfloat16)             # [bk, bn]
+        q = _unpack_tile(qw_ref[...], bits, signed, bk, bn).astype(jnp.bfloat16)
+    s = s_ref[0]                                               # [gpb, bn] f32
+    m = m_ref[0]
+    gpb = bk // group_size
 
-    acc_ref[...] += jnp.dot(
-        x_ref[...].astype(jnp.bfloat16), w, preferred_element_type=jnp.float32
-    )
+    x = x_ref[...].astype(jnp.bfloat16)                        # [bm, bk]
+    # Per-group input sums for the min/offset term.
+    xs = x.astype(jnp.float32).reshape(bm, gpb, group_size).sum(axis=2)
+
+    acc = acc_ref[...]
+    for g in range(gpb):
+        xg = x[:, g * group_size : (g + 1) * group_size]
+        qg = q[g * group_size : (g + 1) * group_size, :]
+        partial = jnp.dot(xg, qg, preferred_element_type=jnp.float32)
+        acc = acc + partial * s[g][None, :] - xs[:, g][:, None] * m[g][None, :]
+    acc_ref[...] = acc
 
     @pl.when(pl.program_id(2) == k_tiles - 1)
     def _done():

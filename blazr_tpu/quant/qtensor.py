@@ -105,6 +105,14 @@ def _finish(q_int: np.ndarray, scales: np.ndarray, mins: np.ndarray, *,
             scale_dtype=jnp.float32) -> QuantTensor:
     k, n = q_int.shape
     assert scales.shape == (k // group_size, n), (scales.shape, k, group_size, n)
+    if bits == 4 and not signed:
+        # Sign-bias the nibbles (q' = q - 8 stored as int4 two's complement,
+        # i.e. n' = n XOR 8) so the Pallas kernel unpacks with a single
+        # native u32→int4 bitcast; the +8 offset folds into the affine:
+        # w = q·s − m = (q' + 8)·s − m = q'·s − (m − 8·s).
+        q_int = np.bitwise_xor(q_int.astype(np.uint8), 8)
+        mins = mins - 8.0 * scales
+        signed = True
     return QuantTensor(
         qweight=jnp.asarray(_pack_k(q_int, bits)),
         scales=jnp.asarray(scales, dtype=scale_dtype),
