@@ -88,6 +88,26 @@ def build_parser() -> argparse.ArgumentParser:
     tok.add_argument("model")
     tok.add_argument("text")
 
+    swarm = sub.add_parser("swarm", help="pipeline-parallel swarm node")
+    swarm.add_argument("role", choices=["leader", "worker"])
+    swarm.add_argument("--model", help="model dir (leader)")
+    swarm.add_argument("--seed", default="127.0.0.1:29500",
+                       help="seed address host:port")
+    swarm.add_argument("--world-size", type=int, default=2)
+    swarm.add_argument("--capacity", type=int, default=2048)
+    swarm.add_argument("--dtype", choices=["f32", "f16", "bf16"])
+
+    disagg = sub.add_parser("disagg",
+                            help="disaggregated prefill/decode node")
+    disagg.add_argument("role", choices=["router", "prefill", "decode"])
+    disagg.add_argument("--model", help="model dir (workers)")
+    disagg.add_argument("--seed", default="127.0.0.1:29501")
+    disagg.add_argument("--world-size", type=int, default=3)
+    disagg.add_argument("--prefill-ranks", default="1")
+    disagg.add_argument("--decode-ranks", default="2")
+    disagg.add_argument("--capacity", type=int, default=2048)
+    disagg.add_argument("--dtype", choices=["f32", "f16", "bf16"])
+
     conv = sub.add_parser("convert", help="convert checkpoint formats")
     conv.add_argument("src")
     conv.add_argument("dst")
@@ -107,7 +127,7 @@ def main(argv=None) -> int:
         "run": cmd_run, "generate": cmd_generate, "chat": cmd_chat,
         "serve": cmd_serve, "bench": cmd_bench, "info": cmd_info,
         "list": cmd_list, "ps": cmd_ps, "tokenize": cmd_tokenize,
-        "convert": cmd_convert,
+        "convert": cmd_convert, "swarm": cmd_swarm, "disagg": cmd_disagg,
     }[args.command](args)
 
 
@@ -361,6 +381,88 @@ def cmd_tokenize(args) -> int:
                          gguf_path=p if p.suffix == ".gguf" else None)
     ids = tok.encode(args.text)
     print(json.dumps({"tokens": ids, "count": len(ids)}))
+    return 0
+
+
+def cmd_swarm(args) -> int:
+    """Pipeline-parallel swarm mode (reference cli/swarm.rs)."""
+    from ..distributed.swarm import SwarmLeader, SwarmWorker
+    from ..distributed.transport import TcpMesh
+
+    host, port = args.seed.rsplit(":", 1)
+    if args.role == "leader":
+        if not args.model:
+            print("--model required for the leader", file=sys.stderr)
+            return 2
+        from ..loader import resolve_config
+        from ..formats import detect_model_source
+
+        cfg = resolve_config(detect_model_source(args.model))
+        mesh = TcpMesh.bootstrap_leader(args.world_size, host=host,
+                                        seed_port=int(port))
+        leader = SwarmLeader(mesh, args.model, cfg.model.num_layers)
+        leader.start_workers()
+        print(f"swarm ready: {len(leader.schedule.stages)} stages; "
+              f"starting HTTP server", file=sys.stderr)
+        # Minimal serving loop on the leader (reference serves HTTP here).
+        import json as _json
+
+        while True:
+            try:
+                line = input()
+            except EOFError:
+                break
+            req = _json.loads(line)
+            toks = leader.generate_greedy(req["tokens"], req.get("max_tokens", 32))
+            print(_json.dumps({"tokens": toks}), flush=True)
+        leader.shutdown()
+        return 0
+    mesh = TcpMesh.bootstrap_worker((host, int(port)))
+    w = SwarmWorker(mesh, capacity=args.capacity, dtype=args.dtype or "bf16")
+    w.receive_assignment()
+    w.run_compute_loop()
+    return 0
+
+
+def cmd_disagg(args) -> int:
+    """Disaggregated prefill/decode mode (reference cli/disaggregated.rs)."""
+    from ..distributed.disagg import (
+        DecodeWorker,
+        DisaggConfig,
+        DisaggRouter,
+        PrefillWorker,
+    )
+    from ..distributed.transport import TcpMesh
+
+    host, port = args.seed.rsplit(":", 1)
+    p_ranks = [int(x) for x in args.prefill_ranks.split(",")]
+    d_ranks = [int(x) for x in args.decode_ranks.split(",")]
+    if args.role == "router":
+        mesh = TcpMesh.bootstrap_leader(args.world_size, host=host,
+                                        seed_port=int(port))
+        router = DisaggRouter(mesh, DisaggConfig(
+            prefill_workers=p_ranks, decode_workers=d_ranks))
+        import json as _json
+
+        print("disagg router ready", file=sys.stderr)
+        while True:
+            try:
+                line = input()
+            except EOFError:
+                break
+            req = _json.loads(line)
+            toks = router.route_request(req["tokens"], req.get("max_tokens", 32))
+            print(_json.dumps({"tokens": toks}), flush=True)
+        router.shutdown()
+        return 0
+    mesh = TcpMesh.bootstrap_worker((host, int(port)))
+    if args.role == "prefill":
+        PrefillWorker(mesh, args.model, capacity=args.capacity,
+                      dtype=args.dtype or "bf16").run_loop()
+    else:
+        DecodeWorker(mesh, args.model, capacity=args.capacity,
+                     dtype=args.dtype or "bf16").run_loop(
+            prefill_ranks=p_ranks)
     return 0
 
 

@@ -1,0 +1,188 @@
+"""Disaggregated prefill/decode serving.
+
+TPU-native port of the reference disagg mode (SURVEY §3.5;
+cli/disaggregated.rs + disaggregated_forward.rs + boostr
+``distributed::inference::disaggregated``): a router splits work between
+prefill workers (compute the prompt, serialize the KV cache) and decode
+workers (deserialize KV, run the token loop). KV crosses the wire ONCE
+per request here (the reference's naive v1 round-trips per token,
+disaggregated_forward.rs:171-211 — this is the first improvement the
+design doc asks for), capped at 2 GiB per transfer.
+"""
+
+from __future__ import annotations
+
+import logging
+import struct
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+from .kv_serialize import (
+    MAX_KV_TRANSFER_BYTES,
+    deserialize_arrays,
+    deserialize_kv_cache,
+    serialize_arrays,
+    serialize_kv_cache,
+)
+from .transport import TcpMesh, tags
+
+logger = logging.getLogger(__name__)
+
+EOS_SENTINEL = -(2 ** 62)   # reference uses i64::MIN (disaggregated_forward.rs:187)
+
+
+@dataclass
+class DisaggConfig:
+    prefill_workers: list[int] = field(default_factory=lambda: [1])
+    decode_workers: list[int] = field(default_factory=lambda: [2])
+    router_rank: int = 0
+    max_kv_transfer_bytes: int = MAX_KV_TRANSFER_BYTES
+
+
+class DisaggRouter:
+    """Round-robin request routing across prefill/decode pools
+    (reference DisaggRouter::route_request)."""
+
+    def __init__(self, mesh: TcpMesh, cfg: DisaggConfig):
+        self.mesh = mesh
+        self.cfg = cfg
+        self._rr_p = 0
+        self._rr_d = 0
+
+    def route_request(self, prompt_ids: list[int], max_tokens: int
+                      ) -> list[int]:
+        p_rank = self.cfg.prefill_workers[self._rr_p % len(self.cfg.prefill_workers)]
+        d_rank = self.cfg.decode_workers[self._rr_d % len(self.cfg.decode_workers)]
+        self._rr_p += 1
+        self._rr_d += 1
+
+        # 1. prefill worker computes the prompt & serialized KV.
+        req = struct.pack("<II", len(prompt_ids), d_rank) + np.asarray(
+            prompt_ids, dtype=np.int32).tobytes()
+        self.mesh.send(p_rank, tags.REQUEST, req)
+        # 2. prefill ships KV directly to the decode worker; we get the ack
+        #    + first token.
+        payload = self.mesh.recv(p_rank, tags.RESPONSE, timeout=300)
+        (first_tok,) = struct.unpack("<q", payload)
+        if first_tok == EOS_SENTINEL:
+            return []
+        # 3. decode worker streams the remaining tokens.
+        self.mesh.send(d_rank, tags.REQUEST,
+                       struct.pack("<qI", first_tok, max_tokens))
+        out = [int(first_tok)]
+        while True:
+            data = self.mesh.recv(d_rank, tags.RESPONSE, timeout=300)
+            (tok,) = struct.unpack("<q", data)
+            if tok == EOS_SENTINEL:
+                break
+            out.append(int(tok))
+            if len(out) >= max_tokens:
+                break
+        return out
+
+    def shutdown(self) -> None:
+        for r in set(self.cfg.prefill_workers + self.cfg.decode_workers):
+            self.mesh.send(r, tags.REQUEST, b"__shutdown__")
+
+
+class PrefillWorker:
+    """Prefill pool worker (reference PrefillWorker.run_loop +
+    build_prefill_fn, disaggregated_forward.rs:33)."""
+
+    def __init__(self, mesh: TcpMesh, model_path: str, capacity: int = 256,
+                 dtype: str = "f32"):
+        self.mesh = mesh
+        self.model_path = model_path
+        self.capacity = capacity
+        self.dtype = dtype
+
+    def run_loop(self, router_rank: int = 0) -> None:
+        import jax.numpy as jnp
+
+        from ..loader import load_model
+
+        model, _ = load_model(self.model_path, dtype=self.dtype)
+        while True:
+            req = self.mesh.recv(router_rank, tags.REQUEST, timeout=None)
+            if req == b"__shutdown__":
+                return
+            n, d_rank = struct.unpack_from("<II", req)
+            prompt = np.frombuffer(req, dtype=np.int32, count=n, offset=8)
+            try:
+                cache = model.init_cache(1, self.capacity)
+                pos = np.arange(n, dtype=np.int32)[None, :]
+                logits, cache = model.forward(
+                    jnp.asarray(prompt[None, :]), cache, jnp.asarray(pos))
+                first_tok = int(np.asarray(logits)[0, -1].argmax())
+                # Ship the KV cache ONCE to the decode worker.
+                kv_bytes = serialize_kv_cache(cache)
+                self.mesh.send(d_rank, tags.KV_CACHE,
+                               struct.pack("<I", n) + kv_bytes)
+                self.mesh.send(router_rank, tags.RESPONSE,
+                               struct.pack("<q", first_tok))
+            except Exception:
+                logger.exception("prefill failed")
+                # EOS sentinel so the router doesn't hang
+                # (reference disaggregated_forward.rs:186-188).
+                self.mesh.send(router_rank, tags.RESPONSE,
+                               struct.pack("<q", EOS_SENTINEL))
+
+
+class DecodeWorker:
+    """Decode pool worker (reference DecodeWorker.run_loop +
+    build_decode_step_fn, disaggregated_forward.rs:171)."""
+
+    def __init__(self, mesh: TcpMesh, model_path: str, capacity: int = 256,
+                 dtype: str = "f32"):
+        self.mesh = mesh
+        self.model_path = model_path
+        self.capacity = capacity
+        self.dtype = dtype
+
+    def run_loop(self, router_rank: int = 0,
+                 prefill_ranks: Optional[list[int]] = None) -> None:
+        import jax.numpy as jnp
+
+        from ..loader import load_model
+
+        model, _ = load_model(self.model_path, dtype=self.dtype)
+        prefill_ranks = prefill_ranks or [1]
+        while True:
+            req = self.mesh.recv(router_rank, tags.REQUEST, timeout=None)
+            if req == b"__shutdown__":
+                return
+            cur, max_tokens = struct.unpack("<qI", req)
+            try:
+                # KV arrives from whichever prefill worker handled the prompt.
+                kv_payload = None
+                for pr in prefill_ranks:
+                    try:
+                        kv_payload = self.mesh.recv(pr, tags.KV_CACHE,
+                                                    timeout=0.5)
+                        break
+                    except Exception:
+                        continue
+                if kv_payload is None:
+                    kv_payload = self.mesh.recv(prefill_ranks[0], tags.KV_CACHE,
+                                                timeout=300)
+                (n,) = struct.unpack_from("<I", kv_payload)
+                cache = deserialize_kv_cache(kv_payload[4:])
+                pos = n
+                for step in range(max_tokens - 1):
+                    logits, cache = model.forward(
+                        jnp.asarray([[cur]], dtype=jnp.int32), cache,
+                        jnp.asarray([[pos]], dtype=jnp.int32))
+                    cur = int(np.asarray(logits)[0, -1].argmax())
+                    pos += 1
+                    self.mesh.send(router_rank, tags.RESPONSE,
+                                   struct.pack("<q", cur))
+                    if pos >= self.capacity - 1:
+                        break
+                self.mesh.send(router_rank, tags.RESPONSE,
+                               struct.pack("<q", EOS_SENTINEL))
+            except Exception:
+                logger.exception("decode failed")
+                self.mesh.send(router_rank, tags.RESPONSE,
+                               struct.pack("<q", EOS_SENTINEL))

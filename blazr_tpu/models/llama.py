@@ -138,4 +138,67 @@ def forward(
 def forward_embed(params: dict[str, Any], cfg: UniversalConfig,
                   tokens: jax.Array) -> jax.Array:
     """Token embeddings only (reference LoadedModel::forward_embed)."""
-    return jnp.take(params["embed"], tokens, axis=0)
+    x = jnp.take(params["embed"], tokens, axis=0)
+    if cfg.scale_embeddings:
+        x = x * jnp.asarray(cfg.hidden_size ** 0.5, dtype=x.dtype)
+    return x
+
+
+def forward_layers_range(
+    params: dict[str, Any],
+    cfg: UniversalConfig,
+    hidden: jax.Array,            # [B, T, H]
+    cache: KVCache,
+    positions: jax.Array,
+    start: int,
+    end: int,
+    seq_lens: Optional[jax.Array] = None,
+    cache_layer_offset: int = 0,
+) -> tuple[jax.Array, KVCache]:
+    """Run decoder layers [start, end) over hidden states (reference
+    LoadedModel::forward_layers_range — the pipeline-stage forward,
+    swarm_forward.rs:77-272). ``cache`` holds only this stage's layers;
+    ``cache_layer_offset`` maps model layer index → cache slot."""
+    att = cfg.attention
+    head_dim = att.resolved_head_dim(cfg.hidden_size)
+    inv_freq = rope_frequencies(att, head_dim)
+    cos, sin = rope_cos_sin(positions, inv_freq)
+    if seq_lens is not None:
+        kv_len = jnp.maximum(cache.length, seq_lens)
+    else:
+        kv_len = jnp.maximum(cache.length, jnp.max(positions, axis=-1) + 1)
+
+    x = hidden
+    for li in range(start, end):
+        p = params["layers"][li]
+        h = rms_norm(x, p["input_norm"], cfg.rms_norm_eps)
+        attn_out, cache = attention_block(
+            p, cfg, h, cache, li - start + cache_layer_offset, positions,
+            kv_len, cos, sin)
+        x = x + attn_out
+        h = rms_norm(x, p["post_norm"], cfg.rms_norm_eps)
+        if p.get("moe") is not None:
+            from .moe import moe_ffn
+
+            x = x + moe_ffn(h, p["moe"], cfg.moe)
+        else:
+            x = x + swiglu_mlp(h, p["gate"], p["up"], p["down"])
+    cache = advance(cache, positions, seq_lens)
+    return x, cache
+
+
+def forward_head(params: dict[str, Any], cfg: UniversalConfig,
+                 hidden: jax.Array) -> jax.Array:
+    """Final norm + LM head (reference LoadedModel::forward_head)."""
+    x = rms_norm(hidden, params["final_norm"], cfg.rms_norm_eps)
+    lm_head = params.get("lm_head")
+    if lm_head is None:
+        logits = jnp.dot(x, params["embed"].T.astype(x.dtype),
+                         preferred_element_type=jnp.float32)
+    else:
+        logits = linear(x, lm_head)
+    logits = logits.astype(jnp.float32)
+    if cfg.final_logit_softcapping:
+        c = cfg.final_logit_softcapping
+        logits = jnp.tanh(logits / c) * c
+    return logits

@@ -1,0 +1,288 @@
+"""Multi-process distributed tests: transport bootstrap, layer assignment,
+KV serialization, swarm pipeline parity, disaggregated prefill/decode
+parity — the multi-node test tier the reference entirely lacks
+(SURVEY §4: 'Distributed testing: none')."""
+
+import multiprocessing as mp
+import socket
+import struct
+
+import numpy as np
+import pytest
+
+from blazr_tpu.distributed.kv_serialize import (
+    deserialize_arrays,
+    serialize_arrays,
+)
+from blazr_tpu.distributed.topology import (
+    LayerAssignment,
+    PipelineSchedule,
+    SwarmConfig,
+    SwarmManager,
+    SwarmNode,
+    SwarmRole,
+)
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    p = s.getsockname()[1]
+    s.close()
+    return p
+
+
+# ---------------------------------------------------------------------------
+# topology (pure logic)
+# ---------------------------------------------------------------------------
+
+def test_layer_assignment_even():
+    mgr = SwarmManager(SwarmConfig(world_size=3))
+    for r in (1, 2):
+        mgr.register_node(SwarmNode(rank=r, role=SwarmRole.WORKER))
+    a = mgr.compute_layer_assignment(8)
+    assert [(x.start_layer, x.end_layer) for x in a] == [(0, 4), (4, 8)]
+
+
+def test_layer_assignment_weighted():
+    mgr = SwarmManager(SwarmConfig(world_size=3))
+    mgr.register_node(SwarmNode(rank=1, role=SwarmRole.WORKER, weight=3.0))
+    mgr.register_node(SwarmNode(rank=2, role=SwarmRole.WORKER, weight=1.0))
+    a = mgr.compute_layer_assignment(8)
+    assert a[0].num_layers > a[1].num_layers
+    assert sum(x.num_layers for x in a) == 8
+
+
+def test_pipeline_schedule_flags():
+    a = [LayerAssignment(1, 0, 2), LayerAssignment(2, 2, 4)]
+    sched = PipelineSchedule.from_assignments(a)
+    assert sched.stages[0].has_embedding and not sched.stages[0].has_lm_head
+    assert sched.stages[-1].has_lm_head and not sched.stages[-1].has_embedding
+
+
+# ---------------------------------------------------------------------------
+# serialization
+# ---------------------------------------------------------------------------
+
+def test_serialize_roundtrip(rng):
+    arrays = [
+        rng.standard_normal((3, 4)).astype(np.float32),
+        rng.integers(0, 100, (7,)).astype(np.int32),
+        np.asarray(1.5, dtype=np.float16).reshape(()),
+    ]
+    back = deserialize_arrays(serialize_arrays(arrays))
+    for a, b in zip(arrays, back):
+        np.testing.assert_array_equal(a, b)
+        assert a.dtype == b.dtype
+
+
+def test_serialize_cap():
+    big = np.zeros((1024, 1024), dtype=np.float32)
+    with pytest.raises(ValueError):
+        serialize_arrays([big], max_bytes=1024)
+
+
+def test_kv_cache_roundtrip(rng):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from blazr_tpu.distributed.kv_serialize import (
+        deserialize_kv_cache,
+        serialize_kv_cache,
+    )
+    from blazr_tpu.kvcache.contiguous import init_kv_cache
+
+    cache = init_kv_cache(2, 1, 8, 2, 16, dtype=np.float32)
+    data = serialize_kv_cache(cache)
+    back = deserialize_kv_cache(data)
+    assert back.k.shape == cache.k.shape
+    np.testing.assert_array_equal(np.asarray(back.length),
+                                  np.asarray(cache.length))
+
+
+# ---------------------------------------------------------------------------
+# transport (threads in one process)
+# ---------------------------------------------------------------------------
+
+def _worker_bootstrap(seed_port, results, idx):
+    from blazr_tpu.distributed.transport import TcpMesh, tags
+
+    mesh = TcpMesh.bootstrap_worker(("127.0.0.1", seed_port))
+    # echo service: receive from 0, send back rank
+    data = mesh.recv(0, tags.REQUEST)
+    mesh.send(0, tags.RESPONSE, data + bytes([mesh.rank]))
+    results[idx] = mesh.rank
+    mesh.close()
+
+
+def test_transport_bootstrap_and_p2p():
+    import threading
+
+    from blazr_tpu.distributed.transport import TcpMesh, tags
+
+    seed_port = _free_port()
+    results = {}
+    threads = [threading.Thread(target=_worker_bootstrap,
+                                args=(seed_port, results, i), daemon=True)
+               for i in range(2)]
+
+    leader_holder = {}
+
+    def leader():
+        leader_holder["mesh"] = TcpMesh.bootstrap_leader(
+            3, seed_port=seed_port)
+
+    lt = threading.Thread(target=leader, daemon=True)
+    lt.start()
+    import time
+
+    time.sleep(0.2)
+    for t in threads:
+        t.start()
+    lt.join(timeout=10)
+    mesh = leader_holder["mesh"]
+    assert mesh.world_size == 3
+    for r in (1, 2):
+        mesh.send(r, tags.REQUEST, b"ping")
+    got = {mesh.recv(r, tags.RESPONSE, timeout=10) for r in (1, 2)}
+    assert got == {b"ping\x01", b"ping\x02"}
+    for t in threads:
+        t.join(timeout=10)
+    assert sorted(results.values()) == [1, 2]
+    mesh.close()
+
+
+# ---------------------------------------------------------------------------
+# swarm pipeline + disagg (multi-process over a real checkpoint)
+# ---------------------------------------------------------------------------
+
+def _swarm_worker_proc(seed_port):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from blazr_tpu.distributed.swarm import SwarmWorker
+    from blazr_tpu.distributed.transport import TcpMesh
+
+    mesh = TcpMesh.bootstrap_worker(("127.0.0.1", seed_port))
+    w = SwarmWorker(mesh, capacity=64, dtype="f32")
+    w.receive_assignment()
+    w.run_compute_loop()
+    mesh.close()
+
+
+@pytest.mark.slow
+def test_swarm_pipeline_matches_single_process(tmp_path):
+    """2-stage pipeline over TCP must reproduce single-process greedy."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from blazr_tpu.distributed.swarm import SwarmLeader
+    from blazr_tpu.distributed.transport import TcpMesh
+    from blazr_tpu.loader import load_model
+    from fixtures import write_tiny_llama_checkpoint
+
+    write_tiny_llama_checkpoint(tmp_path, np.random.default_rng(12))
+
+    # single-process reference
+    model, _ = load_model(tmp_path, dtype="f32")
+    cache = model.init_cache(1, 64)
+    prompt = [5, 9, 42]
+    pos = np.arange(3, dtype=np.int32)[None, :]
+    logits, cache = model.forward(jnp.asarray([prompt], dtype=jnp.int32),
+                                  cache, jnp.asarray(pos))
+    ref = []
+    cur = int(np.asarray(logits)[0, -1].argmax())
+    for i in range(5):
+        ref.append(cur)
+        logits, cache = model.forward(
+            jnp.asarray([[cur]], dtype=jnp.int32), cache,
+            jnp.asarray([[3 + i]], dtype=jnp.int32))
+        cur = int(np.asarray(logits)[0, -1].argmax())
+
+    seed_port = _free_port()
+    ctx = mp.get_context("spawn")
+    procs = [ctx.Process(target=_swarm_worker_proc, args=(seed_port,),
+                         daemon=True) for _ in range(2)]
+    for p in procs:
+        p.start()
+    mesh = TcpMesh.bootstrap_leader(3, seed_port=seed_port)
+    leader = SwarmLeader(mesh, str(tmp_path), num_layers=model.num_layers)
+    leader.start_workers()
+    got = leader.generate_greedy(prompt, 5)
+    leader.shutdown()
+    for p in procs:
+        p.join(timeout=30)
+    mesh.close()
+    assert got == ref
+
+
+def _disagg_worker_proc(seed_port, role, model_path):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from blazr_tpu.distributed.disagg import DecodeWorker, PrefillWorker
+    from blazr_tpu.distributed.transport import TcpMesh
+
+    mesh = TcpMesh.bootstrap_worker(("127.0.0.1", seed_port))
+    if role == "prefill":
+        PrefillWorker(mesh, model_path, capacity=64).run_loop()
+    else:
+        DecodeWorker(mesh, model_path, capacity=64).run_loop(
+            prefill_ranks=[1])
+    mesh.close()
+
+
+@pytest.mark.slow
+def test_disagg_matches_single_process(tmp_path):
+    """Router → prefill worker → KV transfer → decode worker must match
+    single-process greedy decode."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from blazr_tpu.distributed.disagg import DisaggConfig, DisaggRouter
+    from blazr_tpu.distributed.transport import TcpMesh
+    from blazr_tpu.loader import load_model
+    from fixtures import write_tiny_llama_checkpoint
+
+    write_tiny_llama_checkpoint(tmp_path, np.random.default_rng(13))
+
+    model, _ = load_model(tmp_path, dtype="f32")
+    cache = model.init_cache(1, 64)
+    prompt = [7, 21, 3, 9]
+    pos = np.arange(4, dtype=np.int32)[None, :]
+    logits, cache = model.forward(jnp.asarray([prompt], dtype=jnp.int32),
+                                  cache, jnp.asarray(pos))
+    ref = []
+    cur = int(np.asarray(logits)[0, -1].argmax())
+    for i in range(6):
+        ref.append(cur)
+        if i == 5:
+            break
+        logits, cache = model.forward(
+            jnp.asarray([[cur]], dtype=jnp.int32), cache,
+            jnp.asarray([[4 + i]], dtype=jnp.int32))
+        cur = int(np.asarray(logits)[0, -1].argmax())
+
+    seed_port = _free_port()
+    ctx = mp.get_context("spawn")
+    procs = [
+        ctx.Process(target=_disagg_worker_proc,
+                    args=(seed_port, "prefill", str(tmp_path)), daemon=True),
+        ctx.Process(target=_disagg_worker_proc,
+                    args=(seed_port, "decode", str(tmp_path)), daemon=True),
+    ]
+    procs[0].start()
+    procs[1].start()
+    mesh = TcpMesh.bootstrap_leader(3, seed_port=seed_port)
+    router = DisaggRouter(mesh, DisaggConfig(prefill_workers=[1],
+                                             decode_workers=[2]))
+    got = router.route_request(prompt, 6)
+    router.shutdown()
+    for p in procs:
+        p.join(timeout=30)
+    mesh.close()
+    assert got == ref
