@@ -60,6 +60,13 @@ class BpeTokenizer:
         else:
             self._special_re = None
         self._n_vocab = max(self._decoder) + 1 if self._decoder else 0
+        self._native = None
+        try:
+            from ..native.bpe_binding import NativeBpe
+
+            self._native = NativeBpe(ranks)
+        except Exception:
+            pass  # python merge loop fallback
 
     # -- introspection -----------------------------------------------------
     @property
@@ -111,6 +118,10 @@ class BpeTokenizer:
 
     def encode_ordinary(self, text: str) -> list[int]:
         """Encode without special-token recognition."""
+        if self._native is not None:
+            pieces = [m.group().encode("utf-8")
+                      for m in self.pattern.finditer(text)]
+            return self._native.encode_pieces(pieces) if pieces else []
         ids: list[int] = []
         for m in self.pattern.finditer(text):
             ids.extend(self._bpe_merge(m.group().encode("utf-8")))

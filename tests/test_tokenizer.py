@@ -243,3 +243,18 @@ def test_vocab_size_thresholds():
     assert vocab_name_for_size(152064) == "qwen2"
     assert vocab_name_for_size(199998) == "o200k_base"
     assert vocab_name_for_size(300000) == "o200k_base"
+
+
+def test_native_bpe_matches_python():
+    """The C++ merge core must produce identical ids to the Python loop."""
+    pytest.importorskip("ctypes")
+    tok = BpeTokenizer(_tiny_ranks())
+    if tok._native is None:
+        pytest.skip("native bpe unavailable (no g++)")
+    texts = ["hello world", "héllo wörld 你好", "x" * 500,
+             "the quick brown fox!! 123  \n\n indented"]
+    for text in texts:
+        native_ids = tok.encode_ordinary(text)
+        tok2 = BpeTokenizer(_tiny_ranks())
+        tok2._native = None
+        assert native_ids == tok2.encode_ordinary(text), text
