@@ -65,6 +65,10 @@ def build_parser() -> argparse.ArgumentParser:
     serve.add_argument("--dtype", choices=["f32", "f16", "bf16"])
     serve.add_argument("--max-loaded", type=int, default=1)
     serve.add_argument("--no-warmup", action="store_true")
+    serve.add_argument("--continuous-batching", action="store_true",
+                       help="serve through the paged-KV batch engine "
+                            "(reference serve.rs:156-222 wiring)")
+    serve.add_argument("--max-batch-size", type=int, default=8)
 
     bench = sub.add_parser("bench", help="benchmark a model")
     bench.add_argument("model", nargs="?", help="model dir (synthetic if omitted)")
@@ -291,7 +295,17 @@ def cmd_serve(args) -> int:
             print("no default model found; loading on demand", file=sys.stderr)
     cfg = ServerConfig(host=args.host, port=args.port, api_keys=api_keys,
                        max_inflight_tokens=args.max_inflight_tokens)
-    run_server(scheduler, cfg)
+    batch_engine = None
+    if args.continuous_batching:
+        from ..engine.batch_engine import BatchEngine
+
+        ex = scheduler.get_executor("default")
+        ex.app_cfg.inference.max_batch_size = args.max_batch_size
+        ex.app_cfg.inference.prefix_cache = True
+        batch_engine = BatchEngine(ex.model, ex.tokenizer, ex.app_cfg)
+        print(f"continuous batching enabled (max_batch={args.max_batch_size})",
+              file=sys.stderr)
+    run_server(scheduler, cfg, batch_engine=batch_engine)
     return 0
 
 

@@ -319,8 +319,11 @@ async def completions(request: web.Request) -> web.Response:
                 c = GenerationConfig.from_dict(cfg.to_dict())
                 if c.seed is not None:
                     c.seed += i
-                res = await asyncio.to_thread(
-                    collect_generation, executor, ids, c)
+                if state.batch_engine is not None:
+                    res = await _collect_via_engine(state, ids, c)
+                else:
+                    res = await asyncio.to_thread(
+                        collect_generation, executor, ids, c)
                 text = res.text
                 if echo:
                     text = executor.tokenizer.decode(ids) + text
@@ -372,8 +375,13 @@ async def chat_completions(request: web.Request) -> web.Response:
             c = GenerationConfig.from_dict(cfg.to_dict())
             if c.seed is not None and i:
                 c.seed += i
-            res = await asyncio.to_thread(
-                collect_generation, executor, prompt_ids, c, True)
+            if state.batch_engine is not None:
+                res = await _collect_via_engine(state, prompt_ids, c)
+                if want_think:
+                    res.thinking, res.text = extract_thinking(res.text)
+            else:
+                res = await asyncio.to_thread(
+                    collect_generation, executor, prompt_ids, c, True)
             text = res.text
             tool_calls = extract_tool_calls(text) if body.get("tools") else None
             msg: dict[str, Any] = {"role": "assistant",
@@ -403,6 +411,38 @@ async def chat_completions(request: web.Request) -> web.Response:
         state.metrics.request_duration.observe(time.time() - t0)
 
 
+async def _collect_via_engine(state: AppState, prompt_ids, cfg):
+    """Continuous-batching path (reference generate_via_scheduler,
+    generation.rs:296): submit to the BatchEngine and assemble the result."""
+    from ..engine.generate_text import StopScanner
+    from ..engine.types import GenerationResult
+
+    eng = state.batch_engine
+    handle = eng.submit(prompt_ids, cfg)
+    scanner = StopScanner(cfg.stop_sequences)
+    pieces = []
+    tokens = []
+    finish = FinishReason.LENGTH
+    while True:
+        tok, fin = await handle.queue.get()
+        if tok is not None:
+            tokens.append(tok.token_id)
+            emit, stopped = scanner.push(tok.text)
+            pieces.append(emit)
+            if stopped:
+                finish = FinishReason.STOP
+                eng.cancel(handle.seq_id)
+                break
+        if fin is not None:
+            finish = fin
+            break
+    pieces.append(scanner.flush())
+    return GenerationResult(
+        text="".join(pieces), tokens=tokens, finish_reason=finish,
+        prompt_tokens=len(prompt_ids), completion_tokens=len(tokens),
+    )
+
+
 async def _stream_chat(request, state: AppState, executor, prompt_ids,
                        cfg: GenerationConfig, body: dict) -> web.StreamResponse:
     from .streaming import SSE_DONE, SSE_HEADERS, ChatStream
@@ -417,8 +457,6 @@ async def _stream_chat(request, state: AppState, executor, prompt_ids,
 
     def produce():
         try:
-            if state.batch_engine is not None:
-                raise RuntimeError("batch path handled elsewhere")
             from ..engine.generate_text import stream_generation
 
             for delta, fin in stream_generation(executor, prompt_ids, cfg):
@@ -427,7 +465,34 @@ async def _stream_chat(request, state: AppState, executor, prompt_ids,
             loop.call_soon_threadsafe(queue.put_nowait, ("", None, str(e)))
         loop.call_soon_threadsafe(queue.put_nowait, None)
 
-    task = loop.run_in_executor(None, produce)
+    async def produce_engine():
+        from ..engine.generate_text import StopScanner
+
+        try:
+            eng = state.batch_engine
+            handle = eng.submit(prompt_ids, cfg)
+            scanner = StopScanner(cfg.stop_sequences)
+            while True:
+                tok, fin = await handle.queue.get()
+                if tok is not None:
+                    emit, stopped = scanner.push(tok.text)
+                    if stopped:
+                        eng.cancel(handle.seq_id)
+                        queue.put_nowait((emit, FinishReason.STOP, None))
+                        break
+                    if emit:
+                        queue.put_nowait((emit, None, None))
+                if fin is not None:
+                    queue.put_nowait((scanner.flush(), fin, None))
+                    break
+        except Exception as e:
+            queue.put_nowait(("", None, str(e)))
+        queue.put_nowait(None)
+
+    if state.batch_engine is not None:
+        task = asyncio.ensure_future(produce_engine())
+    else:
+        task = loop.run_in_executor(None, produce)
     t0 = time.time()
     first = True
     count = 0
@@ -695,6 +760,19 @@ def create_app(scheduler: ModelScheduler,
     r.add_post("/v1/lora", lora_load)
     r.add_get("/v1/lora", lora_list)
     r.add_delete("/v1/lora/{name}", lora_delete)
+
+    if batch_engine is not None:
+        ENGINE_TASK_KEY = web.AppKey("engine_task", object)
+
+        async def start_engine(app):
+            app[ENGINE_TASK_KEY] = asyncio.create_task(batch_engine.run())
+
+        async def stop_engine(app):
+            batch_engine.stop()
+            app[ENGINE_TASK_KEY].cancel()
+
+        app.on_startup.append(start_engine)
+        app.on_cleanup.append(stop_engine)
 
     async def start_reaper(app):
         async def reaper():

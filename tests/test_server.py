@@ -298,3 +298,41 @@ def test_anthropic_streaming(model_dir):
             assert "event: content_block_delta" in raw
             assert "event: message_stop" in raw
     run(main())
+
+
+def test_chat_via_batch_engine(model_dir):
+    """Serving through the continuous-batching engine (the reference's
+    primary mode): non-streaming + streaming + concurrency."""
+    from blazr_tpu.engine.batch_engine import BatchEngine
+
+    async def main():
+        scheduler = ModelScheduler(model_dir, dtype="f32")
+        ex = scheduler.get_executor("default")
+        ex.app_cfg.inference.max_seq_len = 128
+        ex.app_cfg.inference.prefix_cache = True
+        engine = BatchEngine(ex.model, ex.tokenizer, ex.app_cfg)
+        app = create_app(scheduler, ServerConfig(), batch_engine=engine)
+        async with TestClient(TestServer(app)) as c:
+            r = await c.post("/v1/chat/completions", json={
+                "messages": [{"role": "user", "content": "hi"}],
+                "max_tokens": 4, "temperature": 0.0,
+            })
+            assert r.status == 200
+            body = await r.json()
+            assert isinstance(body["choices"][0]["message"]["content"], str)
+
+            r2 = await c.post("/v1/chat/completions", json={
+                "messages": [{"role": "user", "content": "hi"}],
+                "max_tokens": 3, "temperature": 0.0, "stream": True,
+            })
+            raw = (await r2.read()).decode()
+            assert raw.strip().endswith("data: [DONE]")
+
+            async def one(i):
+                r = await c.post("/v1/completions", json={
+                    "prompt": f"c{i}", "max_tokens": 3, "temperature": 0.0})
+                assert r.status == 200
+                return (await r.json())["choices"][0]["text"]
+            outs = await asyncio.gather(*[one(i) for i in range(3)])
+            assert len(outs) == 3
+    run(main())
