@@ -1,0 +1,172 @@
+"""Pallas paged-attention decode kernel.
+
+TPU-native replacement for the gather-based fallback in
+``models/llama_paged.py``: instead of materializing every sequence's pages
+into a contiguous [B, S, H, D] buffer (2× HBM traffic), the kernel walks
+the padded block table with scalar prefetch and streams each KV block
+HBM→VMEM once, accumulating flash-style online softmax per (sequence,
+kv-head) grid cell.
+
+Layout contract (matches ``kvcache.paged.PagedKVCache``):
+    k, v   : [NB, BS, H_kv, D]   (the flat cache minus its trash slot,
+                                  reshaped — a free view)
+    q      : [B, H_q, D]         one decode token per sequence
+    block_tables : [B, MB] int32 (PAD_BLOCK beyond each sequence)
+    seq_lens     : [B]     int32 valid tokens (incl. the current one)
+Output: [B, H_q, D].
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..kvcache.paged import PAD_BLOCK
+
+
+def _pa_kernel(bt_ref, sl_ref, q_ref, k_ref, v_ref, o_ref,
+               m_ref, l_ref, acc_ref, *,
+               block_size: int, max_blocks: int, heads_per_group: int,
+               scale: float):
+    b = pl.program_id(0)
+    g = pl.program_id(1)            # kv-head index
+    t = pl.program_id(2)            # block-table slot
+
+    seq_len = sl_ref[b]
+
+    @pl.when(t == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, -1e30)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    valid_block = (t * block_size) < seq_len
+
+    @pl.when(valid_block)
+    def _attend():
+        q = q_ref[0, 0].astype(jnp.float32) * scale     # [Hg, D]
+        k = k_ref[0, :, 0, :].astype(jnp.float32)       # [BS, D]
+        v = v_ref[0, :, 0, :].astype(jnp.float32)
+
+        logits = jnp.dot(q, k.T, preferred_element_type=jnp.float32)  # [Hg, BS]
+        pos = t * block_size + jax.lax.broadcasted_iota(
+            jnp.int32, (1, block_size), 1)
+        mask = pos < seq_len
+        logits = jnp.where(mask, logits, -1e30)
+
+        m_prev = m_ref[...]                             # [Hg, 1]
+        l_prev = l_ref[...]
+        m_new = jnp.maximum(m_prev, jnp.max(logits, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(logits - m_new)
+        p = jnp.where(mask, p, 0.0)
+        l_ref[...] = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        m_ref[...] = m_new
+        acc_ref[...] = acc_ref[...] * alpha + jnp.dot(
+            p, v, preferred_element_type=jnp.float32)
+
+    @pl.when(t == max_blocks - 1)
+    def _done():
+        denom = jnp.maximum(l_ref[...], 1e-30)
+        o_ref[0, 0] = (acc_ref[...] / denom).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_size", "num_blocks", "interpret"),
+)
+def paged_attention_decode(
+    q: jax.Array,                 # [B, H_q, D]
+    k_cache: jax.Array,           # [NB*BS(+1 trash), H_kv, D] flat
+    v_cache: jax.Array,
+    block_tables: jax.Array,      # [B, MB]
+    seq_lens: jax.Array,          # [B]
+    *,
+    block_size: int,
+    num_blocks: int,
+    interpret: bool = False,
+) -> jax.Array:
+    b, h_q, d = q.shape
+    h_kv = k_cache.shape[1]
+    hpg = h_q // h_kv
+    mb = block_tables.shape[1]
+    scale = 1.0 / math.sqrt(d)
+
+    k4 = k_cache[: num_blocks * block_size].reshape(num_blocks, block_size,
+                                                    h_kv, d)
+    v4 = v_cache[: num_blocks * block_size].reshape(num_blocks, block_size,
+                                                    h_kv, d)
+    # Group queries by kv head: [B, H_kv, Hg, D]
+    qg = q.reshape(b, h_kv, hpg, d)
+
+    # Padded table entries point at block 0 (never read: masked by seq_len
+    # AND skipped by the valid_block guard since padded slots only occur
+    # past the sequence's last block).
+    bt = jnp.where(block_tables == PAD_BLOCK, 0, block_tables).astype(jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,          # block tables + seq lens
+        grid=(b, h_kv, mb),
+        in_specs=[
+            pl.BlockSpec((1, 1, hpg, d), lambda b, g, t, bt, sl: (b, g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_size, 1, d),
+                         lambda b, g, t, bt, sl: (bt[b, t], 0, g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_size, 1, d),
+                         lambda b, g, t, bt, sl: (bt[b, t], 0, g, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, hpg, d),
+                               lambda b, g, t, bt, sl: (b, g, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((hpg, 1), jnp.float32),     # running max
+            pltpu.VMEM((hpg, 1), jnp.float32),     # denominator
+            pltpu.VMEM((hpg, d), jnp.float32),     # accumulator
+        ],
+    )
+    kernel = functools.partial(
+        _pa_kernel, block_size=block_size, max_blocks=mb,
+        heads_per_group=hpg, scale=scale,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, h_kv, hpg, d), q.dtype),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(bt, seq_lens.astype(jnp.int32), qg, k4, v4)
+    return out.reshape(b, h_q, d)
+
+
+def paged_attention_reference(q, k_cache, v_cache, block_tables, seq_lens,
+                              *, block_size: int) -> jax.Array:
+    """Dense gather reference (same math as llama_paged gather path)."""
+    b, h_q, d = q.shape
+    h_kv = k_cache.shape[1]
+    mb = block_tables.shape[1]
+    safe = jnp.where(block_tables == PAD_BLOCK, 0, block_tables)
+    slot_idx = (safe[:, :, None] * block_size +
+                jnp.arange(block_size)[None, None, :]).reshape(b, mb * block_size)
+    k = jnp.take(k_cache, slot_idx, axis=0)      # [B, S, H_kv, D]
+    v = jnp.take(v_cache, slot_idx, axis=0)
+    n_rep = h_q // h_kv
+    k = jnp.repeat(k, n_rep, axis=2)
+    v = jnp.repeat(v, n_rep, axis=2)
+    scale = 1.0 / math.sqrt(d)
+    logits = jnp.einsum("bhd,bshd->bhs", q.astype(jnp.float32) * scale,
+                        k.astype(jnp.float32))
+    mask = jnp.arange(mb * block_size)[None, :] < seq_lens[:, None]
+    logits = jnp.where(mask[:, None, :], logits, -1e30)
+    p = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bhs,bshd->bhd", p,
+                      v.astype(jnp.float32)).astype(q.dtype)

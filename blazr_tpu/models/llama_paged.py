@@ -19,7 +19,22 @@ from typing import Any, Optional
 import jax
 import jax.numpy as jnp
 
+import os
+
+import jax as _jax
+
 from ..config.model_config import UniversalConfig
+
+
+def _use_pa_kernel(head_dim: int) -> bool:
+    if os.environ.get("BLAZR_TPU_FORCE_XLA_ATTN", "0") == "1":
+        return False
+    if head_dim % 128 != 0:
+        return False
+    try:
+        return _jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
 from ..kvcache.paged import PagedKVCache, gather_pages, write_paged_layer
 from .layers import apply_rope, linear, repeat_kv, rms_norm, rope_cos_sin, rope_frequencies, swiglu_mlp
 
@@ -53,6 +68,18 @@ def _paged_attention_block(
     k = apply_rope(k, cos, sin)
 
     cache = write_paged_layer(cache, layer, k, v, slot_mapping)
+
+    # Decode fast path: the Pallas paged-attention kernel streams KV blocks
+    # directly (no page gather materialization) on TPU.
+    if t == 1 and _use_pa_kernel(head_dim):
+        from ..attention.paged_attention import paged_attention_decode
+
+        out = paged_attention_decode(
+            q[:, 0], cache.k[layer], cache.v[layer], block_tables, seq_lens,
+            block_size=cache.block_size, num_blocks=cache.num_blocks,
+        )[:, None]                                  # [B, 1, H_q, D]
+        out = out.reshape(b, t, n_heads * head_dim).astype(x.dtype)
+        return linear(out, p["o"], p.get("o_bias")), cache
 
     k_all, v_all = gather_pages(cache, layer, block_tables)   # [B, S_pad, ...]
     s_pad = k_all.shape[1]

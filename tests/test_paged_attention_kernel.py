@@ -1,0 +1,56 @@
+"""Pallas paged-attention kernel golden tests (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from blazr_tpu.attention.paged_attention import (
+    paged_attention_decode,
+    paged_attention_reference,
+)
+from blazr_tpu.kvcache.paged import PAD_BLOCK, pad_block_table
+
+
+def _setup(rng, b=2, h_q=8, h_kv=2, d=128, nb=16, bs=8, mb=6):
+    kc = jnp.asarray(rng.standard_normal((nb * bs + 1, h_kv, d)).astype(np.float32))
+    vc = jnp.asarray(rng.standard_normal((nb * bs + 1, h_kv, d)).astype(np.float32))
+    q = jnp.asarray(rng.standard_normal((b, h_q, d)).astype(np.float32))
+    tables = np.stack([
+        pad_block_table([3, 7, 1], mb),
+        pad_block_table([5, 2, 9, 11], mb),
+    ])
+    seq_lens = jnp.asarray(np.array([19, 26], dtype=np.int32))
+    return q, kc, vc, jnp.asarray(tables), seq_lens, bs, nb
+
+
+def test_kernel_matches_reference(rng):
+    q, kc, vc, bt, sl, bs, nb = _setup(rng)
+    ref = paged_attention_reference(q, kc, vc, bt, sl, block_size=bs)
+    got = paged_attention_decode(q, kc, vc, bt, sl, block_size=bs,
+                                 num_blocks=nb, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_kernel_single_block_seq(rng):
+    q, kc, vc, _, _, bs, nb = _setup(rng, b=2)
+    bt = jnp.asarray(np.stack([pad_block_table([4], 6),
+                               pad_block_table([2], 6)]))
+    sl = jnp.asarray(np.array([1, 8], dtype=np.int32))
+    ref = paged_attention_reference(q, kc, vc, bt, sl, block_size=bs)
+    got = paged_attention_decode(q, kc, vc, bt, sl, block_size=bs,
+                                 num_blocks=nb, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_kernel_gqa_grouping(rng):
+    """h_q=8 over h_kv=4 (2 heads per group)."""
+    q, kc, vc, bt, sl, bs, nb = _setup(rng, h_q=8, h_kv=4)
+    ref = paged_attention_reference(q, kc, vc, bt, sl, block_size=bs)
+    got = paged_attention_decode(q, kc, vc, bt, sl, block_size=bs,
+                                 num_blocks=nb, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
