@@ -134,7 +134,12 @@ def forward_paged(
         )
         x = x + attn_out
         h = rms_norm(x, p["post_norm"], cfg.rms_norm_eps)
-        x = x + swiglu_mlp(h, p["gate"], p["up"], p["down"])
+        if p.get("moe") is not None:
+            from .moe import moe_ffn
+
+            x = x + moe_ffn(h, p["moe"], cfg.moe)
+        else:
+            x = x + swiglu_mlp(h, p["gate"], p["up"], p["down"])
 
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
     lm_head = params.get("lm_head")
