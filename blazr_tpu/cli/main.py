@@ -112,6 +112,11 @@ def build_parser() -> argparse.ArgumentParser:
     disagg.add_argument("--capacity", type=int, default=2048)
     disagg.add_argument("--dtype", choices=["f32", "f16", "bf16"])
 
+    pull = sub.add_parser("pull", help="download a model from HF Hub")
+    pull.add_argument("repo_id")
+    pull.add_argument("--dest", default=None)
+    pull.add_argument("--revision", default="main")
+
     conv = sub.add_parser("convert", help="convert checkpoint formats")
     conv.add_argument("src")
     conv.add_argument("dst")
@@ -132,6 +137,7 @@ def main(argv=None) -> int:
         "serve": cmd_serve, "bench": cmd_bench, "info": cmd_info,
         "list": cmd_list, "ps": cmd_ps, "tokenize": cmd_tokenize,
         "convert": cmd_convert, "swarm": cmd_swarm, "disagg": cmd_disagg,
+        "pull": cmd_pull,
     }[args.command](args)
 
 
@@ -477,6 +483,27 @@ def cmd_disagg(args) -> int:
         DecodeWorker(mesh, args.model, capacity=args.capacity,
                      dtype=args.dtype or "bf16").run_loop(
             prefill_ranks=p_ranks)
+    return 0
+
+
+def cmd_pull(args) -> int:
+    """Download config/tokenizer/weights from the HF Hub
+    (reference cli/pull.rs; requires network access)."""
+    dest = Path(args.dest or args.repo_id.split("/")[-1])
+    try:
+        from huggingface_hub import snapshot_download
+    except ImportError:
+        print("huggingface_hub is not installed; cannot pull", file=sys.stderr)
+        return 2
+    try:
+        snapshot_download(
+            args.repo_id, revision=args.revision, local_dir=dest,
+            allow_patterns=["*.safetensors", "*.json", "*.gguf", "*.model"],
+        )
+    except Exception as e:
+        print(f"pull failed (network unavailable?): {e}", file=sys.stderr)
+        return 1
+    print(f"pulled {args.repo_id} -> {dest}")
     return 0
 
 

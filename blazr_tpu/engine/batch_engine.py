@@ -44,6 +44,7 @@ from .sequence_scheduler import (
     SequenceState,
 )
 from .types import FinishReason, GeneratedToken
+from ..utils.tracing import span as tracing_span
 
 logger = logging.getLogger(__name__)
 
@@ -212,11 +213,16 @@ class BatchEngine:
                     await asyncio.sleep(0.001)  # backoff (reference :134-137)
                     continue
                 for seq in batch.prefill_sequences:
-                    await asyncio.to_thread(self._process_prefill, seq)
+                    with tracing_span("prefill", backend="paged",
+                                      seq=seq.seq_id):
+                        await asyncio.to_thread(self._process_prefill, seq)
                 decodes = [s for s in batch.decode_sequences
                            if s.state == SequenceState.RUNNING]
                 if decodes:
-                    await asyncio.to_thread(self._process_decode_batch, decodes)
+                    with tracing_span("decode", backend="paged",
+                                      batch=len(decodes)):
+                        await asyncio.to_thread(self._process_decode_batch,
+                                                decodes)
                 self.scheduler.cleanup_finished()
             except Exception:
                 logger.exception("batch failed; aborting batch sequences")

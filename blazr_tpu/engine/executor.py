@@ -41,6 +41,7 @@ from .sampling import (
     sample_tokens,
 )
 from .types import FinishReason, GeneratedToken, TokenLogprob
+from ..utils.tracing import span as tracing_span
 
 logger = logging.getLogger(__name__)
 
@@ -201,9 +202,13 @@ class Executor:
         mirostat = MirostatState.from_config(cfg) if cfg.mirostat == 2 else None
         host_rng = np.random.default_rng(cfg.seed if cfg.seed is not None else 0)
 
+        backend = ("mamba2" if self.model.needs_ssm_state and
+                   not self.model.needs_kv_cache else "contiguous")
         cache = self.model.init_cache(1, self.capacity)
         t0 = time.time()
-        last_logits, cache = self.prefill(cache, prompt_ids)
+        with tracing_span("prefill", backend=backend,
+                          tokens=len(prompt_ids)):
+            last_logits, cache = self.prefill(cache, prompt_ids)
         prefill_time = time.time() - t0
 
         history = list(prompt_ids)

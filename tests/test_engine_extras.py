@@ -228,3 +228,51 @@ def test_model_scheduler_lru_and_ttl(tmp_path):
     s.get_executor("b", keep_alive=0)   # expires immediately
     assert s.evict_expired() == 1
     assert s.num_loaded == 0
+
+
+# ---------------------------------------------------------------------------
+# offloading plan (ports offloading.rs budget/placement logic)
+# ---------------------------------------------------------------------------
+
+def test_layer_device_map():
+    from blazr_tpu.loader.offloading import DevicePlacement, LayerDeviceMap
+
+    lm = LayerDeviceMap.with_device_layers(10, 6)
+    assert lm.num_device_layers == 6
+    assert not lm.fully_resident
+    assert lm.placement(0) == DevicePlacement.DEVICE
+    assert lm.placement(9) == DevicePlacement.HOST
+    assert LayerDeviceMap.with_device_layers(4, 99).fully_resident
+
+
+def test_device_layer_budget():
+    from blazr_tpu.loader.offloading import compute_device_layer_budget
+
+    GB = 1 << 30
+    # 10 layers of 1 GB, 16 GB free, 2 GB KV reserve, 1 GB other → 13 fit
+    assert compute_device_layer_budget(GB, 10, GB, free_bytes=16 * GB) == 10
+    assert compute_device_layer_budget(GB, 10, GB, free_bytes=8 * GB) == 5
+    assert compute_device_layer_budget(GB, 10, GB, free_bytes=2 * GB) == 0
+
+
+def test_plan_offload_from_varmap(tmp_path):
+    from blazr_tpu.loader import varmap_from_safetensors
+    from blazr_tpu.loader.offloading import plan_offload
+
+    write_tiny_llama_checkpoint(tmp_path, np.random.default_rng(0))
+    vm = varmap_from_safetensors(tmp_path / "model.safetensors")
+    lm = plan_offload(vm, 2, requested_device_layers=1)
+    assert lm.num_device_layers == 1
+
+
+def test_tracing_span(caplog):
+    import logging
+
+    from blazr_tpu.utils.tracing import span
+
+    with caplog.at_level(logging.DEBUG, logger="blazr_tpu.trace"):
+        with span("prefill", backend="paged", tokens=8):
+            pass
+    msgs = [r.message for r in caplog.records]
+    assert any("phase=prefill_start" in m for m in msgs)
+    assert any("phase=prefill_end" in m and "elapsed_ms" in m for m in msgs)
