@@ -100,11 +100,28 @@ def bench_decode(cfg, steps: int = 48, warmup: int = 4, batch: int = 1,
 
 
 def main() -> None:
-    from blazr_tpu.utils.synthetic import llama_3_2_1b_config, mistral_7b_config
+    from blazr_tpu.utils.synthetic import (
+        llama_3_2_1b_config,
+        mistral_7b_config,
+        tiny_llama_config,
+    )
 
-    platform = jax.default_backend()
-    attempts = [("mistral-7b-awq-int4", mistral_7b_config()),
-                ("llama-3.2-1b-awq-int4", llama_3_2_1b_config())]
+    try:
+        platform = jax.default_backend()
+    except RuntimeError:
+        # accelerator plugin unhealthy → pin CPU
+        jax.config.update("jax_platforms", "cpu")
+        platform = jax.default_backend()
+    if platform == "tpu":
+        attempts = [("mistral-7b-awq-int4", mistral_7b_config()),
+                    ("llama-3.2-1b-awq-int4", llama_3_2_1b_config())]
+    else:
+        # No healthy TPU: report a CPU sanity number on a small config so
+        # the driver still gets a well-formed line.
+        small = llama_3_2_1b_config()
+        small.num_layers = 2
+        attempts = [("llama-1b-2layer-cpu-fallback", small),
+                    ("tiny-cpu-fallback", tiny_llama_config())]
     err = None
     for name, cfg in attempts:
         try:
