@@ -48,14 +48,16 @@ def bench_decode(cfg, steps: int = 48, warmup: int = 4, batch: int = 1,
                           att.resolved_head_dim(cfg.hidden_size),
                           dtype=jnp.bfloat16)
 
-    @partial(jax.jit, donate_argnums=(0,))
-    def decode_step(cache, token, positions):
+    # Params are explicit jit ARGS (closure capture would embed GBs of
+    # constants into the HLO shipped to the compile service).
+    @partial(jax.jit, donate_argnums=(1,))
+    def decode_step(params, cache, token, positions):
         logits, cache = llama.forward(params, cfg, token, cache, positions)
         tok = greedy_token(logits[:, -1, :])
         return tok[:, None], cache
 
-    @partial(jax.jit, donate_argnums=(0,))
-    def prefill(cache, tokens, positions):
+    @partial(jax.jit, donate_argnums=(1,))
+    def prefill(params, cache, tokens, positions):
         logits, cache = llama.forward(params, cfg, tokens, cache, positions)
         return greedy_token(logits[:, -1, :])[:, None], cache
 
@@ -64,24 +66,29 @@ def bench_decode(cfg, steps: int = 48, warmup: int = 4, batch: int = 1,
                          dtype=jnp.int32)
     ppos = jnp.asarray(np.broadcast_to(np.arange(prompt_len, dtype=np.int32),
                                        (batch, prompt_len)))
+    def sync(x):
+        # NOTE: on the axon tunnel block_until_ready does NOT wait; a data
+        # fetch is the only reliable sync point.
+        return int(np.asarray(x).reshape(-1)[0])
+
     t0 = time.time()
-    tok, cache = prefill(cache, prompt, ppos)
-    tok.block_until_ready()
+    tok, cache = prefill(params, cache, prompt, ppos)
+    sync(tok)
     prefill_s = time.time() - t0
 
     pos = prompt_len
     for i in range(warmup):
         positions = jnp.full((batch, 1), pos, dtype=jnp.int32)
-        tok, cache = decode_step(cache, tok, positions)
+        tok, cache = decode_step(params, cache, tok, positions)
         pos += 1
-    tok.block_until_ready()
+    sync(tok)
 
     t0 = time.time()
     for i in range(steps):
         positions = jnp.full((batch, 1), pos, dtype=jnp.int32)
-        tok, cache = decode_step(cache, tok, positions)
+        tok, cache = decode_step(params, cache, tok, positions)
         pos += 1
-    tok.block_until_ready()
+    sync(tok)
     dt = time.time() - t0
 
     toks_per_s = steps * batch / dt
@@ -106,12 +113,22 @@ def main() -> None:
         tiny_llama_config,
     )
 
+    # Probe TPU health in a SUBPROCESS: a half-dead axon tunnel makes
+    # jax.default_backend() hang rather than raise.
+    import subprocess
+
+    healthy = False
     try:
-        platform = jax.default_backend()
-    except RuntimeError:
-        # accelerator plugin unhealthy → pin CPU
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.default_backend())"],
+            capture_output=True, text=True, timeout=90)
+        healthy = r.returncode == 0 and "tpu" in r.stdout
+    except subprocess.TimeoutExpired:
+        healthy = False
+    if not healthy:
         jax.config.update("jax_platforms", "cpu")
-        platform = jax.default_backend()
+    platform = jax.default_backend()
     if platform == "tpu":
         attempts = [("mistral-7b-awq-int4", mistral_7b_config()),
                     ("llama-3.2-1b-awq-int4", llama_3_2_1b_config())]

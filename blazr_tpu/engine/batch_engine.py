@@ -120,11 +120,11 @@ class BatchEngine:
         self._stop = False
         self._vocab_bytes: Optional[list[bytes]] = None
 
-        params = model.params
         cfg = model.cfg
 
-        @partial(jax.jit, donate_argnums=(0,))
-        def prefill_step(cache, tokens, positions, slots, block_tables,
+        # Params as explicit jit args (avoid constant-embedding the weights).
+        @partial(jax.jit, donate_argnums=(1,))
+        def prefill_step(params, cache, tokens, positions, slots, block_tables,
                          seq_lens, last_idx):
             logits, cache = forward_paged(params, cfg, tokens, cache,
                                           positions, slots, block_tables,
@@ -133,8 +133,8 @@ class BatchEngine:
                                        axis=1)[:, 0, :]
             return last, cache
 
-        @partial(jax.jit, donate_argnums=(0,), static_argnames=("use_mask",))
-        def decode_step(cache, tokens, positions, slots, block_tables,
+        @partial(jax.jit, donate_argnums=(1,), static_argnames=("use_mask",))
+        def decode_step(params, cache, tokens, positions, slots, block_tables,
                         seq_lens, window, sp, grammar_mask, use_mask=False):
             logits, cache = forward_paged(params, cfg, tokens, cache,
                                           positions, slots, block_tables,
@@ -154,8 +154,11 @@ class BatchEngine:
             lp = jnp.take_along_axis(logprobs, tok[:, None], axis=1)[:, 0]
             return tok, lp
 
-        self._prefill_step = prefill_step
-        self._decode_step = decode_step
+        def bind(fn):
+            return lambda *a, **kw: fn(self.model.params, *a, **kw)
+
+        self._prefill_step = bind(prefill_step)
+        self._decode_step = bind(decode_step)
         self._sample_from = sample_from
 
     # ------------------------------------------------------------------

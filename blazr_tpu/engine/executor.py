@@ -72,18 +72,20 @@ class Executor:
 
         fwd = model.forward_fn
         cfg = model.cfg
-        params = model.params
 
-        @partial(jax.jit, donate_argnums=(0,))
-        def prefill_step(cache, tokens, positions, seq_lens, last_idx):
+        # NOTE: params are explicit jit ARGS everywhere — closure capture
+        # would embed the weights as constants in the lowered HLO (GBs
+        # serialized through the compile path).
+        @partial(jax.jit, donate_argnums=(1,))
+        def prefill_step(params, cache, tokens, positions, seq_lens, last_idx):
             logits, cache = fwd(params, cfg, tokens, cache, positions, seq_lens)
             last = jnp.take_along_axis(
                 logits, last_idx[:, None, None], axis=1
             )[:, 0, :]
             return last, cache
 
-        @partial(jax.jit, donate_argnums=(0,), static_argnames=("use_mask",))
-        def decode_step(cache, token, window, positions, seq_lens,
+        @partial(jax.jit, donate_argnums=(1,), static_argnames=("use_mask",))
+        def decode_step(params, cache, token, window, positions, seq_lens,
                         sp: SamplingParams, bias_ids, bias_vals, grammar_mask,
                         use_mask=False):
             logits, cache = fwd(params, cfg, token, cache, positions, seq_lens)
@@ -99,13 +101,13 @@ class Executor:
             top_lp, top_ids = jax.lax.top_k(logprobs, 20)
             return tok, cache, chosen_lp, top_lp, top_ids
 
-        @partial(jax.jit, donate_argnums=(0,))
-        def forward_step(cache, token, positions, seq_lens):
+        @partial(jax.jit, donate_argnums=(1,))
+        def forward_step(params, cache, token, positions, seq_lens):
             logits, cache = fwd(params, cfg, token, cache, positions, seq_lens)
             return logits[:, -1, :], cache
 
-        @partial(jax.jit, donate_argnums=(0,))
-        def verify_step(cache, tokens, positions, seq_lens):
+        @partial(jax.jit, donate_argnums=(1,))
+        def verify_step(params, cache, tokens, positions, seq_lens):
             # Full-logits multi-token step (speculative verification).
             logits, cache = fwd(params, cfg, tokens, cache, positions, seq_lens)
             return logits, cache
@@ -122,10 +124,13 @@ class Executor:
             top_lp, top_ids = jax.lax.top_k(logprobs, 20)
             return tok, chosen_lp, top_lp, top_ids
 
-        self._prefill_step = prefill_step
-        self._decode_step = decode_step
-        self._forward_step = forward_step
-        self._verify_step = verify_step
+        def bind(fn):
+            return lambda *a, **kw: fn(self.model.params, *a, **kw)
+
+        self._prefill_step = bind(prefill_step)
+        self._decode_step = bind(decode_step)
+        self._forward_step = bind(forward_step)
+        self._verify_step = bind(verify_step)
         self._sample_only = sample_only
 
     # ------------------------------------------------------------------
