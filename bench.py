@@ -119,11 +119,15 @@ def main() -> None:
 
     healthy = False
     try:
+        # A real computation + fetch: device ENUMERATION can succeed while
+        # the compute path is dead.
         r = subprocess.run(
             [sys.executable, "-c",
-             "import jax; print(jax.default_backend())"],
-            capture_output=True, text=True, timeout=90)
-        healthy = r.returncode == 0 and "tpu" in r.stdout
+             "import jax, jax.numpy as jnp;"
+             "assert jax.default_backend() == 'tpu';"
+             "print(float(jax.jit(lambda x: (x + 1).sum())(jnp.ones(8))))"],
+            capture_output=True, text=True, timeout=120)
+        healthy = r.returncode == 0 and "16.0" in r.stdout
     except subprocess.TimeoutExpired:
         healthy = False
     if not healthy:

@@ -62,7 +62,11 @@ def tiny_llama_config(vocab: int = 256) -> UniversalConfig:
 
 def _rand_awq_qt(key, k: int, n: int, group_size: int = 128,
                  scale_dtype=jnp.float32) -> QuantTensor:
-    """Random AWQ-style canonical QuantTensor directly on device."""
+    """Random AWQ-style canonical QuantTensor directly on device.
+
+    signed=True matches what the real loaders produce after load-time sign
+    biasing — the layout the fast bitcast kernel path expects.
+    """
     k1, k2, k3 = jax.random.split(key, 3)
     qweight = jax.random.randint(k1, (k * 4 // 32, n), 0, np.iinfo(np.int32).max,
                                  dtype=jnp.int32).astype(jnp.uint32)
@@ -71,7 +75,7 @@ def _rand_awq_qt(key, k: int, n: int, group_size: int = 128,
     zeros = jax.random.randint(k3, (k // group_size, n), 0, 16).astype(scale_dtype)
     return QuantTensor(
         qweight=qweight, scales=scales, mins=scales * zeros, perm=None,
-        bits=4, group_size=group_size, signed=False,
+        bits=4, group_size=group_size, signed=True,
         in_features=k, out_features=n, fmt="awq",
     )
 
