@@ -25,6 +25,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Persistent compilation cache: without it every bench process recompiles
+# the whole model through the (slow, flaky) remote compile tunnel.
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 # v5e (TPU v5 lite) HBM bandwidth, bytes/s (public spec: 819 GB/s).
 HBM_BW = 819e9
 

@@ -148,6 +148,10 @@ def _pin_backend(device: str) -> None:
     unhealthy (the axon tunnel in this environment can drop)."""
     import jax
 
+    jax.config.update("jax_compilation_cache_dir",
+                      "/root/.cache/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
     if device == "cpu":
         jax.config.update("jax_platforms", "cpu")
         return

@@ -51,9 +51,18 @@ def attention_block(
     n_heads = att.num_heads
     n_kv = att.kv_heads()
 
-    q = linear(x, p["q"], p.get("q_bias")).reshape(b, t, n_heads, head_dim)
-    k = linear(x, p["k"], p.get("k_bias")).reshape(b, t, n_kv, head_dim)
-    v = linear(x, p["v"], p.get("v_bias")).reshape(b, t, n_kv, head_dim)
+    if p.get("qkv") is not None:
+        # Fused QKV projection (one wide matmul).
+        qkv = linear(x, p["qkv"], p.get("qkv_bias"))
+        q_dim = n_heads * head_dim
+        kv_dim = n_kv * head_dim
+        q = qkv[..., :q_dim].reshape(b, t, n_heads, head_dim)
+        k = qkv[..., q_dim : q_dim + kv_dim].reshape(b, t, n_kv, head_dim)
+        v = qkv[..., q_dim + kv_dim :].reshape(b, t, n_kv, head_dim)
+    else:
+        q = linear(x, p["q"], p.get("q_bias")).reshape(b, t, n_heads, head_dim)
+        k = linear(x, p["k"], p.get("k_bias")).reshape(b, t, n_kv, head_dim)
+        v = linear(x, p["v"], p.get("v_bias")).reshape(b, t, n_kv, head_dim)
 
     if p.get("q_norm") is not None:  # Qwen3 per-head QK norm
         q = rms_norm(q, p["q_norm"], cfg.rms_norm_eps)
@@ -116,6 +125,11 @@ def forward(
             from .moe import moe_ffn
 
             x = x + moe_ffn(h, p["moe"], cfg.moe)
+        elif p.get("gateup") is not None:
+            gu = linear(h, p["gateup"])
+            inter = gu.shape[-1] // 2
+            act = jax.nn.silu(gu[..., :inter]) * gu[..., inter:]
+            x = x + linear(act, p["down"])
         else:
             x = x + swiglu_mlp(h, p["gate"], p["up"], p["down"])
 
@@ -181,6 +195,11 @@ def forward_layers_range(
             from .moe import moe_ffn
 
             x = x + moe_ffn(h, p["moe"], cfg.moe)
+        elif p.get("gateup") is not None:
+            gu = linear(h, p["gateup"])
+            inter = gu.shape[-1] // 2
+            act = jax.nn.silu(gu[..., :inter]) * gu[..., inter:]
+            x = x + linear(act, p["down"])
         else:
             x = x + swiglu_mlp(h, p["gate"], p["up"], p["down"])
     cache = advance(cache, positions, seq_lens)

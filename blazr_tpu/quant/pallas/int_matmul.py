@@ -247,3 +247,13 @@ def quant_matmul_pallas(x: jax.Array, qt: QuantTensor) -> jax.Array:
 #      scale application becomes a per-plane broadcast, no interleave.
 #   3. W4A8: dynamic int8 activation quant + int8 MXU (2× rate), the
 #      TPU analogue of the reference's dp4a path.
+
+
+# PERF LOG (real v5e via axon tunnel, Mistral-7B AWQ-INT4 single-stream):
+#   round-1 final: 99.5 tok/s per chip = 54% of the 183 tok/s HBM roofline
+#   (full decode step incl. attention + sampling; matmul-only ~90 tok/s).
+#   Tile sweep plateaus ~38-43% per-matmul regardless of (bk, bn) —
+#   the int4→bf16 convert (~1 VPU op/element) is the suspected floor.
+#   Round-2 candidates: int4/int8-native MXU feed (W4A8 with activation
+#   quant), double-buffered manual DMA with convert overlap, bf16 scale
+#   planes (−13% traffic).

@@ -408,3 +408,25 @@ def dequantize_jnp(qt: QuantTensor, dtype=jnp.float32) -> jax.Array:
     s = jnp.repeat(qt.scales, qt.group_size, axis=0)
     m = jnp.repeat(qt.mins, qt.group_size, axis=0)
     return (q * s - m).astype(dtype)
+
+
+def concat_n(qts: list["QuantTensor"]) -> "QuantTensor":
+    """Concatenate QuantTensors along N (out_features) — used to fuse QKV /
+    gate+up projections into one wide matmul (fewer kernel launches, bigger
+    tiles). Requires identical K / bits / group_size / signedness / perm."""
+    first = qts[0]
+    for q in qts[1:]:
+        assert (q.in_features, q.bits, q.group_size, q.signed) ==             (first.in_features, first.bits, first.group_size, first.signed)
+        assert q.perm is None and first.perm is None
+    return QuantTensor(
+        qweight=jnp.concatenate([q.qweight for q in qts], axis=1),
+        scales=jnp.concatenate([q.scales for q in qts], axis=1),
+        mins=jnp.concatenate([q.mins for q in qts], axis=1),
+        perm=None,
+        bits=first.bits,
+        group_size=first.group_size,
+        signed=first.signed,
+        in_features=first.in_features,
+        out_features=sum(q.out_features for q in qts),
+        fmt=first.fmt,
+    )

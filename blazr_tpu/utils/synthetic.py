@@ -86,8 +86,11 @@ def _rand_dense(key, k: int, n: int, dtype) -> jax.Array:
 
 def synth_llama_params(cfg: UniversalConfig, quant: str = "awq",
                        dtype=jnp.bfloat16, group_size: int = 128,
-                       seed: int = 0) -> dict:
-    """Random llama-family params matching ``cfg`` ('awq' or 'dense')."""
+                       seed: int = 0, fuse: bool = True) -> dict:
+    """Random llama-family params matching ``cfg`` ('awq' or 'dense').
+
+    ``fuse=True`` emits fused qkv / gateup projections (the serving
+    layout)."""
     att = cfg.attention
     h = cfg.hidden_size
     hd = att.resolved_head_dim(h)
@@ -104,17 +107,20 @@ def synth_llama_params(cfg: UniversalConfig, quant: str = "awq",
 
     layers = []
     for _ in range(cfg.num_layers):
-        layers.append({
+        layer = {
             "input_norm": jnp.ones((h,), dtype=dtype),
             "post_norm": jnp.ones((h,), dtype=dtype),
-            "q": lin(h, q_out),
-            "k": lin(h, kv_out),
-            "v": lin(h, kv_out),
             "o": lin(q_out, h),
-            "gate": lin(h, inter),
-            "up": lin(h, inter),
             "down": lin(inter, h),
-        })
+        }
+        if fuse:
+            layer["qkv"] = lin(h, q_out + 2 * kv_out)
+            layer["gateup"] = lin(h, 2 * inter)
+        else:
+            layer.update({"q": lin(h, q_out), "k": lin(h, kv_out),
+                          "v": lin(h, kv_out), "gate": lin(h, inter),
+                          "up": lin(h, inter)})
+        layers.append(layer)
     params = {
         "embed": _rand_dense(next(keys), cfg.vocab_size, h, dtype),
         "final_norm": jnp.ones((h,), dtype=dtype),
