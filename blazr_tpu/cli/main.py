@@ -39,6 +39,9 @@ def build_parser() -> argparse.ArgumentParser:
     run.add_argument("--grammar", help="GBNF grammar file or inline")
     run.add_argument("--json", action="store_true", dest="json_mode")
     run.add_argument("--no-warmup", action="store_true")
+    run.add_argument("--draft-model", help="enable speculative decoding "
+                     "with this draft model")
+    run.add_argument("--num-speculative-tokens", type=int, default=5)
 
     gen = sub.add_parser("generate", help="alias of run --prompt")
     gen.add_argument("model")
@@ -112,6 +115,9 @@ def build_parser() -> argparse.ArgumentParser:
     disagg.add_argument("--capacity", type=int, default=2048)
     disagg.add_argument("--dtype", choices=["f32", "f16", "bf16"])
 
+    comp = sub.add_parser("completions", help="emit a shell completion script")
+    comp.add_argument("shell", choices=["bash", "zsh"], nargs="?", default="bash")
+
     pull = sub.add_parser("pull", help="download a model from HF Hub")
     pull.add_argument("repo_id")
     pull.add_argument("--dest", default=None)
@@ -137,7 +143,7 @@ def main(argv=None) -> int:
         "serve": cmd_serve, "bench": cmd_bench, "info": cmd_info,
         "list": cmd_list, "ps": cmd_ps, "tokenize": cmd_tokenize,
         "convert": cmd_convert, "swarm": cmd_swarm, "disagg": cmd_disagg,
-        "pull": cmd_pull,
+        "pull": cmd_pull, "completions": cmd_completions,
     }[args.command](args)
 
 
@@ -218,6 +224,26 @@ def cmd_run(args) -> int:
         g = Path(args.grammar)
         cfg.grammar = g.read_text() if g.exists() else args.grammar
     if args.prompt:
+        if getattr(args, "draft_model", None):
+            from ..config.inference import SpeculativeDecodingConfig
+            from ..engine.speculative import SpeculativeExecutor
+
+            draft = _load_executor(args.draft_model, args.dtype)
+            spec = SpeculativeExecutor(
+                draft, ex, SpeculativeDecodingConfig(
+                    num_speculative_tokens=args.num_speculative_tokens))
+            import time as _t
+
+            t0 = _t.time()
+            n = 0
+            for gt in spec.generate(ex.tokenizer.encode(args.prompt), cfg):
+                print(gt.text, end="", flush=True)
+                n += 1
+            dt = _t.time() - t0
+            print(f"\n[{n} tokens, {n/max(dt,1e-9):.1f} tok/s, "
+                  f"acceptance {spec.stats.acceptance_rate:.0%}]",
+                  file=sys.stderr)
+            return 0
         _print_stream(ex, ex.tokenizer.encode(args.prompt), cfg)
         return 0
     # REPL (reference run.rs:215-307)
@@ -487,6 +513,28 @@ def cmd_disagg(args) -> int:
         DecodeWorker(mesh, args.model, capacity=args.capacity,
                      dtype=args.dtype or "bf16").run_loop(
             prefill_ranks=p_ranks)
+    return 0
+
+
+_COMPLETION_BASH = """_blazr_tpu() {
+  local cur=${COMP_WORDS[COMP_CWORD]}
+  local cmds="run generate chat serve bench info list ps tokenize convert \
+swarm disagg pull completions"
+  if [ $COMP_CWORD -eq 1 ]; then
+    COMPREPLY=( $(compgen -W "$cmds" -- "$cur") )
+  else
+    COMPREPLY=( $(compgen -f -- "$cur") )
+  fi
+}
+complete -F _blazr_tpu blazr-tpu
+complete -F _blazr_tpu "python -m blazr_tpu.cli"
+"""
+
+
+def cmd_completions(args) -> int:
+    """Shell completion script (reference clap_complete dispatch,
+    main.rs:177-184)."""
+    print(_COMPLETION_BASH)
     return 0
 
 

@@ -95,6 +95,11 @@ class BatchEngine:
                         PrefixCacheConfig(max_cached_blocks=inf.max_cached_blocks))
             if inf.prefix_cache else None
         )
+        if self.prefix_cache is not None and inf.gpu_prefix_cache:
+            from ..kvcache.host_tier import attach_host_tier
+
+            attach_host_tier(self.prefix_cache, lambda: self.cache,
+                             max_blocks=inf.prefix_cache_ram_tier)
         self.scheduler = SequenceScheduler(
             self.allocator,
             SchedulerConfig(
