@@ -114,27 +114,37 @@ def forward(
     else:
         kv_len = jnp.maximum(cache.length, jnp.max(positions, axis=-1) + 1)
 
+    norm_offset = 1.0 if cfg.model_type in ("gemma", "gemma2") else 0.0
     for i, p in enumerate(params["layers"]):
-        h = rms_norm(x, p["input_norm"], cfg.rms_norm_eps)
+        h = rms_norm(x, p["input_norm"], cfg.rms_norm_eps, norm_offset)
         attn_out, cache = attention_block(
             p, cfg, h, cache, i, positions, kv_len, cos, sin
         )
+        if p.get("post_attn_norm") is not None:    # Gemma2 sandwich norms
+            attn_out = rms_norm(attn_out, p["post_attn_norm"],
+                                cfg.rms_norm_eps, norm_offset)
         x = x + attn_out
-        h = rms_norm(x, p["post_norm"], cfg.rms_norm_eps)
+        h = rms_norm(x, p["post_norm"], cfg.rms_norm_eps, norm_offset)
         if p.get("moe") is not None:
             from .moe import moe_ffn
 
-            x = x + moe_ffn(h, p["moe"], cfg.moe)
+            mlp_out = moe_ffn(h, p["moe"], cfg.moe)
         elif p.get("gateup") is not None:
             gu = linear(h, p["gateup"])
             inter = gu.shape[-1] // 2
             act = jax.nn.silu(gu[..., :inter]) * gu[..., inter:]
-            x = x + linear(act, p["down"])
+            mlp_out = linear(act, p["down"])
         else:
-            x = x + swiglu_mlp(h, p["gate"], p["up"], p["down"])
+            mlp_out = swiglu_mlp(h, p["gate"], p["up"], p["down"],
+                                 act="gelu" if norm_offset else "silu")
+        if p.get("post_ffw_norm") is not None:
+            mlp_out = rms_norm(mlp_out, p["post_ffw_norm"],
+                               cfg.rms_norm_eps, norm_offset)
+        x = x + mlp_out
 
     cache = advance(cache, positions, seq_lens)
-    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps,
+                 1.0 if cfg.model_type in ("gemma", "gemma2") else 0.0)
 
     lm_head = params.get("lm_head")
     if lm_head is None:  # tied embeddings

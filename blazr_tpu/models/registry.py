@@ -68,11 +68,18 @@ def build_llama_layer_params(pb: ParamBuilder, i: int, cfg: UniversalConfig) -> 
     out: dict[str, Any] = {
         "input_norm": pb.get(p + "input_layernorm.weight"),
         "post_norm": pb.get(p + "post_attention_layernorm.weight"),
-        "q": pb.get(p + "self_attn.q_proj.weight", transpose=True),
-        "k": pb.get(p + "self_attn.k_proj.weight", transpose=True),
-        "v": pb.get(p + "self_attn.v_proj.weight", transpose=True),
-        "o": pb.get(p + "self_attn.o_proj.weight", transpose=True),
+        "o": pb.get(p + "self_attn.o_proj.weight",
+                    p + "self_attn.dense.weight", transpose=True),
     }
+    # Phi3-style fused projections map directly onto our fused fast path.
+    qkv = pb.get(p + "self_attn.qkv_proj.weight", transpose=True,
+                 required=False)
+    if qkv is not None:
+        out["qkv"] = qkv
+    else:
+        out["q"] = pb.get(p + "self_attn.q_proj.weight", transpose=True)
+        out["k"] = pb.get(p + "self_attn.k_proj.weight", transpose=True)
+        out["v"] = pb.get(p + "self_attn.v_proj.weight", transpose=True)
     is_moe_layer = cfg.moe is not None and (
         p + "mlp.gate.weight" in pb.vm
         or p + "block_sparse_moe.gate.weight" in pb.vm
@@ -85,8 +92,13 @@ def build_llama_layer_params(pb: ParamBuilder, i: int, cfg: UniversalConfig) -> 
 
         out["moe"] = build_moe_params(pb, p, cfg)
     else:
-        out["gate"] = pb.get(p + "mlp.gate_proj.weight", transpose=True)
-        out["up"] = pb.get(p + "mlp.up_proj.weight", transpose=True)
+        gu = pb.get(p + "mlp.gate_up_proj.weight", transpose=True,
+                    required=False)
+        if gu is not None:
+            out["gateup"] = gu
+        else:
+            out["gate"] = pb.get(p + "mlp.gate_proj.weight", transpose=True)
+            out["up"] = pb.get(p + "mlp.up_proj.weight", transpose=True)
         out["down"] = pb.get(p + "mlp.down_proj.weight", transpose=True)
     for side in ("q", "k", "v", "o"):
         b = pb.get(p + f"self_attn.{side}_proj.bias", required=False)
@@ -96,6 +108,16 @@ def build_llama_layer_params(pb: ParamBuilder, i: int, cfg: UniversalConfig) -> 
     if qn is not None:
         out["q_norm"] = qn
         out["k_norm"] = pb.get(p + "self_attn.k_norm.weight")
+    # Gemma2 sandwich norms
+    pan = pb.get(p + "post_attention_layernorm.weight", required=False)         if False else None
+    pre_ffw = pb.get(p + "pre_feedforward_layernorm.weight", required=False)
+    if pre_ffw is not None:
+        # Gemma2 naming: post_attention_layernorm is the POST-ATTN sandwich
+        # norm; pre_feedforward replaces our "post_norm" slot.
+        out["post_attn_norm"] = out["post_norm"]
+        out["post_norm"] = pre_ffw
+        out["post_ffw_norm"] = pb.get(
+            p + "post_feedforward_layernorm.weight", required=False)
     return out
 
 

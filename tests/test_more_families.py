@@ -1,0 +1,75 @@
+"""Additional model-family goldens: Phi3 (fused qkv/gate_up), Gemma2
+(sandwich norms, softcaps, GeGLU), Qwen3 (QK-norm) vs transformers."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from blazr_tpu.loader import load_model
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+
+def _golden(tmp_path, hf_model, vocab, rtol=5e-4, seq=8):
+    hf_model.eval()
+    hf_model.save_pretrained(tmp_path, safe_serialization=True)
+    rng = np.random.default_rng(0)
+    tokens = rng.integers(0, vocab, (1, seq)).astype(np.int64)
+    with torch.no_grad():
+        ref = hf_model(torch.from_numpy(tokens)).logits.numpy()
+    model, _ = load_model(tmp_path, dtype="f32")
+    cache = model.init_cache(1, 32)
+    pos = np.arange(seq, dtype=np.int32)[None, :]
+    logits, _ = model.forward(jnp.asarray(tokens.astype(np.int32)), cache,
+                              jnp.asarray(pos))
+    np.testing.assert_allclose(np.asarray(logits), ref, rtol=rtol, atol=rtol)
+    return model
+
+
+def test_phi3_fused_projections(tmp_path):
+    from transformers import Phi3Config, Phi3ForCausalLM
+
+    torch.manual_seed(0)
+    cfg = Phi3Config(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, rope_theta=10000.0,
+        tie_word_embeddings=False, pad_token_id=0, eos_token_id=1,
+        bos_token_id=2,
+    )
+    model = _golden(tmp_path, Phi3ForCausalLM(cfg), 128)
+    # fused weights landed on the fused fast path
+    assert "qkv" in model.params["layers"][0]
+    assert "gateup" in model.params["layers"][0]
+
+
+def test_gemma2_sandwich_norms_and_softcaps(tmp_path):
+    from transformers import Gemma2Config, Gemma2ForCausalLM
+
+    torch.manual_seed(1)
+    cfg = Gemma2Config(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=128,
+        attn_logit_softcapping=50.0, final_logit_softcapping=30.0,
+        query_pre_attn_scalar=16,
+        sliding_window=64, tie_word_embeddings=True,
+    )
+    model = _golden(tmp_path, Gemma2ForCausalLM(cfg), 128, rtol=2e-3)
+    assert model.params["layers"][0].get("post_attn_norm") is not None
+
+
+def test_qwen3_qk_norm(tmp_path):
+    from transformers import Qwen3Config, Qwen3ForCausalLM
+
+    torch.manual_seed(2)
+    cfg = Qwen3Config(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=128,
+        tie_word_embeddings=False,
+    )
+    model = _golden(tmp_path, Qwen3ForCausalLM(cfg), 128)
+    assert model.params["layers"][0].get("q_norm") is not None
