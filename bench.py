@@ -123,18 +123,22 @@ def main() -> None:
     import subprocess
 
     healthy = False
-    try:
-        # A real computation + fetch: device ENUMERATION can succeed while
-        # the compute path is dead.
-        r = subprocess.run(
-            [sys.executable, "-c",
-             "import jax, jax.numpy as jnp;"
-             "assert jax.default_backend() == 'tpu';"
-             "print(float(jax.jit(lambda x: (x + 1).sum())(jnp.ones(8))))"],
-            capture_output=True, text=True, timeout=120)
-        healthy = r.returncode == 0 and "16.0" in r.stdout
-    except subprocess.TimeoutExpired:
-        healthy = False
+    for _attempt in range(3):         # the tunnel flakes in short windows
+        try:
+            # A real computation + fetch: device ENUMERATION can succeed
+            # while the compute path is dead.
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, jax.numpy as jnp;"
+                 "assert jax.default_backend() == 'tpu';"
+                 "print(float(jax.jit(lambda x: (x + 1).sum())(jnp.ones(8))))"],
+                capture_output=True, text=True, timeout=120)
+            healthy = r.returncode == 0 and "16.0" in r.stdout
+        except subprocess.TimeoutExpired:
+            healthy = False
+        if healthy:
+            break
+        time.sleep(20)
     if not healthy:
         jax.config.update("jax_platforms", "cpu")
     platform = jax.default_backend()
