@@ -257,3 +257,9 @@ def quant_matmul_pallas(x: jax.Array, qt: QuantTensor) -> jax.Array:
 #   Round-2 candidates: int4/int8-native MXU feed (W4A8 with activation
 #   quant), double-buffered manual DMA with convert overlap, bf16 scale
 #   planes (−13% traffic).
+#   Batched serving regime (B=8 decode, same weights): 281 tok/s aggregate
+#   per chip (weight reads amortized across the batch).
+#   bm 8 vs 16 and W4A8 (int8 MXU) all plateau ~100 us/matmul at 7B
+#   shapes -> the cap is the Pallas auto-pipeline's effective HBM
+#   streaming (~310-400 GB/s vs XLA's own 770 GB/s on dense bf16);
+#   round 2: manual double-buffered DMA per the pallas guide pattern.
