@@ -492,6 +492,7 @@ def cmd_disagg(args) -> int:
                                         seed_port=int(port))
         router = DisaggRouter(mesh, DisaggConfig(
             prefill_workers=p_ranks, decode_workers=d_ranks))
+        router.wait_workers()
         import json as _json
 
         print("disagg router ready", file=sys.stderr)
@@ -511,8 +512,7 @@ def cmd_disagg(args) -> int:
                       dtype=args.dtype or "bf16").run_loop()
     else:
         DecodeWorker(mesh, args.model, capacity=args.capacity,
-                     dtype=args.dtype or "bf16").run_loop(
-            prefill_ranks=p_ranks)
+                     dtype=args.dtype or "bf16").run_loop()
     return 0
 
 

@@ -51,6 +51,19 @@ class DisaggRouter:
         self._rr_p = 0
         self._rr_d = 0
 
+    def wait_workers(self, timeout: float = 300.0) -> None:
+        """Collect role registrations (rank assignment at bootstrap is
+        connection-order nondeterministic, so pools are built from the
+        workers' announced roles, not fixed ranks)."""
+        prefill, decode = [], []
+        for r in range(1, self.mesh.world_size):
+            role = self.mesh.recv(r, tags.WORKER_READY, timeout=timeout)
+            (prefill if role == b"prefill" else decode).append(r)
+        if prefill:
+            self.cfg.prefill_workers = prefill
+        if decode:
+            self.cfg.decode_workers = decode
+
     def route_request(self, prompt_ids: list[int], max_tokens: int
                       ) -> list[int]:
         p_rank = self.cfg.prefill_workers[self._rr_p % len(self.cfg.prefill_workers)]
@@ -104,6 +117,7 @@ class PrefillWorker:
         from ..loader import load_model
 
         model, _ = load_model(self.model_path, dtype=self.dtype)
+        self.mesh.send(router_rank, tags.WORKER_READY, b"prefill")
         while True:
             req = self.mesh.recv(router_rank, tags.REQUEST, timeout=None)
             if req == b"__shutdown__":
@@ -148,7 +162,10 @@ class DecodeWorker:
         from ..loader import load_model
 
         model, _ = load_model(self.model_path, dtype=self.dtype)
-        prefill_ranks = prefill_ranks or [1]
+        self.mesh.send(router_rank, tags.WORKER_READY, b"decode")
+        if prefill_ranks is None:
+            prefill_ranks = [r for r in range(1, self.mesh.world_size)
+                             if r != self.mesh.rank]
         while True:
             req = self.mesh.recv(router_rank, tags.REQUEST, timeout=None)
             if req == b"__shutdown__":

@@ -229,8 +229,7 @@ def _disagg_worker_proc(seed_port, role, model_path):
     if role == "prefill":
         PrefillWorker(mesh, model_path, capacity=64).run_loop()
     else:
-        DecodeWorker(mesh, model_path, capacity=64).run_loop(
-            prefill_ranks=[1])
+        DecodeWorker(mesh, model_path, capacity=64).run_loop()
     mesh.close()
 
 
@@ -278,8 +277,8 @@ def test_disagg_matches_single_process(tmp_path):
     procs[0].start()
     procs[1].start()
     mesh = TcpMesh.bootstrap_leader(3, seed_port=seed_port)
-    router = DisaggRouter(mesh, DisaggConfig(prefill_workers=[1],
-                                             decode_workers=[2]))
+    router = DisaggRouter(mesh, DisaggConfig())
+    router.wait_workers()
     got = router.route_request(prompt, 6)
     router.shutdown()
     for p in procs:
