@@ -19,6 +19,9 @@ import jax.numpy as jnp
 from .qtensor import QuantTensor, dequantize_jnp
 
 _FORCE_XLA = os.environ.get("BLAZR_TPU_FORCE_XLA_QUANT", "0") == "1"
+# Debug/verification knob: route through the Pallas kernel in interpret
+# mode even off-TPU (slow; exercises the real kernel code path).
+_FORCE_PALLAS = os.environ.get("BLAZR_TPU_FORCE_PALLAS_QUANT", "0") == "1"
 
 
 def _on_tpu() -> bool:
@@ -37,7 +40,7 @@ def quant_matmul(x: jax.Array, qt: QuantTensor) -> jax.Array:
     if qt.perm is not None:
         x = jnp.take(x, qt.perm, axis=-1)
 
-    if not _FORCE_XLA and _on_tpu():
+    if not _FORCE_XLA and (_on_tpu() or _FORCE_PALLAS):
         from .pallas.int_matmul import quant_matmul_pallas
 
         try:

@@ -159,6 +159,112 @@ def _qmm(x, qweight, scales, mins, *, bits, signed, group_size,
     )(x, qweight, scales3, mins3)
 
 
+def _qmm_stream_kernel(x_ref, s_ref, mn_ref, qw_hbm, o_ref, *,
+                       bits: int, group_size: int, bk: int, k_tiles: int,
+                       n: int, nbuf: int):
+    """Decode-path kernel with a MANUAL nbuf-deep DMA pipeline.
+
+    The auto-pipelined kernel plateaus at ~40% of HBM BW on weight
+    streaming (round-1 PERF LOG below); this variant takes the whole N
+    dimension per chunk so every DMA is one fully-contiguous
+    [bk/r, N] row-slab of the K-packed qweight, and keeps ``nbuf``
+    copies in flight (pallas_guide.md §Double Buffering, generalized).
+    Compute per chunk is identical to ``_qmm_kernel``'s per-group
+    formulation.
+    """
+    r = 32 // bits
+    bkr = bk // r
+    gpb = bk // group_size
+    bm = x_ref.shape[0]
+
+    def body(bufs, acc_ref, sems):
+        def get_dma(slot, t):
+            return pltpu.make_async_copy(
+                qw_hbm.at[pl.ds(t * bkr, bkr), :],
+                bufs.at[slot],
+                sems.at[slot],
+            )
+
+        for t0 in range(nbuf - 1):           # warm-up: nbuf-1 in flight
+            @pl.when(t0 < k_tiles)
+            def _():
+                get_dma(t0, t0).start()
+
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        def loop_body(t, _):
+            slot = jax.lax.rem(t, nbuf)
+            ahead = t + nbuf - 1             # refill the slot freed at t-1
+            @pl.when(ahead < k_tiles)
+            def _():
+                get_dma(jax.lax.rem(ahead, nbuf), ahead).start()
+            get_dma(slot, t).wait()
+
+            if bits == 4:
+                q = pltpu.bitcast(bufs[slot], jnp.int4).astype(jnp.bfloat16)
+            else:
+                q = pltpu.bitcast(bufs[slot], jnp.int8).astype(jnp.bfloat16)
+            x = x_ref[:, pl.ds(t * bk, bk)].astype(jnp.bfloat16)   # [bm, bk]
+            xs = x.astype(jnp.float32).reshape(bm, gpb, group_size).sum(axis=2)
+            xg = x.reshape(bm, gpb, group_size).transpose(1, 0, 2)
+            qg = q.reshape(gpb, group_size, n)
+            partial = jax.lax.dot_general(
+                xg, qg, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)                # [gpb,bm,n]
+            s = s_ref[t]                                           # [gpb, n]
+            m = mn_ref[t]
+            acc_ref[...] += (jnp.sum(partial * s[:, None, :], axis=0)
+                             - jnp.sum(xs[:, :, None] * m[None], axis=1))
+            return 0
+
+        jax.lax.fori_loop(0, k_tiles, loop_body, 0)
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+    pl.run_scoped(
+        body,
+        bufs=pltpu.VMEM((nbuf, bkr, n), jnp.uint32),
+        acc_ref=pltpu.VMEM((bm, n), jnp.float32),
+        sems=pltpu.SemaphoreType.DMA((nbuf,)),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("bits", "group_size", "in_features", "out_features",
+                     "bm", "bk", "nbuf", "out_dtype"),
+)
+def _qmm_stream(x, qweight, scales, mins, *, bits, group_size,
+                in_features, out_features, bm, bk, nbuf, out_dtype):
+    k, n = in_features, out_features
+    k_tiles = k // bk
+    gpb = bk // group_size
+    scales3 = scales.reshape(k_tiles, gpb, n)
+    mins3 = mins.reshape(k_tiles, gpb, n)
+    kernel = functools.partial(
+        _qmm_stream_kernel, bits=bits, group_size=group_size, bk=bk,
+        k_tiles=k_tiles, n=n, nbuf=nbuf)
+    return pl.pallas_call(
+        kernel,
+        interpret=jax.default_backend() != "tpu",
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),     # x  [bm, K]
+            pl.BlockSpec(memory_space=pltpu.VMEM),     # scales3
+            pl.BlockSpec(memory_space=pltpu.VMEM),     # mins3
+            pl.BlockSpec(memory_space=pltpu.ANY),      # qweight stays in HBM
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bm, n), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bm * k * n,
+            bytes_accessed=qweight.size * 4 + scales.size * 4 * 2,
+            transcendentals=0,
+        ),
+    )(x, scales3, mins3, qweight)
+
+
 def _largest_aligned_divisor(n: int, unit: int, cap: int) -> Optional[int]:
     """Largest multiple of ``unit`` that divides ``n`` and is ≤ cap."""
     if n % unit != 0:
@@ -219,6 +325,33 @@ def quant_matmul_pallas(x: jax.Array, qt: QuantTensor) -> jax.Array:
     bm, bk, bn = tiles
 
     x2 = x.reshape(m, k)
+
+    # Decode regime: weight-streaming bound → manual-DMA kernel (whole-N
+    # contiguous slabs, nbuf-deep pipeline). Prefill keeps the tiled
+    # auto-pipelined kernel (compute-bound, needs the n/k grid).
+    # Opt-in until validated faster on real hardware (the tunnel died
+    # mid-measurement; see PERF LOG).
+    import os
+    if (os.environ.get("BLAZR_TPU_STREAM_KERNEL") == "1"
+            and m <= 32 and qt.signed and qt.bits in (4, 8)
+            and n % 128 == 0 and k % bk == 0 and k // bk >= 2):
+        sbm = 16 if m <= 16 else 32
+        nbuf = 4
+        bkr = bk // (32 // qt.bits)
+        vmem_need = (nbuf * bkr * n * 4              # dma buffers
+                     + 2 * (k // qt.group_size) * n * 4   # scale/min planes
+                     + sbm * n * 4 + sbm * k * 2     # acc + x
+                     + 3 * bk * n * 2)               # dequant + partials
+        if vmem_need < 100 * 1024 * 1024:
+            pad = (-m) % sbm
+            xp = jnp.pad(x2, ((0, pad), (0, 0))) if pad else x2
+            out = _qmm_stream(
+                xp, qt.qweight, qt.scales.astype(jnp.float32),
+                qt.mins.astype(jnp.float32),
+                bits=qt.bits, group_size=qt.group_size, in_features=k,
+                out_features=n, bm=sbm, bk=bk, nbuf=nbuf, out_dtype=x.dtype)
+            return out[:m].reshape(*lead_shape, n)
+
     pad = (-m) % bm
     if pad:
         x2 = jnp.pad(x2, ((0, pad), (0, 0)))

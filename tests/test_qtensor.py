@@ -162,3 +162,21 @@ def test_bits_per_weight(rng):
     raw = quantize_ggml(rng.standard_normal((64, 512)).astype(np.float32), GgmlType.Q4_K)
     qt = from_ggml(raw, GgmlType.Q4_K, (64, 512))
     assert 4.0 < qt.bits_per_weight < 7.0
+
+
+def test_stream_kernel_matches_dense(rng, monkeypatch):
+    """Manual-DMA decode kernel (interpret mode) vs dequantized dense."""
+    import jax
+    import jax.numpy as jnp
+
+    from blazr_tpu.quant.pallas.int_matmul import quant_matmul_pallas
+    from blazr_tpu.quant.qtensor import dequantize_jnp
+    from blazr_tpu.utils.synthetic import _rand_awq_qt
+
+    monkeypatch.setenv("BLAZR_TPU_STREAM_KERNEL", "1")
+    qt = _rand_awq_qt(jax.random.key(3), 512, 256, group_size=128)
+    for m in (1, 4):
+        x = jnp.asarray(rng.standard_normal((m, 512)), dtype=jnp.float32)
+        got = np.asarray(quant_matmul_pallas(x, qt))
+        ref = np.asarray(x @ dequantize_jnp(qt))
+        np.testing.assert_allclose(got, ref, atol=2e-2, rtol=2e-2)
