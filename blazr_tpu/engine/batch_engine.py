@@ -33,7 +33,7 @@ from ..kvcache.paged import (
 from ..kvcache.prefix_cache import PrefixCache, PrefixCacheConfig
 from ..models.llama_paged import forward_paged
 from ..models.registry import Model
-from .grammar import GrammarState, compile_grammar_to_dfa
+from .grammar import GrammarState, compile_grammar_to_dfa, make_grammar_state
 from .grammar_json import JSON_GRAMMAR, json_schema_to_gbnf
 from .sampling import PAD_TOKEN, SamplingParams, make_window, sample_tokens
 from .sequence_scheduler import (
@@ -201,8 +201,8 @@ class BatchEngine:
             return None
         if self._vocab_bytes is None:
             self._vocab_bytes = self.tokenizer.vocab_bytes()
-        return GrammarState(compile_grammar_to_dfa(src), self._vocab_bytes,
-                            eos_token_id=self.tokenizer.eos_token_id)
+        return make_grammar_state(src, self._vocab_bytes,
+                                  eos_token_id=self.tokenizer.eos_token_id)
 
     # ------------------------------------------------------------------
     # main loop (reference BatchEngine::run, batch_engine.rs:93-143)

@@ -29,7 +29,7 @@ import numpy as np
 from ..config.app import AppConfig
 from ..config.generation import GenerationConfig
 from ..models.registry import Model
-from .grammar import GrammarState, compile_grammar_to_dfa
+from .grammar import GrammarState, compile_grammar_to_dfa, make_grammar_state
 from .grammar_json import JSON_GRAMMAR, json_schema_to_gbnf
 from .samplers import MirostatState, host_sample, needs_host_sampling
 from .sampling import (
@@ -149,9 +149,8 @@ class Executor:
             src = JSON_GRAMMAR
         if src is None:
             return None
-        dfa = compile_grammar_to_dfa(src)
-        return GrammarState(dfa, self.vocab_bytes(),
-                            eos_token_id=self.tokenizer.eos_token_id)
+        return make_grammar_state(src, self.vocab_bytes(),
+                                  eos_token_id=self.tokenizer.eos_token_id)
 
     # ------------------------------------------------------------------
     def prefill(self, cache, prompt_ids: list[int], start_pos: int = 0):

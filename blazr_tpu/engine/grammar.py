@@ -16,10 +16,13 @@ row is shipped to the device sampler — a table lookup, not a kernel.
 
 from __future__ import annotations
 
+import logging
 from dataclasses import dataclass, field
 from typing import Optional
 
 import numpy as np
+
+logger = logging.getLogger(__name__)
 
 from .grammar_parser import (
     Alt,
@@ -193,6 +196,7 @@ class GrammarDfa:
     table: np.ndarray                 # int32 [S, 256], INVALID_STATE = dead
     accepting: np.ndarray             # bool [S]
     start_state: int = 0
+    exact: bool = True                # False: memoized (depth-bounded) tier
     _mask_cache: dict = field(default_factory=dict, repr=False)
 
     @property
@@ -276,10 +280,12 @@ def _compile_uncached(src: str) -> GrammarDfa:
     # exact masks for typical schemas/enums/DSLs.
     # Tier 2 (deeply recursive grammars, e.g. generic JSON): memoized shared
     # expansion — linear size, slightly over-approximate across contexts.
+    exact = True
     try:
         nfa = _NFA(limit=30_000)
         start, end = _build_nfa(rules["root"], nfa, rules, 0, None)
     except _NFABudget:
+        exact = False
         nfa = _NFA()
         start, end = _build_nfa(rules["root"], nfa, rules, 0, {})
 
@@ -348,7 +354,7 @@ def _compile_uncached(src: str) -> GrammarDfa:
 
     table = np.stack(table_rows)
     acc = np.array(accepting, dtype=bool)
-    return GrammarDfa(table=table, accepting=acc, start_state=0)
+    return GrammarDfa(table=table, accepting=acc, start_state=0, exact=exact)
 
 
 # ---------------------------------------------------------------------------
@@ -380,3 +386,23 @@ class GrammarState:
     @property
     def is_complete(self) -> bool:
         return self.dfa.is_accepting(self.state)
+
+
+def make_grammar_state(src: str, token_bytes: list,
+                       eos_token_id: Optional[int] = None):
+    """Best grammar state for ``src``: exact DFA when the grammar fits the
+    exact tier; otherwise the native exact-PDA tier (``grammar_pda``); the
+    depth-bounded DFA only as last resort (no g++, PDA overflow)."""
+    dfa = compile_grammar_to_dfa(src)
+    if not dfa.exact:
+        try:
+            from .grammar_pda import PdaGrammarState, compile_grammar_to_pda
+
+            st = PdaGrammarState(compile_grammar_to_pda(src), token_bytes,
+                                 eos_token_id=eos_token_id)
+            logger.info("grammar: exact-PDA tier (deep grammar)")
+            return st
+        except Exception:
+            logger.info("PDA tier unavailable; using depth-bounded DFA",
+                        exc_info=True)
+    return GrammarState(dfa, token_bytes, eos_token_id=eos_token_id)
