@@ -36,6 +36,9 @@ def build_parser() -> argparse.ArgumentParser:
     run.add_argument("--top-k", type=int, default=40)
     run.add_argument("--seed", type=int)
     run.add_argument("--dtype", choices=["f32", "f16", "bf16"])
+    run.add_argument("--device-layers", type=int, default=None,
+                     help="decoder layers kept on device; the rest stream "
+                          "from host RAM (reference n-gpu-layers)")
     run.add_argument("--grammar", help="GBNF grammar file or inline")
     run.add_argument("--json", action="store_true", dest="json_mode")
     run.add_argument("--no-warmup", action="store_true")
@@ -49,6 +52,7 @@ def build_parser() -> argparse.ArgumentParser:
     gen.add_argument("--max-tokens", "-n", type=int, default=256)
     gen.add_argument("--temperature", "-t", type=float, default=0.7)
     gen.add_argument("--dtype", choices=["f32", "f16", "bf16"])
+    gen.add_argument("--device-layers", type=int, default=None)
 
     chat = sub.add_parser("chat", help="multi-turn chat REPL")
     chat.add_argument("model")
@@ -172,13 +176,14 @@ def _pin_backend(device: str) -> None:
         jax.config.update("jax_platforms", "cpu")
 
 
-def _load_executor(model_path: str, dtype):
+def _load_executor(model_path: str, dtype, device_layers=None):
     from ..engine.executor import Executor
     from ..loader import load_model
     from ..tokenizer import load_tokenizer
 
     t0 = time.time()
-    model, app_cfg = load_model(model_path, dtype=dtype)
+    model, app_cfg = load_model(model_path, dtype=dtype,
+                                device_layers=device_layers)
     p = Path(model_path)
     gguf = p if p.suffix == ".gguf" else None
     tok = load_tokenizer(p.parent if p.is_file() else p, gguf_path=gguf)
@@ -212,7 +217,8 @@ def _print_stream(executor, prompt_ids, cfg) -> None:
 def cmd_run(args) -> int:
     from ..config.generation import GenerationConfig
 
-    ex = _load_executor(args.model, args.dtype)
+    ex = _load_executor(args.model, args.dtype,
+                        device_layers=getattr(args, "device_layers", None))
     if not args.no_warmup:
         ex.warmup()
     cfg = GenerationConfig(
@@ -272,7 +278,8 @@ def cmd_run(args) -> int:
 def cmd_generate(args) -> int:
     from ..config.generation import GenerationConfig
 
-    ex = _load_executor(args.model, args.dtype)
+    ex = _load_executor(args.model, args.dtype,
+                        device_layers=getattr(args, "device_layers", None))
     cfg = GenerationConfig(max_tokens=args.max_tokens,
                            temperature=args.temperature)
     _print_stream(ex, ex.tokenizer.encode(args.prompt), cfg)

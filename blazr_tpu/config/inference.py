@@ -63,6 +63,10 @@ class InferenceConfig:
     moe_offload: Optional[str] = None
     moe_gpu_experts: Optional[int] = None
 
+    # Layer offload (reference n-gpu-layers): layers resident on device;
+    # the rest live in host RAM and stream per step (engine/offload_stream).
+    num_device_layers: Optional[int] = None
+
     # Decode graphs: on TPU this toggles the AOT-compiled fixed-shape decode
     # step (the XLA analogue of CUDA graph capture — SURVEY §3.3).
     graphs: bool = True

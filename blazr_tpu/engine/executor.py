@@ -127,10 +127,45 @@ class Executor:
         def bind(fn):
             return lambda *a, **kw: fn(self.model.params, *a, **kw)
 
-        self._prefill_step = bind(prefill_step)
-        self._decode_step = bind(decode_step)
-        self._forward_step = bind(forward_step)
-        self._verify_step = bind(verify_step)
+        if getattr(model, "is_streaming", False):
+            # Host-offloaded layers stream in Python between per-layer
+            # jits (offload_stream.StreamingModel); the full step cannot
+            # be one jit, so compose model.forward + the jitted sampler.
+            def prefill_streaming(cache, tokens, positions, seq_lens,
+                                  last_idx):
+                logits, cache = model.forward(tokens, cache, positions,
+                                              seq_lens)
+                last = jnp.take_along_axis(
+                    logits, last_idx[:, None, None], axis=1)[:, 0, :]
+                return last, cache
+
+            def decode_streaming(cache, token, window, positions, seq_lens,
+                                 sp, bias_ids, bias_vals, grammar_mask,
+                                 use_mask=False):
+                logits, cache = model.forward(token, cache, positions,
+                                              seq_lens)
+                tok, chosen_lp, top_lp, top_ids = sample_only(
+                    logits[:, -1, :], window, sp, bias_ids, bias_vals,
+                    grammar_mask if use_mask else None)
+                return tok, cache, chosen_lp, top_lp, top_ids
+
+            def forward_streaming(cache, token, positions, seq_lens):
+                logits, cache = model.forward(token, cache, positions,
+                                              seq_lens)
+                return logits[:, -1, :], cache
+
+            def verify_streaming(cache, tokens, positions, seq_lens):
+                return model.forward(tokens, cache, positions, seq_lens)
+
+            self._prefill_step = prefill_streaming
+            self._decode_step = decode_streaming
+            self._forward_step = forward_streaming
+            self._verify_step = verify_streaming
+        else:
+            self._prefill_step = bind(prefill_step)
+            self._decode_step = bind(decode_step)
+            self._forward_step = bind(forward_step)
+            self._verify_step = bind(verify_step)
         self._sample_only = sample_only
 
     # ------------------------------------------------------------------

@@ -70,8 +70,14 @@ def resolve_config(source: ModelSource, vm: Optional[VarMap] = None) -> AppConfi
     return AppConfig.from_universal_with_dtype(model, "bf16")
 
 
-def load_model(path: str | Path, dtype: Optional[str] = None) -> tuple[Model, AppConfig]:
-    """Auto-detect and load a model (reference api.rs:20-34)."""
+def load_model(path: str | Path, dtype: Optional[str] = None,
+               device_layers: Optional[int] = None) -> tuple[Model, AppConfig]:
+    """Auto-detect and load a model (reference api.rs:20-34).
+
+    ``device_layers`` caps how many decoder layers stay device-resident
+    (reference n-gpu-layers); the remainder live in host RAM and stream
+    per step via ``engine.offload_stream.StreamingModel``.
+    """
     source = detect_model_source(path)
     logger.info("Loading %s model from %s (quant=%s)",
                 source.format.value, source.path, source.quant.value)
@@ -79,9 +85,19 @@ def load_model(path: str | Path, dtype: Optional[str] = None) -> tuple[Model, Ap
     app_cfg = resolve_config(source, vm)
     if dtype is not None:
         app_cfg.inference.dtype = dtype
+    if device_layers is None:
+        device_layers = app_cfg.inference.num_device_layers
     # Fill holes in the config from actual tensor shapes (e.g. vocab pad).
     _reconcile_config_with_weights(app_cfg.model, vm)
     model = build_model(app_cfg.model, vm, dtype=parse_dtype(app_cfg.inference.dtype))
+    if device_layers is not None and device_layers < model.num_layers:
+        from ..engine.offload_stream import maybe_stream
+        from .offloading import LayerDeviceMap
+
+        lm = LayerDeviceMap.with_device_layers(model.num_layers,
+                                               device_layers)
+        app_cfg.inference.num_device_layers = device_layers
+        model = maybe_stream(model, lm)
     return model, app_cfg
 
 
