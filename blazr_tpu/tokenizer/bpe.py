@@ -45,6 +45,7 @@ class BpeTokenizer:
         eos_token_id: Optional[int] = None,
     ):
         self.ranks = ranks
+        self._pattern_str = pattern
         self.pattern = regex.compile(pattern)
         self.special_tokens = special_tokens or {}
         self.bos_token_id = bos_token_id
@@ -61,12 +62,21 @@ class BpeTokenizer:
             self._special_re = None
         self._n_vocab = max(self._decoder) + 1 if self._decoder else 0
         self._native = None
+        self._native_mode = None     # 0 = gpt2 pattern, 1 = cl100k family
         try:
             from ..native.bpe_binding import NativeBpe
 
             self._native = NativeBpe(ranks)
+            # Fully-native path (pre-tokenize + merge in one C++ call) for
+            # the two patterns the native scanner replicates exactly.
+            if pattern == PATTERN_GPT2:
+                self._native_mode = 0
+            elif pattern in (PATTERN_CL100K, PATTERN_LLAMA3):
+                self._native_mode = 1
+            if self._native_mode is not None:
+                self._native.enable_pretokenizer()
         except Exception:
-            pass  # python merge loop fallback
+            self._native_mode = None  # python merge loop fallback
 
     # -- introspection -----------------------------------------------------
     @property
@@ -118,6 +128,10 @@ class BpeTokenizer:
 
     def encode_ordinary(self, text: str) -> list[int]:
         """Encode without special-token recognition."""
+        if (self._native is not None and self._native_mode is not None
+                and self._native.has_pretokenizer):
+            return self._native.encode_text(text.encode("utf-8"),
+                                            mode=self._native_mode)
         if self._native is not None:
             pieces = [m.group().encode("utf-8")
                       for m in self.pattern.finditer(text)]

@@ -258,3 +258,52 @@ def test_native_bpe_matches_python():
         tok2 = BpeTokenizer(_tiny_ranks())
         tok2._native = None
         assert native_ids == tok2.encode_ordinary(text), text
+
+
+def test_native_pretokenizer_matches_regex():
+    """The C++ scanner must agree with the `regex` engine exactly, for
+    both supported patterns, on adversarial inputs."""
+    import regex as regex_mod
+
+    from blazr_tpu.tokenizer.bpe import (
+        PATTERN_CL100K,
+        PATTERN_GPT2,
+        BpeTokenizer,
+    )
+
+    ranks = {bytes([b]): b for b in range(256)}
+    ranks[b"th"] = 256
+    ranks[b"the"] = 257
+    ranks[b"  "] = 258
+    ranks[b"'s"] = 259
+    cases = [
+        "Hello world!  It's a test.",
+        "don't DON'T 'll 'S",
+        "  spaces\ttabs\t\tdeep  1234 12 123",
+        "newlines\n\nand \n  \n mixed \r\n win",
+        "café über 中文  nbsp em",
+        "punct!!! ??? ''' !?x ' s 'x",
+        "trailing   ", "\n", " ", "", "'", "\r\n\r\n",
+    ]
+    for pat, mode in ((PATTERN_GPT2, 0), (PATTERN_CL100K, 1)):
+        tok = BpeTokenizer(ranks, pattern=pat)
+        if tok._native is None or tok._native_mode is None:
+            pytest.skip("native bpe unavailable")
+        rx = regex_mod.compile(pat)
+        for s in cases:
+            ref = []
+            for m in rx.finditer(s):
+                ref.extend(tok._bpe_merge(m.group().encode("utf-8")))
+            assert tok._native.encode_text(s.encode("utf-8"),
+                                           mode=mode) == ref, (pat[:20], s)
+
+
+def test_native_pretokenizer_end_to_end():
+    from blazr_tpu.tokenizer.bpe import PATTERN_CL100K, BpeTokenizer
+
+    ranks = {bytes([b]): b for b in range(256)}
+    tok = BpeTokenizer(ranks, pattern=PATTERN_CL100K,
+                       special_tokens={"<|eos|>": 256})
+    ids = tok.encode("hi <|eos|> there")
+    assert 256 in ids
+    assert tok.decode(ids) == "hi <|eos|> there"
