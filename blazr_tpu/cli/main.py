@@ -22,6 +22,12 @@ def build_parser() -> argparse.ArgumentParser:
         description="TPU-native quantized LLM inference engine",
     )
     p.add_argument("-v", "--verbose", action="store_true")
+    p.add_argument("--coordinator", default=None,
+                   help="multi-host coordinator address host:port")
+    p.add_argument("--num-processes", type=int, default=None,
+                   help="multi-host world size")
+    p.add_argument("--process-id", type=int, default=None,
+                   help="this process's rank in the multi-host world")
     p.add_argument("--device", choices=["auto", "tpu", "cpu"],
                    default=os.environ.get("BLAZR_TPU_DEVICE", "auto"),
                    help="compute backend (auto = TPU if healthy, else CPU)")
@@ -142,6 +148,20 @@ def main(argv=None) -> int:
         format="%(asctime)s %(levelname).1s %(name)s: %(message)s",
     )
     _pin_backend(args.device)
+    if args.coordinator or args.num_processes:
+        from ..parallel.multihost import init_distributed, is_primary
+
+        multi = init_distributed(args.coordinator, args.num_processes,
+                                 args.process_id)
+        if multi and args.command == "serve" and not is_primary():
+            print("serve: non-primary process in a multi-host world; "
+                  "HTTP binds on process 0 only. For multi-NODE serving "
+                  "use `swarm`/`disagg` (request routing over TCP).",
+                  file=sys.stderr)
+            sys.stderr.flush()
+            # Skip atexit: jax.distributed's shutdown barrier would wait
+            # forever for the (long-running) primary.
+            os._exit(2)
     return {
         "run": cmd_run, "generate": cmd_generate, "chat": cmd_chat,
         "serve": cmd_serve, "bench": cmd_bench, "info": cmd_info,

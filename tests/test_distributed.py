@@ -285,3 +285,52 @@ def test_disagg_matches_single_process(tmp_path):
         p.join(timeout=30)
     mesh.close()
     assert got == ref
+
+
+# ---------------------------------------------------------------------------
+# multi-host bring-up (jax.distributed over 2 local processes)
+# ---------------------------------------------------------------------------
+
+def _multihost_proc(coord, rank, q):
+    import os
+
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ.pop("XLA_FLAGS", None)      # 1 device per process
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from blazr_tpu.parallel.multihost import init_distributed, process_info
+
+    multi = init_distributed(coord, num_processes=2, process_id=rank)
+    import jax.numpy as jnp
+
+    # cross-process collective: psum over the global mesh
+    from jax.experimental.multihost_utils import process_allgather
+
+    got = process_allgather(jnp.asarray([rank + 1.0]))
+    q.put((rank, multi, process_info(), np.asarray(got).ravel().tolist()))
+
+
+@pytest.mark.slow
+def test_multihost_bringup_two_processes():
+    """Real jax.distributed rendezvous: 2 processes, 1 CPU device each,
+    cross-process allgather — the multi-host tier the reference drives
+    with MPI (SURVEY §2: tensor_parallel init)."""
+    coord = f"127.0.0.1:{_free_port()}"
+    ctx = mp.get_context("spawn")
+    q = ctx.Queue()
+    procs = [ctx.Process(target=_multihost_proc, args=(coord, r, q),
+                         daemon=True) for r in range(2)]
+    for p in procs:
+        p.start()
+    results = {}
+    for _ in range(2):
+        rank, multi, info, gathered = q.get(timeout=120)
+        results[rank] = (multi, info, gathered)
+    for p in procs:
+        p.join(timeout=30)
+    for rank, (multi, info, gathered) in results.items():
+        assert multi is True
+        assert info["process_count"] == 2
+        assert info["global_devices"] == 2
+        assert sorted(gathered) == [1.0, 2.0]
