@@ -98,6 +98,17 @@ def _ssm_scan(cfg: UniversalConfig, x: jax.Array, b_in: jax.Array,
     bh = jnp.repeat(bg, heads_per_group, axis=2)                      # [B,T,H,N]
     ch = jnp.repeat(cg, heads_per_group, axis=2)
 
+    if t > _CHUNK:
+        y, final_state = _scan_chunked(xh, bh, ch, dt, a, ssm_state)
+    else:
+        y, final_state = _scan_associative(xh, bh, ch, dt, a, ssm_state)
+    y = y + params["D"].astype(jnp.float32)[None, None, :, None] * xh
+    return y.reshape(bsz, t, h * hd), final_state
+
+
+def _scan_associative(xh, bh, ch, dt, a, ssm_state):
+    """Direct associative scan — materializes the per-step state
+    trajectory [T,B,H,hd,N] (fine for short T / single-token decode)."""
     decay = jnp.exp(dt * a[None, None, :])                            # [B,T,H]
     # contribution[t] = dt[t] * x[t] ⊗ B[t]  → [B,T,H,hd,N]
     contrib = (dt[..., None, None] * xh[..., :, None]
@@ -117,9 +128,75 @@ def _ssm_scan(cfg: UniversalConfig, x: jax.Array, b_in: jax.Array,
     states_t = states_t + cumdec[..., None, None] * ssm_state[None]
     y = jnp.einsum("tbhn,tbhdn->tbhd", jnp.moveaxis(ch, 1, 0), states_t)
     y = jnp.moveaxis(y, 0, 1)                                          # [B,T,H,hd]
-    y = y + params["D"].astype(jnp.float32)[None, None, :, None] * xh
-    final_state = states_t[-1]
-    return y.reshape(bsz, t, h * hd), final_state
+    return y, states_t[-1]
+
+
+_CHUNK = 128     # SSD chunk length (MXU-friendly; [Q,Q] decay-mask matmuls)
+
+
+def _scan_chunked(xh, bh, ch, dt, a, ssm_state):
+    """Chunked SSD scan (the Mamba2 paper's 'state-space dual' form; the
+    XLA analogue of the reference's chunked CUDA scan): within a chunk
+    the recurrence is a causal [Q,Q] matmul, across chunks a short scan
+    over [B,H,hd,N] states. Memory O(T·Q) instead of O(T·hd·N), and the
+    FLOPs land on the MXU as batched matmuls.
+
+    y[t] = Σ_{s≤t} exp(L_t − L_s)·(C_t·B_s)·dt_s·x_s  +  exp(L_t)·(C_t·S_prev)
+    """
+    bsz, t, h, hd = xh.shape
+    n = bh.shape[-1]
+    q = _CHUNK
+    pad = (-t) % q
+    if pad:
+        zlike = lambda arr: jnp.pad(arr, [(0, 0), (0, pad)] +
+                                    [(0, 0)] * (arr.ndim - 2))
+        xh_, bh_, ch_, dt_ = map(zlike, (xh, bh, ch, dt))
+    else:
+        xh_, bh_, ch_, dt_ = xh, bh, ch, dt
+    tt = t + pad
+    nc = tt // q
+    xc = xh_.reshape(bsz, nc, q, h, hd)
+    bc = bh_.reshape(bsz, nc, q, h, n)
+    cc = ch_.reshape(bsz, nc, q, h, n)
+    dc = dt_.reshape(bsz, nc, q, h)
+
+    ldec = dc * a[None, None, None, :]                      # log decay ≤ 0
+    lcum = jnp.cumsum(ldec, axis=2)                         # [B,NC,Q,H]
+
+    # intra-chunk: att[b,c,h,t,s] = exp(L_t − L_s)·(C_t·B_s)·dt_s, s ≤ t
+    cb = jnp.einsum("bcthn,bcshn->bchts", cc, bc)
+    ldiff = lcum[..., :, None, :] - lcum[..., None, :, :]   # [B,NC,T,S,H]
+    ldiff = jnp.moveaxis(ldiff, -1, 2)                      # [B,NC,H,T,S]
+    mask = jnp.tril(jnp.ones((q, q), dtype=bool))
+    att = jnp.where(mask, jnp.exp(ldiff) * cb, 0.0)
+    att = att * jnp.moveaxis(dc, -1, 2)[..., None, :]       # × dt_s
+    y_intra = jnp.einsum("bchts,bcshd->bcthd", att, xc)
+
+    # per-chunk state contribution and total decay
+    lend = lcum[:, :, -1:, :]                               # [B,NC,1,H]
+    wdt = dc * jnp.exp(lend - lcum)                         # [B,NC,Q,H]
+    chunk_state = jnp.einsum("bcsh,bcshd,bcshn->bchdn", wdt, xc, bc)
+    chunk_decay = jnp.exp(lend[:, :, 0, :])                 # [B,NC,H]
+
+    # states across chunks: S_{c+1} = chunk_decay[c]·S_c + chunk_state[c]
+    def step(s_prev, inp):
+        d, cs = inp
+        s_next = d[..., None, None] * s_prev + cs
+        return s_next, s_prev                               # emit S BEFORE c
+
+    _, s_before = jax.lax.scan(
+        step, ssm_state,
+        (jnp.moveaxis(chunk_decay, 1, 0), jnp.moveaxis(chunk_state, 1, 0)))
+    s_before = jnp.moveaxis(s_before, 0, 1)                 # [B,NC,H,hd,N]
+
+    # inter-chunk: y[t] += exp(L_t)·(C_t·S_before)
+    y_inter = jnp.einsum("bcthn,bchdn->bcthd",
+                         cc * jnp.exp(lcum)[..., None], s_before)
+
+    y = (y_intra + y_inter).reshape(bsz, tt, h, hd)[:, :t]
+    final_state = (chunk_decay[:, -1, :, None, None] * s_before[:, -1]
+                   + chunk_state[:, -1])
+    return y, final_state
 
 
 def mamba2_block(params: dict[str, Any], cfg: UniversalConfig, x: jax.Array,

@@ -114,3 +114,44 @@ def test_greedy_decode_matches_transformers(hf_checkpoint):
             jnp.asarray([[4 + step]], dtype=jnp.int32))
         cur = int(np.asarray(logits)[0, -1].argmax())
     np.testing.assert_array_equal(np.array(toks), ref)
+
+
+def test_chunked_scan_matches_associative(rng):
+    """The SSD chunked scan (prefill path, T>128) must match the direct
+    associative scan at float32 tolerance, including initial-state carry
+    and non-multiple chunk lengths."""
+    import jax
+    import jax.numpy as jnp
+
+    from blazr_tpu.models import mamba2 as m
+
+    B, T, H, HD, N = 2, 200, 3, 4, 8
+    xh = jnp.asarray(rng.standard_normal((B, T, H, HD)), dtype=jnp.float32)
+    bh = jnp.asarray(rng.standard_normal((B, T, H, N)), dtype=jnp.float32)
+    ch = jnp.asarray(rng.standard_normal((B, T, H, N)), dtype=jnp.float32)
+    dt = jnp.asarray(rng.uniform(0.01, 0.5, (B, T, H)), dtype=jnp.float32)
+    a = jnp.asarray(-rng.uniform(0.5, 2.0, (H,)), dtype=jnp.float32)
+    s0 = jnp.asarray(rng.standard_normal((B, H, HD, N)), dtype=jnp.float32)
+
+    y_ref, s_ref = m._scan_associative(xh, bh, ch, dt, a, s0)
+    y_chk, s_chk = m._scan_chunked(xh, bh, ch, dt, a, s0)
+    np.testing.assert_allclose(np.asarray(y_chk), np.asarray(y_ref),
+                               atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(s_chk), np.asarray(s_ref),
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_long_prefill_chunked_matches_transformers(hf_checkpoint):
+    """T=160 prefill exercises the chunked SSD path; logits must still
+    match the torch reference."""
+    path, hf = hf_checkpoint
+    model, _ = load_model(path, dtype="f32")
+    rng = np.random.default_rng(9)
+    ids = rng.integers(0, 255, size=(1, 160))
+    with torch.no_grad():
+        ref = hf(torch.tensor(ids)).logits.numpy()
+    state = model.init_cache(1, 256)
+    pos = np.arange(160, dtype=np.int32)[None, :]
+    logits, _ = model.forward(jnp.asarray(ids, dtype=jnp.int32), state,
+                              jnp.asarray(pos))
+    np.testing.assert_allclose(np.asarray(logits), ref, atol=2e-3, rtol=2e-3)
