@@ -90,6 +90,9 @@ def build_parser() -> argparse.ArgumentParser:
     bench.add_argument("--runs", type=int, default=3)
     bench.add_argument("--json", dest="json_out", help="write JSON results to file")
     bench.add_argument("--dtype", choices=["f32", "f16", "bf16"])
+    bench.add_argument("--profile", metavar="DIR",
+                       help="capture a jax.profiler trace (view with "
+                            "TensorBoard / xprof)")
 
     info = sub.add_parser("info", help="show checkpoint metadata")
     info.add_argument("model")
@@ -376,13 +379,23 @@ def cmd_bench(args) -> int:
     from ..config.generation import GenerationConfig
     from ..engine.bench import run_benchmark
 
-    results = run_benchmark(
-        model_path=args.model,
-        prompt_lens=[int(x) for x in args.prompt_lens.split(",")],
-        decode_tokens=args.decode_tokens,
-        runs=args.runs,
-        dtype=args.dtype,
-    )
+    import contextlib
+
+    prof: contextlib.AbstractContextManager = contextlib.nullcontext()
+    if args.profile:
+        import jax
+
+        prof = jax.profiler.trace(args.profile)
+    with prof:
+        results = run_benchmark(
+            model_path=args.model,
+            prompt_lens=[int(x) for x in args.prompt_lens.split(",")],
+            decode_tokens=args.decode_tokens,
+            runs=args.runs,
+            dtype=args.dtype,
+        )
+    if args.profile:
+        print(f"profiler trace written to {args.profile}", file=sys.stderr)
     print(json.dumps(results, indent=2))
     if args.json_out:
         Path(args.json_out).write_text(json.dumps(results, indent=2))

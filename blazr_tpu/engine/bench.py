@@ -134,9 +134,9 @@ def run_benchmark(model_path: Optional[str] = None,
 
         model = synth_model(tiny_llama_config(), quant="dense",
                             dtype=jnp.float32)
-        from tests_helpers import ByteTok  # type: ignore
+        from ..tokenizer.byte_tok import ByteTokenizer
 
-        executor = Executor(model, ByteTok())
+        executor = Executor(model, ByteTokenizer())
         name = "synthetic-tiny"
 
     results = {
