@@ -51,6 +51,9 @@ def build_parser() -> argparse.ArgumentParser:
     run.add_argument("--draft-model", help="enable speculative decoding "
                      "with this draft model")
     run.add_argument("--num-speculative-tokens", type=int, default=5)
+    run.add_argument("--prompt-lookup", action="store_true",
+                     help="draft-model-free speculation: draft from n-gram "
+                          "matches in the sequence's own history")
 
     gen = sub.add_parser("generate", help="alias of run --prompt")
     gen.add_argument("model")
@@ -253,6 +256,23 @@ def cmd_run(args) -> int:
         g = Path(args.grammar)
         cfg.grammar = g.read_text() if g.exists() else args.grammar
     if args.prompt:
+        if getattr(args, "prompt_lookup", False):
+            from ..engine.speculative import PromptLookupExecutor
+
+            spec = PromptLookupExecutor(
+                ex, num_speculative_tokens=args.num_speculative_tokens)
+            import time as _t
+
+            t0 = _t.time()
+            n = 0
+            for gt in spec.generate(ex.tokenizer.encode(args.prompt), cfg):
+                print(gt.text, end="", flush=True)
+                n += 1
+            dt = _t.time() - t0
+            print(f"\n[{n} tokens, {n/max(dt,1e-9):.1f} tok/s, "
+                  f"acceptance {spec.stats.acceptance_rate:.0%}]",
+                  file=sys.stderr)
+            return 0
         if getattr(args, "draft_model", None):
             from ..config.inference import SpeculativeDecodingConfig
             from ..engine.speculative import SpeculativeExecutor

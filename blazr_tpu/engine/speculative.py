@@ -9,7 +9,10 @@ resamples from the target. Adaptive depth grows/shrinks k with the
 acceptance rate (reference SpeculativeConfig.adaptive_depth).
 
 Greedy verification (temperature 0) gives exact target-distribution
-output; sampled verification uses standard rejection sampling.
+output; sampled verification uses standard rejection sampling. Both
+speculative paths verify with PURE argmax — run them with the
+penalty-free greedy preset (``GenerationConfig.greedy()``); repeat
+penalties would need per-position host reapplication inside the block.
 """
 
 from __future__ import annotations
@@ -58,6 +61,12 @@ class SpeculativeExecutor:
                  ) -> Iterator[GeneratedToken]:
         """Greedy speculative generation (exact target parity)."""
         k = self.cfg.num_speculative_tokens
+        if (gen_cfg.repeat_penalty != 1.0 or gen_cfg.frequency_penalty
+                or gen_cfg.presence_penalty):
+            logger.warning(
+                "speculative verification is pure argmax; repeat/frequency/"
+                "presence penalties are ignored (set repeat_penalty=1.0 to "
+                "silence)")
         max_new = gen_cfg.max_tokens
         capacity = min(self.target.capacity, self.draft.capacity)
 
@@ -149,6 +158,105 @@ class SpeculativeExecutor:
         return dataclasses.replace(
             cache, length=jnp.minimum(
                 cache.length, jnp.asarray([length], dtype=jnp.int32)))
+
+    def _text(self, tok: int) -> str:
+        try:
+            return self.target.tokenizer.decode([tok])
+        except Exception:
+            return ""
+
+
+class PromptLookupExecutor:
+    """Draft-model-free speculation: drafts are copied from the sequence's
+    own history (prompt-lookup / n-gram speculation). The longest recent
+    n-gram that re-occurs earlier in the context proposes its historical
+    continuation; the target verifies in one forward exactly like the
+    draft-model path.
+
+    Wins on extractive/repetitive workloads (RAG quoting, code edits,
+    JSON echoing) with ZERO extra model memory — a mode the reference
+    lacks (speculative.rs requires a draft checkpoint)."""
+
+    def __init__(self, target, num_speculative_tokens: int = 8,
+                 ngram_max: int = 3, ngram_min: int = 1):
+        self.target = target
+        self.k = num_speculative_tokens
+        self.ngram_max = ngram_max
+        self.ngram_min = ngram_min
+        self.stats = SpeculativeStats()
+
+    def _draft(self, tokens: list[int], budget: int) -> list[int]:
+        """Find the most recent earlier occurrence of the longest trailing
+        n-gram and copy its continuation."""
+        t = len(tokens)
+        for n in range(min(self.ngram_max, t - 1), self.ngram_min - 1, -1):
+            tail = tokens[t - n:]
+            # scan most-recent-first, excluding the trailing match itself
+            for s in range(t - n - 1, -1, -1):
+                if tokens[s:s + n] == tail:
+                    cont = tokens[s + n: s + n + budget]
+                    if cont:
+                        return cont
+        return []
+
+    def generate(self, prompt_ids: list[int], gen_cfg: GenerationConfig
+                 ) -> Iterator[GeneratedToken]:
+        """Greedy prompt-lookup generation (exact target parity)."""
+        if (gen_cfg.repeat_penalty != 1.0 or gen_cfg.frequency_penalty
+                or gen_cfg.presence_penalty):
+            logger.warning(
+                "speculative verification is pure argmax; repeat/frequency/"
+                "presence penalties are ignored (set repeat_penalty=1.0 to "
+                "silence)")
+        max_new = gen_cfg.max_tokens
+        capacity = self.target.capacity
+        cache = self.target.model.init_cache(1, capacity)
+        last, cache = self.target.prefill(cache, prompt_ids)
+
+        tokens = list(prompt_ids)
+        emitted = 0
+        cur = int(np.asarray(last)[0].argmax())
+
+        while emitted < max_new and len(tokens) + 1 < capacity:
+            yield GeneratedToken(token_id=cur, text=self._text(cur))
+            emitted += 1
+            tokens.append(cur)
+            if self.target.tokenizer.is_eos(cur) or emitted >= max_new:
+                return
+
+            pos = len(tokens) - 1
+            budget = min(self.k, capacity - len(tokens) - 1,
+                         max_new - emitted)
+            draft_toks = self._draft(tokens, budget)
+            self.stats.drafted += len(draft_toks)
+            self.stats.rounds += 1
+
+            block = [cur] + draft_toks
+            positions = np.arange(pos, pos + len(block), dtype=np.int32)[None, :]
+            t_logits, cache = self.target._verify_step(
+                cache, jnp.asarray([block], dtype=jnp.int32),
+                jnp.asarray(positions),
+                jnp.asarray([pos + len(block)], dtype=np.int32))
+            t_greedy = np.asarray(t_logits)[0].argmax(axis=-1)
+
+            n_accept = 0
+            for j, d_tok in enumerate(draft_toks):
+                if int(t_greedy[j]) == d_tok:
+                    n_accept += 1
+                else:
+                    break
+            self.stats.accepted += n_accept
+            self.stats.rejected += len(draft_toks) - n_accept
+
+            for j in range(n_accept):
+                tok = draft_toks[j]
+                yield GeneratedToken(token_id=tok, text=self._text(tok))
+                emitted += 1
+                tokens.append(tok)
+                if self.target.tokenizer.is_eos(tok) or emitted >= max_new:
+                    return
+            cur = int(t_greedy[n_accept])
+            cache = SpeculativeExecutor._trim(cache, len(tokens))
 
     def _text(self, tok: int) -> str:
         try:
