@@ -51,6 +51,9 @@ def build_parser() -> argparse.ArgumentParser:
     run.add_argument("--draft-model", help="enable speculative decoding "
                      "with this draft model")
     run.add_argument("--num-speculative-tokens", type=int, default=5)
+    run.add_argument("--kv-cache-dtype", choices=["auto", "int8"],
+                     default="auto", help="int8 halves KV-cache HBM "
+                     "traffic (contiguous cache)")
     run.add_argument("--prompt-lookup", action="store_true",
                      help="draft-model-free speculation: draft from n-gram "
                           "matches in the sequence's own history")
@@ -202,7 +205,8 @@ def _pin_backend(device: str) -> None:
         jax.config.update("jax_platforms", "cpu")
 
 
-def _load_executor(model_path: str, dtype, device_layers=None):
+def _load_executor(model_path: str, dtype, device_layers=None,
+                   kv_cache_dtype=None):
     from ..engine.executor import Executor
     from ..loader import load_model
     from ..tokenizer import load_tokenizer
@@ -210,6 +214,8 @@ def _load_executor(model_path: str, dtype, device_layers=None):
     t0 = time.time()
     model, app_cfg = load_model(model_path, dtype=dtype,
                                 device_layers=device_layers)
+    if kv_cache_dtype:
+        app_cfg.inference.kv_cache_dtype = kv_cache_dtype
     p = Path(model_path)
     gguf = p if p.suffix == ".gguf" else None
     tok = load_tokenizer(p.parent if p.is_file() else p, gguf_path=gguf)
@@ -244,7 +250,8 @@ def cmd_run(args) -> int:
     from ..config.generation import GenerationConfig
 
     ex = _load_executor(args.model, args.dtype,
-                        device_layers=getattr(args, "device_layers", None))
+                        device_layers=getattr(args, "device_layers", None),
+                        kv_cache_dtype=getattr(args, "kv_cache_dtype", None))
     if not args.no_warmup:
         ex.warmup()
     cfg = GenerationConfig(

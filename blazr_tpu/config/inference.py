@@ -32,6 +32,9 @@ class InferenceConfig:
 
     # KV cache
     kv_cache: bool = True
+    # auto (model dtype) | int8 (per-token-per-head absmax, halves KV HBM
+    # traffic; contiguous cache only)
+    kv_cache_dtype: str = "auto"
     max_batch_size: int = 8
     max_seq_len: Optional[int] = None
 

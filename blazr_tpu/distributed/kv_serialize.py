@@ -68,17 +68,26 @@ def deserialize_arrays(data: bytes) -> list[np.ndarray]:
 
 
 def serialize_kv_cache(cache) -> bytes:
-    """Contiguous KVCache → bytes (reference serialize_kv_cache)."""
-    return serialize_arrays([
-        np.asarray(cache.k), np.asarray(cache.v),
-        np.asarray(cache.length).astype(np.int32),
-    ])
+    """Contiguous KVCache → bytes (reference serialize_kv_cache).
+
+    int8 caches append their scale planes (wire format is
+    self-describing: 3 arrays = float cache, 5 = quantized)."""
+    arrays = [np.asarray(cache.k), np.asarray(cache.v),
+              np.asarray(cache.length).astype(np.int32)]
+    if getattr(cache, "k_scale", None) is not None:
+        arrays += [np.asarray(cache.k_scale), np.asarray(cache.v_scale)]
+    return serialize_arrays(arrays)
 
 
 def deserialize_kv_cache(data: bytes):
     from ..kvcache.contiguous import KVCache
     import jax.numpy as jnp
 
-    k, v, length = deserialize_arrays(data)
+    arrays = deserialize_arrays(data)
+    k, v, length = arrays[:3]
+    scales = {}
+    if len(arrays) == 5:
+        scales = dict(k_scale=jnp.asarray(arrays[3]),
+                      v_scale=jnp.asarray(arrays[4]))
     return KVCache(k=jnp.asarray(k), v=jnp.asarray(v),
-                   length=jnp.asarray(length, dtype=jnp.int32))
+                   length=jnp.asarray(length, dtype=jnp.int32), **scales)

@@ -187,6 +187,20 @@ class Executor:
         return make_grammar_state(src, self.vocab_bytes(),
                                   eos_token_id=self.tokenizer.eos_token_id)
 
+    def _init_cache(self, batch: int):
+        """Model cache honoring inference.kv_cache_dtype (int8 KV is
+        contiguous-cache only; other backends ignore it)."""
+        kv_quant = (self.app_cfg.inference.kv_cache_dtype == "int8"
+                    and not self.model.needs_ssm_state
+                    and self.model.cfg.attention is not None
+                    and not self.model.cfg.attention.is_mla
+                    and not self.model.cfg.hybrid_layers)
+        try:
+            return self.model.init_cache(batch, self.capacity,
+                                         kv_quant=kv_quant)
+        except TypeError:      # model types without the kv_quant arg
+            return self.model.init_cache(batch, self.capacity)
+
     # ------------------------------------------------------------------
     def prefill(self, cache, prompt_ids: list[int], start_pos: int = 0):
         """Bucketed prefill. Returns (last_logits [1, V] device, cache)."""
@@ -243,7 +257,7 @@ class Executor:
 
         backend = ("mamba2" if self.model.needs_ssm_state and
                    not self.model.needs_kv_cache else "contiguous")
-        cache = self.model.init_cache(1, self.capacity)
+        cache = self._init_cache(1)
         t0 = time.time()
         with tracing_span("prefill", backend=backend,
                           tokens=len(prompt_ids)):

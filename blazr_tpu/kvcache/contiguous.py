@@ -21,9 +21,19 @@ import jax.numpy as jnp
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class KVCache:
-    k: jax.Array                      # [L, B, S, H_kv, D]
+    k: jax.Array                      # [L, B, S, H_kv, D] (bf16/f16/f32 or int8)
     v: jax.Array                      # [L, B, S, H_kv, D]
     length: jax.Array                 # [B] int32 — valid entries per sequence
+    # int8 KV mode: per-token-per-head absmax scales (None = float mode).
+    # Halves KV HBM traffic at decode; scales fold into the attention
+    # matmuls (score *= k_scale_s, probs *= v_scale_s) so the int8 planes
+    # are never materialized as floats.
+    k_scale: Optional[jax.Array] = None   # [L, B, S, H_kv] f32
+    v_scale: Optional[jax.Array] = None
+
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
 
     @property
     def num_layers(self) -> int:
@@ -46,17 +56,34 @@ class KVCache:
         return self.k.shape[2] - 1
 
     def reset(self) -> "KVCache":
-        return KVCache(k=self.k, v=self.v, length=jnp.zeros_like(self.length))
+        return dataclasses.replace(self, length=jnp.zeros_like(self.length))
 
 
 def init_kv_cache(num_layers: int, batch: int, capacity: int, kv_heads: int,
-                  head_dim: int, dtype=jnp.bfloat16) -> KVCache:
+                  head_dim: int, dtype=jnp.bfloat16,
+                  quantized: bool = False) -> KVCache:
     shape = (num_layers, batch, capacity + 1, kv_heads, head_dim)
+    if quantized:
+        return KVCache(
+            k=jnp.zeros(shape, dtype=jnp.int8),
+            v=jnp.zeros(shape, dtype=jnp.int8),
+            length=jnp.zeros((batch,), dtype=jnp.int32),
+            k_scale=jnp.zeros(shape[:4], dtype=jnp.float32),
+            v_scale=jnp.zeros(shape[:4], dtype=jnp.float32),
+        )
     return KVCache(
         k=jnp.zeros(shape, dtype=dtype),
         v=jnp.zeros(shape, dtype=dtype),
         length=jnp.zeros((batch,), dtype=jnp.int32),
     )
+
+
+def _quantize_tokens(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """[B, T, H, D] float → (int8 values, [B, T, H] scales)."""
+    xf = x.astype(jnp.float32)
+    scale = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1), 1e-8) / 127.0
+    q = jnp.clip(jnp.round(xf / scale[..., None]), -127, 127).astype(jnp.int8)
+    return q, scale
 
 
 def write_layer(cache: KVCache, layer: int, k_new: jax.Array, v_new: jax.Array,
@@ -68,9 +95,19 @@ def write_layer(cache: KVCache, layer: int, k_new: jax.Array, v_new: jax.Array,
     """
     b = k_new.shape[0]
     batch_idx = jnp.arange(b, dtype=jnp.int32)[:, None]          # [B, 1]
+    if cache.quantized:
+        kq, ks = _quantize_tokens(k_new)
+        vq, vs = _quantize_tokens(v_new)
+        return dataclasses.replace(
+            cache,
+            k=cache.k.at[layer, batch_idx, positions].set(kq),
+            v=cache.v.at[layer, batch_idx, positions].set(vq),
+            k_scale=cache.k_scale.at[layer, batch_idx, positions].set(ks),
+            v_scale=cache.v_scale.at[layer, batch_idx, positions].set(vs),
+        )
     k = cache.k.at[layer, batch_idx, positions].set(k_new.astype(cache.k.dtype))
     v = cache.v.at[layer, batch_idx, positions].set(v_new.astype(cache.v.dtype))
-    return KVCache(k=k, v=v, length=cache.length)
+    return dataclasses.replace(cache, k=k, v=v)
 
 
 def advance(cache: KVCache, positions: jax.Array,
@@ -84,4 +121,4 @@ def advance(cache: KVCache, positions: jax.Array,
         new_len = jnp.maximum(cache.length, seq_lens)
     else:
         new_len = jnp.maximum(cache.length, jnp.max(positions, axis=-1) + 1)
-    return KVCache(k=cache.k, v=cache.v, length=new_len.astype(jnp.int32))
+    return dataclasses.replace(cache, length=new_len.astype(jnp.int32))

@@ -160,6 +160,8 @@ def attend(
     sliding_window: Optional[int] = None,
     logit_softcap: Optional[float] = None,
     scale: Optional[float] = None,
+    k_scale: Optional[jax.Array] = None,   # [B, S, H_kv] int8-KV dequant
+    v_scale: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Masked scaled-dot-product attention over a fixed-length cache.
 
@@ -176,6 +178,12 @@ def attend(
 
     qf = (q * scale).astype(jnp.float32)
     logits = jnp.einsum("bthd,bshd->bhts", qf, k.astype(jnp.float32))
+    if k_scale is not None:
+        # int8 KV: fold the per-key scale into the scores AFTER the dot
+        # (score_s = (q·k_i8[s]) * scale_s) — the int8 plane is read from
+        # HBM directly, never dequantized to a float buffer.
+        ks = jnp.repeat(k_scale, n_rep, axis=2)                   # [B,S,H]
+        logits = logits * jnp.transpose(ks, (0, 2, 1))[:, :, None, :]
     if logit_softcap is not None:
         logits = jnp.tanh(logits / logit_softcap) * logit_softcap
 
@@ -187,8 +195,16 @@ def attend(
         mask = mask & (kv_pos[:, None, :] > q_positions[:, :, None] - sliding_window)
     logits = jnp.where(mask[:, None, :, :], logits, -1e30)
 
-    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-    out = jnp.einsum("bhts,bshd->bthd", probs, v)
+    probs = jax.nn.softmax(logits, axis=-1)
+    if v_scale is not None:
+        # fold the per-value scale into the probabilities
+        vs = jnp.repeat(v_scale, n_rep, axis=2)                   # [B,S,H]
+        probs = probs * jnp.transpose(vs, (0, 2, 1))[:, :, None, :]
+        out = jnp.einsum("bhts,bshd->bthd", probs,
+                         v.astype(jnp.float32))
+    else:
+        probs = probs.astype(v.dtype)
+        out = jnp.einsum("bhts,bshd->bthd", probs, v)
     return out.astype(q.dtype)
 
 

@@ -80,6 +80,8 @@ def attention_block(
         kv_len=kv_len,
         sliding_window=att.sliding_window,
         logit_softcap=cfg.attn_logit_softcapping,
+        k_scale=cache.k_scale[layer] if cache.quantized else None,
+        v_scale=cache.v_scale[layer] if cache.quantized else None,
     )
     out = out.reshape(b, t, n_heads * head_dim)
     return linear(out, p["o"], p.get("o_bias")), cache

@@ -181,7 +181,8 @@ class Model:
         return self.cfg.needs_kv_cache
 
     # ---- cache management ------------------------------------------------
-    def init_cache(self, batch: int, capacity: int) -> Any:
+    def init_cache(self, batch: int, capacity: int,
+                   kv_quant: bool = False) -> Any:
         if self.cfg.model_type in ("mamba2", "mamba3"):
             from ..kvcache.ssm_state import init_ssm_state
 
@@ -196,7 +197,7 @@ class Model:
             return init_mla_cache(self.cfg, batch, capacity, dtype=self.dtype)
         return init_kv_cache(
             self.num_layers, batch, capacity, self.num_kv_heads, self.head_dim,
-            dtype=self.dtype,
+            dtype=self.dtype, quantized=kv_quant,
         )
 
     # ---- forward ---------------------------------------------------------
