@@ -30,10 +30,13 @@ from jax.experimental.pallas import tpu as pltpu
 from ..kvcache.paged import PAD_BLOCK
 
 
-def _pa_kernel(bt_ref, sl_ref, q_ref, k_ref, v_ref, o_ref,
-               m_ref, l_ref, acc_ref, *,
+def _pa_kernel(bt_ref, sl_ref, q_ref, k_ref, v_ref, *rest,
                block_size: int, max_blocks: int, heads_per_group: int,
-               scale: float):
+               scale: float, quantized: bool = False):
+    if quantized:
+        ks_ref, vs_ref, o_ref, m_ref, l_ref, acc_ref = rest
+    else:
+        o_ref, m_ref, l_ref, acc_ref = rest
     b = pl.program_id(0)
     g = pl.program_id(1)            # kv-head index
     t = pl.program_id(2)            # block-table slot
@@ -55,6 +58,13 @@ def _pa_kernel(bt_ref, sl_ref, q_ref, k_ref, v_ref, o_ref,
         v = v_ref[0, :, 0, :].astype(jnp.float32)
 
         logits = jnp.dot(q, k.T, preferred_element_type=jnp.float32)  # [Hg, BS]
+        if quantized:
+            # int8 KV: per-key scales, this kv-head's column selected with
+            # an iota mask (dynamic lane indexing does not lower).
+            ks = ks_ref[0]                               # [BS, H_kv]
+            lane = jax.lax.broadcasted_iota(jnp.int32, ks.shape, 1)
+            ks_g = jnp.sum(jnp.where(lane == g, ks, 0.0), axis=1)  # [BS]
+            logits = logits * ks_g[None, :]
         pos = t * block_size + jax.lax.broadcasted_iota(
             jnp.int32, (1, block_size), 1)
         mask = pos < seq_len
@@ -68,8 +78,15 @@ def _pa_kernel(bt_ref, sl_ref, q_ref, k_ref, v_ref, o_ref,
         p = jnp.where(mask, p, 0.0)
         l_ref[...] = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
         m_ref[...] = m_new
+        if quantized:
+            vs = vs_ref[0]                               # [BS, H_kv]
+            lane_v = jax.lax.broadcasted_iota(jnp.int32, vs.shape, 1)
+            vs_g = jnp.sum(jnp.where(lane_v == g, vs, 0.0), axis=1)
+            p_sc = p * vs_g[None, :]
+        else:
+            p_sc = p
         acc_ref[...] = acc_ref[...] * alpha + jnp.dot(
-            p, v, preferred_element_type=jnp.float32)
+            p_sc, v, preferred_element_type=jnp.float32)
 
     @pl.when(t == max_blocks - 1)
     def _done():
@@ -91,6 +108,8 @@ def paged_attention_decode(
     block_size: int,
     num_blocks: int,
     interpret: bool = False,
+    k_scale=None,                 # [NB*BS(+1), H_kv] f32 (int8 KV mode)
+    v_scale=None,
 ) -> jax.Array:
     b, h_q, d = q.shape
     h_kv = k_cache.shape[1]
@@ -110,19 +129,38 @@ def paged_attention_decode(
     # past the sequence's last block).
     bt = jnp.where(block_tables == PAD_BLOCK, 0, block_tables).astype(jnp.int32)
 
+    quantized = k_scale is not None
+    in_specs = [
+        pl.BlockSpec((1, 1, hpg, d), lambda b, g, t, bt, sl: (b, g, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_size, 1, d),
+                     lambda b, g, t, bt, sl: (bt[b, t], 0, g, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_size, 1, d),
+                     lambda b, g, t, bt, sl: (bt[b, t], 0, g, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [qg, k4, v4]
+    if quantized:
+        ks3 = k_scale[: num_blocks * block_size].reshape(
+            num_blocks, block_size, h_kv)
+        vs3 = v_scale[: num_blocks * block_size].reshape(
+            num_blocks, block_size, h_kv)
+        # whole [BS, H_kv] scale tile per block (lane dim full: H_kv < 128)
+        in_specs += [
+            pl.BlockSpec((1, block_size, h_kv),
+                         lambda b, g, t, bt, sl: (bt[b, t], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_size, h_kv),
+                         lambda b, g, t, bt, sl: (bt[b, t], 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        operands += [ks3, vs3]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,          # block tables + seq lens
         grid=(b, h_kv, mb),
-        in_specs=[
-            pl.BlockSpec((1, 1, hpg, d), lambda b, g, t, bt, sl: (b, g, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_size, 1, d),
-                         lambda b, g, t, bt, sl: (bt[b, t], 0, g, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_size, 1, d),
-                         lambda b, g, t, bt, sl: (bt[b, t], 0, g, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 1, hpg, d),
                                lambda b, g, t, bt, sl: (b, g, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -134,7 +172,7 @@ def paged_attention_decode(
     )
     kernel = functools.partial(
         _pa_kernel, block_size=block_size, max_blocks=mb,
-        heads_per_group=hpg, scale=scale,
+        heads_per_group=hpg, scale=scale, quantized=quantized,
     )
     out = pl.pallas_call(
         kernel,
@@ -144,7 +182,7 @@ def paged_attention_decode(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
-    )(bt, seq_lens.astype(jnp.int32), qg, k4, v4)
+    )(bt, seq_lens.astype(jnp.int32), *operands)
     return out.reshape(b, h_q, d)
 
 

@@ -88,6 +88,8 @@ def build_parser() -> argparse.ArgumentParser:
                        help="serve through the paged-KV batch engine "
                             "(reference serve.rs:156-222 wiring)")
     serve.add_argument("--max-batch-size", type=int, default=8)
+    serve.add_argument("--kv-cache-dtype", choices=["auto", "int8"],
+                       default="auto")
 
     bench = sub.add_parser("bench", help="benchmark a model")
     bench.add_argument("model", nargs="?", help="model dir (synthetic if omitted)")
@@ -395,6 +397,7 @@ def cmd_serve(args) -> int:
         ex = scheduler.get_executor("default")
         ex.app_cfg.inference.max_batch_size = args.max_batch_size
         ex.app_cfg.inference.prefix_cache = True
+        ex.app_cfg.inference.kv_cache_dtype = args.kv_cache_dtype
         batch_engine = BatchEngine(ex.model, ex.tokenizer, ex.app_cfg)
         print(f"continuous batching enabled (max_batch={args.max_batch_size})",
               file=sys.stderr)

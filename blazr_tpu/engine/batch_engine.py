@@ -116,6 +116,7 @@ class BatchEngine:
             model.cfg.num_layers, num_blocks, self.block_size,
             att.kv_heads(), att.resolved_head_dim(model.cfg.hidden_size),
             dtype=model.dtype,
+            quantized=inf.kv_cache_dtype == "int8",
         )
 
         self._handles: dict[int, RequestHandle] = {}

@@ -33,6 +33,14 @@ class PagedKVCache:
     v: jax.Array
     block_size: int = dataclasses.field(metadata=dict(static=True))
     num_blocks: int = dataclasses.field(metadata=dict(static=True))
+    # int8 KV mode (same scheme as the contiguous cache): per-slot-per-head
+    # absmax scales; None = float mode.
+    k_scale: Optional[jax.Array] = None   # [L, NB*BS + 1, H_kv] f32
+    v_scale: Optional[jax.Array] = None
+
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
 
     @property
     def num_layers(self) -> int:
@@ -53,8 +61,17 @@ class PagedKVCache:
 
 def init_paged_cache(num_layers: int, num_blocks: int, block_size: int,
                      kv_heads: int, head_dim: int,
-                     dtype=jnp.bfloat16) -> PagedKVCache:
+                     dtype=jnp.bfloat16, quantized: bool = False) -> PagedKVCache:
     shape = (num_layers, num_blocks * block_size + 1, kv_heads, head_dim)
+    if quantized:
+        return PagedKVCache(
+            k=jnp.zeros(shape, dtype=jnp.int8),
+            v=jnp.zeros(shape, dtype=jnp.int8),
+            block_size=block_size,
+            num_blocks=num_blocks,
+            k_scale=jnp.zeros(shape[:3], dtype=jnp.float32),
+            v_scale=jnp.zeros(shape[:3], dtype=jnp.float32),
+        )
     return PagedKVCache(
         k=jnp.zeros(shape, dtype=dtype),
         v=jnp.zeros(shape, dtype=dtype),
@@ -69,12 +86,25 @@ def write_paged_layer(cache: PagedKVCache, layer: int, k_new: jax.Array,
     padding)."""
     b, t, h, d = k_new.shape
     flat_slots = slot_mapping.reshape(-1)
+    if cache.quantized:
+        from .contiguous import _quantize_tokens
+
+        kq, ks = _quantize_tokens(k_new)
+        vq, vs = _quantize_tokens(v_new)
+        return dataclasses.replace(
+            cache,
+            k=cache.k.at[layer, flat_slots].set(kq.reshape(b * t, h, d)),
+            v=cache.v.at[layer, flat_slots].set(vq.reshape(b * t, h, d)),
+            k_scale=cache.k_scale.at[layer, flat_slots].set(
+                ks.reshape(b * t, h)),
+            v_scale=cache.v_scale.at[layer, flat_slots].set(
+                vs.reshape(b * t, h)),
+        )
     k = cache.k.at[layer, flat_slots].set(
         k_new.reshape(b * t, h, d).astype(cache.k.dtype))
     v = cache.v.at[layer, flat_slots].set(
         v_new.reshape(b * t, h, d).astype(cache.v.dtype))
-    return PagedKVCache(k=k, v=v, block_size=cache.block_size,
-                        num_blocks=cache.num_blocks)
+    return dataclasses.replace(cache, k=k, v=v)
 
 
 def gather_pages(cache: PagedKVCache, layer: int,
@@ -91,6 +121,22 @@ def gather_pages(cache: PagedKVCache, layer: int,
     k = jnp.take(cache.k[layer], slot_idx, axis=0)           # [B, MB*BS, H, D]
     v = jnp.take(cache.v[layer], slot_idx, axis=0)
     return k, v
+
+
+def gather_page_scales(cache: PagedKVCache, layer: int,
+                       block_tables: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """int8 mode: scales gathered with the same slot indexing as
+    :func:`gather_pages` → [B, MB*BS, H]."""
+    bs = cache.block_size
+    mb = block_tables.shape[1]
+    safe = jnp.where(block_tables == PAD_BLOCK, 0, block_tables)
+    starts = safe * bs
+    slot_idx = (starts[:, :, None] +
+                jnp.arange(bs, dtype=jnp.int32)[None, None, :]).reshape(
+        block_tables.shape[0], mb * bs)
+    ks = jnp.take(cache.k_scale[layer], slot_idx, axis=0)
+    vs = jnp.take(cache.v_scale[layer], slot_idx, axis=0)
+    return ks, vs
 
 
 # ---------------------------------------------------------------------------

@@ -77,6 +77,8 @@ def _paged_attention_block(
         out = paged_attention_decode(
             q[:, 0], cache.k[layer], cache.v[layer], block_tables, seq_lens,
             block_size=cache.block_size, num_blocks=cache.num_blocks,
+            k_scale=cache.k_scale[layer] if cache.quantized else None,
+            v_scale=cache.v_scale[layer] if cache.quantized else None,
         )[:, None]                                  # [B, 1, H_q, D]
         out = out.reshape(b, t, n_heads * head_dim).astype(x.dtype)
         return linear(out, p["o"], p.get("o_bias")), cache
@@ -90,6 +92,13 @@ def _paged_attention_block(
     scale = 1.0 / math.sqrt(head_dim)
     qf = (q * scale).astype(jnp.float32)
     logits = jnp.einsum("bthd,bshd->bhts", qf, k_all.astype(jnp.float32))
+    if cache.quantized:
+        from ..kvcache.paged import gather_page_scales
+
+        ks_all, vs_all = gather_page_scales(cache, layer, block_tables)
+        ks_rep = jnp.repeat(ks_all, n_rep, axis=2)            # [B, S, H]
+        vs_rep = jnp.repeat(vs_all, n_rep, axis=2)
+        logits = logits * jnp.transpose(ks_rep, (0, 2, 1))[:, :, None, :]
     if cfg.attn_logit_softcapping:
         c = cfg.attn_logit_softcapping
         logits = jnp.tanh(logits / c) * c
@@ -101,8 +110,13 @@ def _paged_attention_block(
     if att.sliding_window is not None:
         mask = mask & (kv_pos[:, None, :] > positions[:, :, None] - att.sliding_window)
     logits = jnp.where(mask[:, None, :, :], logits, -1e30)
-    probs = jax.nn.softmax(logits, axis=-1).astype(v_all.dtype)
-    out = jnp.einsum("bhts,bshd->bthd", probs, v_all)
+    probs = jax.nn.softmax(logits, axis=-1)
+    if cache.quantized:
+        probs = probs * jnp.transpose(vs_rep, (0, 2, 1))[:, :, None, :]
+        out = jnp.einsum("bhts,bshd->bthd", probs, v_all.astype(jnp.float32))
+    else:
+        probs = probs.astype(v_all.dtype)
+        out = jnp.einsum("bhts,bshd->bthd", probs, v_all)
     out = out.reshape(b, t, n_heads * head_dim).astype(x.dtype)
     return linear(out, p["o"], p.get("o_bias")), cache
 

@@ -319,3 +319,29 @@ def test_batch_engine_prefix_cache_hit(model):
     t1, t2, stats = asyncio.run(main())
     assert t1 == t2                       # cache reuse must not change logits
     assert stats.hits > 0
+
+
+def test_batch_engine_int8_kv_matches_float(model):
+    """Continuous batching over an int8 paged cache: greedy output equals
+    the float-cache engine on the same prompts."""
+    async def run(kv_dtype):
+        from blazr_tpu.config import AppConfig
+
+        app = AppConfig(model=model.cfg)
+        app.inference.max_seq_len = 64
+        app.inference.max_batch_size = 4
+        app.inference.kv_cache_dtype = kv_dtype
+        eng = BatchEngine(model, ByteTok(), app)
+        if kv_dtype == "int8":
+            assert eng.cache.quantized
+        task = asyncio.create_task(eng.run())
+        h = eng.submit([5, 6, 7, 8],
+                       GenerationConfig(max_tokens=6, temperature=0.0))
+        toks = await asyncio.wait_for(_collect(h), timeout=120)
+        eng.stop()
+        await task
+        return toks
+
+    f = asyncio.run(run("auto"))
+    q = asyncio.run(run("int8"))
+    assert q == f

@@ -84,3 +84,79 @@ def test_int8_kv_through_executor(tmp_path):
     out = [e.token_id for e in ex.generate(ex.tokenizer.encode("hi"), cfg)
            if e.token_id is not None]
     assert len(out) == 6
+
+
+def test_int8_paged_gather_close_to_float(rng):
+    """Paged fallback attention with int8 blocks vs float blocks."""
+    import jax.numpy as jnp
+
+    from blazr_tpu.kvcache.paged import (
+        init_paged_cache,
+        pad_block_table,
+        write_paged_layer,
+    )
+
+    L, NB, BS, H, D = 1, 4, 8, 2, 16
+    cf = init_paged_cache(L, NB, BS, H, D, dtype=jnp.float32)
+    cq = init_paged_cache(L, NB, BS, H, D, quantized=True)
+    assert cq.quantized and cq.k.dtype == jnp.int8
+
+    T = 20
+    k = jnp.asarray(rng.standard_normal((1, T, H, D)), dtype=jnp.float32)
+    v = jnp.asarray(rng.standard_normal((1, T, H, D)), dtype=jnp.float32)
+    blocks = [0, 1, 2]
+    slots = np.array([[blocks[p // BS] * BS + p % BS for p in range(T)]],
+                     dtype=np.int32)
+    cf = write_paged_layer(cf, 0, k, v, jnp.asarray(slots))
+    cq = write_paged_layer(cq, 0, k, v, jnp.asarray(slots))
+
+    from blazr_tpu.kvcache.paged import gather_page_scales, gather_pages
+
+    kf, vf = gather_pages(cf, 0, jnp.asarray([pad_block_table(blocks, 4)]))
+    kq, vq = gather_pages(cq, 0, jnp.asarray([pad_block_table(blocks, 4)]))
+    ks, vs = gather_page_scales(cq, 0,
+                                jnp.asarray([pad_block_table(blocks, 4)]))
+    deq = np.asarray(kq).astype(np.float32) * np.asarray(ks)[..., None]
+    np.testing.assert_allclose(deq[:, :T], np.asarray(kf)[:, :T],
+                               atol=2e-2, rtol=2e-2)
+
+
+def test_int8_pa_kernel_matches_reference(rng):
+    """Pallas PA kernel (interpret) with int8 KV vs the float reference."""
+    import jax.numpy as jnp
+
+    from blazr_tpu.attention.paged_attention import (
+        paged_attention_decode,
+        paged_attention_reference,
+    )
+    from blazr_tpu.kvcache.paged import (
+        init_paged_cache,
+        pad_block_table,
+        write_paged_layer,
+    )
+
+    NB, BS, HKV, HQ, D = 6, 16, 2, 4, 128
+    cq = init_paged_cache(1, NB, BS, HKV, D, quantized=True)
+    cf = init_paged_cache(1, NB, BS, HKV, D, dtype=jnp.float32)
+
+    seq_lens = [37, 18]
+    tables = [[0, 1, 2], [3, 4]]
+    for b, (n, blocks) in enumerate(zip(seq_lens, tables)):
+        k = jnp.asarray(rng.standard_normal((1, n, HKV, D)), dtype=jnp.float32)
+        v = jnp.asarray(rng.standard_normal((1, n, HKV, D)), dtype=jnp.float32)
+        slots = np.array([[blocks[p // BS] * BS + p % BS for p in range(n)]],
+                         dtype=np.int32)
+        cq = write_paged_layer(cq, 0, k, v, jnp.asarray(slots))
+        cf = write_paged_layer(cf, 0, k, v, jnp.asarray(slots))
+
+    q = jnp.asarray(rng.standard_normal((2, HQ, D)), dtype=jnp.float32)
+    bt = jnp.asarray(np.stack([pad_block_table(t, 3) for t in tables]))
+    sl = jnp.asarray(np.array(seq_lens, dtype=np.int32))
+
+    ref = paged_attention_reference(q, cf.k[0], cf.v[0], bt, sl,
+                                    block_size=BS)
+    got = paged_attention_decode(
+        q, cq.k[0], cq.v[0], bt, sl, block_size=BS, num_blocks=NB,
+        interpret=True, k_scale=cq.k_scale[0], v_scale=cq.v_scale[0])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=3e-2, rtol=3e-2)
