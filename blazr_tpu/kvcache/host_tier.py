@@ -41,14 +41,15 @@ class HostKVTier:
             OrderedDict()
         self.stats = HostTierStats()
 
-    def save(self, h: bytes, k_block: np.ndarray, v_block: np.ndarray) -> None:
+    def save(self, h: bytes, *arrays: np.ndarray) -> None:
+        """2 arrays (k, v) in float mode; 4 (+k_scale, v_scale) for int8."""
         if h in self._store:
             self._store.move_to_end(h)
             return
         while len(self._store) >= self.max_blocks:
             self._store.popitem(last=False)
             self.stats.dropped += 1
-        self._store[h] = (np.asarray(k_block), np.asarray(v_block))
+        self._store[h] = tuple(np.asarray(a) for a in arrays)
         self.stats.saved += 1
 
     def take(self, h: bytes) -> Optional[tuple[np.ndarray, np.ndarray]]:
@@ -83,6 +84,12 @@ def attach_host_tier(prefix_cache, paged_cache_getter, max_blocks: int = 5000):
         bs = cache.block_size
         k = np.asarray(cache.k[:, blk * bs : (blk + 1) * bs])
         v = np.asarray(cache.v[:, blk * bs : (blk + 1) * bs])
+        if getattr(cache, "quantized", False):
+            # int8 mode: the scale planes travel with the block, else a
+            # restored block would dequantize with stale scales.
+            ks = np.asarray(cache.k_scale[:, blk * bs : (blk + 1) * bs])
+            vs = np.asarray(cache.v_scale[:, blk * bs : (blk + 1) * bs])
+            return k, v, ks, vs
         return k, v
 
     def evict_one():
@@ -115,14 +122,19 @@ def attach_host_tier(prefix_cache, paged_cache_getter, max_blocks: int = 5000):
                 item = tier.take(h)
                 if item is None:
                     break
-                k_np, v_np = item
                 blk = blocks[i]
                 import jax.numpy as jnp
 
+                k_np, v_np = item[0], item[1]
                 cache.k = cache.k.at[:, blk * bs : (blk + 1) * bs].set(
                     jnp.asarray(k_np))
                 cache.v = cache.v.at[:, blk * bs : (blk + 1) * bs].set(
                     jnp.asarray(v_np))
+                if len(item) == 4 and getattr(cache, "quantized", False):
+                    cache.k_scale = cache.k_scale.at[
+                        :, blk * bs : (blk + 1) * bs].set(jnp.asarray(item[2]))
+                    cache.v_scale = cache.v_scale.at[
+                        :, blk * bs : (blk + 1) * bs].set(jnp.asarray(item[3]))
                 # Register so future requests hit the device tier directly.
                 if h not in prefix_cache._by_hash:
                     prefix_cache._register(h, blk)

@@ -58,3 +58,37 @@ def test_two_tier_restore_roundtrip():
     np.testing.assert_allclose(
         np.asarray(cache.k[:, blk0 * bs : (blk0 + 1) * bs]),
         np.full((2, bs, 2, 8), 1.0), rtol=0, atol=0)
+
+
+def test_two_tier_restore_int8_scales():
+    """int8 cache: evict/restore must carry the scale planes (stale scales
+    would silently corrupt restored blocks)."""
+    bs = 4
+    alloc = BlockAllocator(8, bs)
+    pc = PrefixCache(alloc)
+    cache = init_paged_cache(num_layers=1, num_blocks=8, block_size=bs,
+                             kv_heads=2, head_dim=8, quantized=True)
+    tier = attach_host_tier(pc, lambda: cache, max_blocks=16)
+
+    tokens = [1, 2, 3, 4]
+    cached, blocks = pc.get_or_allocate_blocks(1, tokens)
+    blk = blocks[0]
+    cache.k = cache.k.at[:, blk * bs : (blk + 1) * bs].set(42)
+    cache.k_scale = cache.k_scale.at[:, blk * bs : (blk + 1) * bs].set(0.5)
+    cache.v_scale = cache.v_scale.at[:, blk * bs : (blk + 1) * bs].set(0.25)
+    pc.release_blocks(1)
+    while pc.stats.cached_blocks:
+        pc._evict_one()
+    # wipe the device planes to prove restoration carries the values back
+    cache.k_scale = cache.k_scale.at[...].set(0.0)
+    cache.v_scale = cache.v_scale.at[...].set(0.0)
+
+    cached2, blocks2 = pc.get_or_allocate_blocks(2, tokens)
+    assert tier.stats.restored >= 1
+    b2 = blocks2[0]
+    np.testing.assert_allclose(
+        np.asarray(cache.k_scale[:, b2 * bs : (b2 + 1) * bs]), 0.5)
+    np.testing.assert_allclose(
+        np.asarray(cache.v_scale[:, b2 * bs : (b2 + 1) * bs]), 0.25)
+    np.testing.assert_allclose(
+        np.asarray(cache.k[:, b2 * bs : (b2 + 1) * bs]), 42)
