@@ -187,6 +187,10 @@ class UniversalConfig:
     final_logit_softcapping: Optional[float] = None
     attn_logit_softcapping: Optional[float] = None
     scale_embeddings: bool = False
+    # starcoder2/falcon family: full LayerNorm + non-gated MLP
+    norm_type: str = "rmsnorm"            # rmsnorm | layernorm
+    mlp_type: str = "gated"               # gated (SwiGLU/GeGLU) | plain
+    hidden_act: str = "silu"
 
     # ---- derived helpers -------------------------------------------------
     def resolved_intermediate_size(self) -> int:
@@ -308,7 +312,8 @@ def universal_from_hf_config(cfg: dict[str, Any]) -> UniversalConfig:
     num_layers = cfg.get("num_hidden_layers", cfg.get("num_layers", 32))
     vocab_size = cfg.get("vocab_size", 32000)
     max_seq_len = cfg.get("max_position_embeddings", cfg.get("max_seq_len", 4096))
-    rms_norm_eps = cfg.get("rms_norm_eps", cfg.get("layer_norm_epsilon", 1e-5))
+    rms_norm_eps = cfg.get("rms_norm_eps", cfg.get(
+        "norm_epsilon", cfg.get("layer_norm_epsilon", 1e-5)))
     intermediate = cfg.get("intermediate_size")
 
     is_ssm = model_type in ("mamba2", "mamba3", "mamba")
@@ -402,8 +407,13 @@ def universal_from_hf_config(cfg: dict[str, Any]) -> UniversalConfig:
         ssm=ssm,
         moe=moe,
         hybrid_layers=hybrid_layers,
-        tie_word_embeddings=bool(cfg.get("tie_word_embeddings", False)),
+        tie_word_embeddings=bool(cfg.get(
+            "tie_word_embeddings", model_type == "starcoder2")),
         final_logit_softcapping=cfg.get("final_logit_softcapping"),
         attn_logit_softcapping=cfg.get("attn_logit_softcapping"),
         scale_embeddings=model_type in ("gemma", "gemma2"),
+        norm_type="layernorm" if model_type == "starcoder2" else "rmsnorm",
+        mlp_type="plain" if model_type == "starcoder2" else "gated",
+        hidden_act=str(cfg.get("hidden_act", "silu")).replace(
+            "_pytorch_tanh", "_tanh"),
     )

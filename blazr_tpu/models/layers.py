@@ -150,6 +150,33 @@ def repeat_kv(x: jax.Array, n_rep: int) -> jax.Array:
     )
 
 
+def layer_norm(x: jax.Array, w: jax.Array, b: Optional[jax.Array],
+               eps: float) -> jax.Array:
+    """Full LayerNorm (mean-centered) — starcoder2/falcon family."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    out = (xf - mu) * jax.lax.rsqrt(var + eps) * w.astype(jnp.float32)
+    if b is not None:
+        out = out + b.astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
+def plain_mlp(x: jax.Array, fc, fc_b, down, down_b,
+              act: str = "gelu_tanh") -> jax.Array:
+    """Non-gated 2-layer MLP (starcoder2 c_fc → act → c_proj)."""
+    h = linear(x, fc, fc_b)
+    if act in ("gelu", "gelu_tanh", "gelu_pytorch_tanh"):
+        h = jax.nn.gelu(h, approximate=True)
+    elif act == "gelu_exact":
+        h = jax.nn.gelu(h, approximate=False)
+    elif act == "relu":
+        h = jax.nn.relu(h)
+    else:
+        h = jax.nn.silu(h)
+    return linear(h, down, down_b)
+
+
 def attend(
     q: jax.Array,                 # [B, T, H, D]
     k: jax.Array,                 # [B, S, H_kv, D]

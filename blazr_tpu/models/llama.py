@@ -24,6 +24,8 @@ import jax.numpy as jnp
 from ..config.model_config import UniversalConfig
 from ..kvcache.contiguous import KVCache, advance, write_layer
 from .layers import (
+    layer_norm,
+    plain_mlp,
     apply_rope,
     attend,
     linear,
@@ -117,8 +119,15 @@ def forward(
         kv_len = jnp.maximum(cache.length, jnp.max(positions, axis=-1) + 1)
 
     norm_offset = 1.0 if cfg.model_type in ("gemma", "gemma2") else 0.0
+    ln = cfg.norm_type == "layernorm"
+
+    def norm(h, w, bias=None):
+        if ln:
+            return layer_norm(h, w, bias, cfg.rms_norm_eps)
+        return rms_norm(h, w, cfg.rms_norm_eps, norm_offset)
+
     for i, p in enumerate(params["layers"]):
-        h = rms_norm(x, p["input_norm"], cfg.rms_norm_eps, norm_offset)
+        h = norm(x, p["input_norm"], p.get("input_norm_bias"))
         attn_out, cache = attention_block(
             p, cfg, h, cache, i, positions, kv_len, cos, sin
         )
@@ -126,11 +135,14 @@ def forward(
             attn_out = rms_norm(attn_out, p["post_attn_norm"],
                                 cfg.rms_norm_eps, norm_offset)
         x = x + attn_out
-        h = rms_norm(x, p["post_norm"], cfg.rms_norm_eps, norm_offset)
+        h = norm(x, p["post_norm"], p.get("post_norm_bias"))
         if p.get("moe") is not None:
             from .moe import moe_ffn
 
             mlp_out = moe_ffn(h, p["moe"], cfg.moe)
+        elif p.get("fc") is not None:              # starcoder2 plain MLP
+            mlp_out = plain_mlp(h, p["fc"], p.get("fc_bias"), p["down"],
+                                p.get("down_bias"), act=cfg.hidden_act)
         elif p.get("gateup") is not None:
             gu = linear(h, p["gateup"])
             inter = gu.shape[-1] // 2
@@ -145,8 +157,12 @@ def forward(
         x = x + mlp_out
 
     cache = advance(cache, positions, seq_lens)
-    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps,
-                 1.0 if cfg.model_type in ("gemma", "gemma2") else 0.0)
+    if ln:
+        x = layer_norm(x, params["final_norm"], params.get("final_norm_bias"),
+                       cfg.rms_norm_eps)
+    else:
+        x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps,
+                     1.0 if cfg.model_type in ("gemma", "gemma2") else 0.0)
 
     lm_head = params.get("lm_head")
     if lm_head is None:  # tied embeddings

@@ -94,16 +94,28 @@ def build_llama_layer_params(pb: ParamBuilder, i: int, cfg: UniversalConfig) -> 
     else:
         gu = pb.get(p + "mlp.gate_up_proj.weight", transpose=True,
                     required=False)
-        if gu is not None:
+        fc = pb.get(p + "mlp.c_fc.weight", transpose=True, required=False)
+        if fc is not None:                  # starcoder2 plain MLP
+            out["fc"] = fc
+            out["fc_bias"] = pb.get(p + "mlp.c_fc.bias", required=False)
+            out["down"] = pb.get(p + "mlp.c_proj.weight", transpose=True)
+            out["down_bias"] = pb.get(p + "mlp.c_proj.bias", required=False)
+        elif gu is not None:
             out["gateup"] = gu
+            out["down"] = pb.get(p + "mlp.down_proj.weight", transpose=True)
         else:
             out["gate"] = pb.get(p + "mlp.gate_proj.weight", transpose=True)
             out["up"] = pb.get(p + "mlp.up_proj.weight", transpose=True)
-        out["down"] = pb.get(p + "mlp.down_proj.weight", transpose=True)
+            out["down"] = pb.get(p + "mlp.down_proj.weight", transpose=True)
     for side in ("q", "k", "v", "o"):
         b = pb.get(p + f"self_attn.{side}_proj.bias", required=False)
         if b is not None:
             out[f"{side}_bias"] = b
+    for nk, name in (("input_norm_bias", "input_layernorm.bias"),
+                     ("post_norm_bias", "post_attention_layernorm.bias")):
+        b = pb.get(p + name, required=False)
+        if b is not None:
+            out[nk] = b
     qn = pb.get(p + "self_attn.q_norm.weight", required=False)
     if qn is not None:
         out["q_norm"] = qn
@@ -128,6 +140,9 @@ def build_llama_params(cfg: UniversalConfig, vm: "VarMap", dtype=jnp.bfloat16) -
         "final_norm": pb.get("model.norm.weight"),
         "layers": [build_llama_layer_params(pb, i, cfg) for i in range(cfg.num_layers)],
     }
+    fnb = pb.get("model.norm.bias", required=False)
+    if fnb is not None:
+        params["final_norm_bias"] = fnb
     params["lm_head"] = pb.get("lm_head.weight", transpose=True, required=False)
     if params["lm_head"] is None and not cfg.tie_word_embeddings:
         cfg.tie_word_embeddings = True

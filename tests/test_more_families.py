@@ -73,3 +73,52 @@ def test_qwen3_qk_norm(tmp_path):
     )
     model = _golden(tmp_path, Qwen3ForCausalLM(cfg), 128)
     assert model.params["layers"][0].get("q_norm") is not None
+
+
+def test_starcoder2_matches_transformers(tmp_path):
+    """Starcoder2 (LayerNorm + plain GELU MLP + full biases) golden parity
+    vs transformers (reference supports starcoder2: gguf.rs arch table)."""
+    torch = pytest.importorskip("torch")
+    from transformers import Starcoder2Config, Starcoder2ForCausalLM
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from blazr_tpu.loader import load_model
+
+    torch.manual_seed(0)
+    cfg = Starcoder2Config(
+        vocab_size=256, hidden_size=64, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        use_bias=True, sliding_window=None, tie_word_embeddings=True,
+        norm_epsilon=1e-5,
+    )
+    hf = Starcoder2ForCausalLM(cfg)
+    hf.eval()
+    hf.save_pretrained(tmp_path, safe_serialization=True)
+
+    model, app_cfg = load_model(tmp_path, dtype="f32")
+    assert model.cfg.model_type == "starcoder2"
+    assert model.cfg.norm_type == "layernorm"
+    assert model.cfg.mlp_type == "plain"
+
+    ids = np.random.default_rng(7).integers(0, 255, size=(1, 12))
+    with torch.no_grad():
+        ref = hf(torch.tensor(ids)).logits.numpy()
+    cache = model.init_cache(1, 32)
+    pos = np.arange(12, dtype=np.int32)[None, :]
+    logits, cache = model.forward(jnp.asarray(ids, dtype=jnp.int32), cache,
+                                  jnp.asarray(pos))
+    np.testing.assert_allclose(np.asarray(logits), ref, atol=2e-3, rtol=2e-3)
+
+    # incremental decode continues correctly over LayerNorm + biases
+    nxt = int(np.asarray(logits)[0, -1].argmax())
+    with torch.no_grad():
+        ref2 = hf(torch.tensor(np.concatenate(
+            [ids, [[nxt]]], axis=1))).logits.numpy()[:, -1]
+    l2, _ = model.forward(jnp.asarray([[nxt]], dtype=jnp.int32), cache,
+                          jnp.asarray([[12]], dtype=jnp.int32))
+    np.testing.assert_allclose(np.asarray(l2)[:, -1], ref2, atol=2e-3,
+                               rtol=2e-3)
