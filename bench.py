@@ -123,7 +123,7 @@ def main() -> None:
     import subprocess
 
     healthy = False
-    for _attempt in range(3):         # the tunnel flakes in short windows
+    for _attempt in range(6):         # the tunnel flakes; give it ~5 min
         try:
             # A real computation + fetch: device ENUMERATION can succeed
             # while the compute path is dead.
@@ -138,7 +138,7 @@ def main() -> None:
             healthy = False
         if healthy:
             break
-        time.sleep(20)
+        time.sleep(45)
     if not healthy:
         jax.config.update("jax_platforms", "cpu")
     platform = jax.default_backend()
