@@ -118,11 +118,21 @@ def cache_shardings(mesh: Mesh, cache) -> Any:
 
 
 def shard_cache(cache, mesh: Mesh):
-    from ..kvcache.contiguous import KVCache
+    import dataclasses
 
     s = cache_shardings(mesh, cache)
-    return KVCache(
+    out = dataclasses.replace(
+        cache,
         k=jax.device_put(cache.k, s.k),
         v=jax.device_put(cache.v, s.v),
         length=jax.device_put(cache.length, s.length),
     )
+    if getattr(cache, "k_scale", None) is not None:
+        # int8 KV: scale planes shard like K/V minus the head-dim axis.
+        sspec = NamedSharding(mesh, P(None, "dp", None, "tp"))
+        out = dataclasses.replace(
+            out,
+            k_scale=jax.device_put(cache.k_scale, sspec),
+            v_scale=jax.device_put(cache.v_scale, sspec),
+        )
+    return out

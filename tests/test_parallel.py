@@ -87,3 +87,24 @@ def test_tp_generate_runs(tp_model):
         toks = [t.token_id for t in e.generate([3, 5, 7],
                 GenerationConfig(max_tokens=4, temperature=0.0))]
     assert len(toks) >= 1
+
+
+def test_tp_forward_int8_kv(tp_model):
+    """Sharded forward over an int8 KV cache (scale planes shard on the
+    kv-head axis) matches the unsharded int8 run."""
+    model, _ = tp_model
+    mesh = make_mesh(MeshConfig(tp=2))
+    tokens = jnp.asarray(np.random.default_rng(2).integers(0, 256, (1, 8)),
+                         dtype=jnp.int32)
+    pos = jnp.asarray(np.arange(8, dtype=np.int32)[None, :])
+
+    ref, _ = model.forward(tokens, model.init_cache(1, 16, kv_quant=True), pos)
+
+    sharded_params = shard_params(model.params, mesh)
+    cache = shard_cache(model.init_cache(1, 16, kv_quant=True), mesh)
+    assert cache.quantized
+    with jax.set_mesh(mesh):
+        got, out_cache = model.forward_fn(sharded_params, model.cfg, tokens,
+                                          cache, pos, None)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
