@@ -36,7 +36,8 @@ def _use_pa_kernel(head_dim: int) -> bool:
     except Exception:  # pragma: no cover
         return False
 from ..kvcache.paged import PagedKVCache, gather_pages, write_paged_layer
-from .layers import apply_rope, linear, repeat_kv, rms_norm, rope_cos_sin, rope_frequencies, swiglu_mlp
+from .layers import (apply_rope, layer_norm, linear, plain_mlp, repeat_kv,
+                     rms_norm, rope_cos_sin, rope_frequencies, swiglu_mlp)
 
 
 def _paged_attention_block(
@@ -140,22 +141,36 @@ def forward_paged(
     inv_freq = rope_frequencies(att, head_dim)
     cos, sin = rope_cos_sin(positions, inv_freq)
 
+    ln = cfg.norm_type == "layernorm"
+
+    def norm(h, w, bias=None):
+        if ln:
+            return layer_norm(h, w, bias, cfg.rms_norm_eps)
+        return rms_norm(h, w, cfg.rms_norm_eps)
+
     for i, p in enumerate(params["layers"]):
-        h = rms_norm(x, p["input_norm"], cfg.rms_norm_eps)
+        h = norm(x, p["input_norm"], p.get("input_norm_bias"))
         attn_out, cache = _paged_attention_block(
             p, cfg, h, cache, i, positions, slot_mapping, block_tables,
             seq_lens, cos, sin,
         )
         x = x + attn_out
-        h = rms_norm(x, p["post_norm"], cfg.rms_norm_eps)
+        h = norm(x, p["post_norm"], p.get("post_norm_bias"))
         if p.get("moe") is not None:
             from .moe import moe_ffn
 
             x = x + moe_ffn(h, p["moe"], cfg.moe)
+        elif p.get("fc") is not None:              # starcoder2 plain MLP
+            x = x + plain_mlp(h, p["fc"], p.get("fc_bias"), p["down"],
+                              p.get("down_bias"), act=cfg.hidden_act)
         else:
             x = x + swiglu_mlp(h, p["gate"], p["up"], p["down"])
 
-    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+    if ln:
+        x = layer_norm(x, params["final_norm"], params.get("final_norm_bias"),
+                       cfg.rms_norm_eps)
+    else:
+        x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
     lm_head = params.get("lm_head")
     if lm_head is None:
         logits = jnp.dot(x, params["embed"].T.astype(x.dtype),

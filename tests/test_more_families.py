@@ -122,3 +122,52 @@ def test_starcoder2_matches_transformers(tmp_path):
                           jnp.asarray([[12]], dtype=jnp.int32))
     np.testing.assert_allclose(np.asarray(l2)[:, -1], ref2, atol=2e-3,
                                rtol=2e-3)
+
+
+def test_starcoder2_batch_engine(tmp_path):
+    """Starcoder2 through the paged continuous-batching path matches the
+    contiguous executor."""
+    torch = pytest.importorskip("torch")
+    import asyncio
+
+    from transformers import Starcoder2Config, Starcoder2ForCausalLM
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from blazr_tpu.config import AppConfig
+    from blazr_tpu.config.generation import GenerationConfig
+    from blazr_tpu.engine.batch_engine import BatchEngine
+    from blazr_tpu.engine.executor import Executor
+    from blazr_tpu.loader import load_model
+    from tests_helpers import ByteTok
+
+    torch.manual_seed(1)
+    cfg = Starcoder2Config(
+        vocab_size=256, hidden_size=64, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        use_bias=True, sliding_window=None, tie_word_embeddings=True)
+    Starcoder2ForCausalLM(cfg).save_pretrained(tmp_path,
+                                               safe_serialization=True)
+    model, _ = load_model(tmp_path, dtype="f32")
+
+    ref_ex = Executor(model, ByteTok())
+    gcfg = GenerationConfig(max_tokens=6, temperature=0.0)
+    prompt = [5, 9, 42, 17]
+    ref = [e.token_id for e in ref_ex.generate(prompt, gcfg)
+           if e.token_id is not None]
+
+    app = AppConfig(model=model.cfg)
+    app.inference.max_seq_len = 64
+    app.inference.max_batch_size = 2
+    eng = BatchEngine(model, ByteTok(), app)
+
+    async def go():
+        task = asyncio.create_task(eng.run())
+        h = eng.submit(prompt, gcfg)
+        toks = [t.token_id async for t in h.tokens()]
+        eng.stop(); await task
+        return toks
+
+    assert asyncio.run(go()) == ref
