@@ -65,6 +65,8 @@ def build_parser() -> argparse.ArgumentParser:
     gen.add_argument("--temperature", "-t", type=float, default=0.7)
     gen.add_argument("--dtype", choices=["f32", "f16", "bf16"])
     gen.add_argument("--device-layers", type=int, default=None)
+    gen.add_argument("--kv-cache-dtype", choices=["auto", "int8"],
+                     default="auto")
 
     chat = sub.add_parser("chat", help="multi-turn chat REPL")
     chat.add_argument("model")
@@ -331,7 +333,8 @@ def cmd_generate(args) -> int:
     from ..config.generation import GenerationConfig
 
     ex = _load_executor(args.model, args.dtype,
-                        device_layers=getattr(args, "device_layers", None))
+                        device_layers=getattr(args, "device_layers", None),
+                        kv_cache_dtype=getattr(args, "kv_cache_dtype", None))
     cfg = GenerationConfig(max_tokens=args.max_tokens,
                            temperature=args.temperature)
     _print_stream(ex, ex.tokenizer.encode(args.prompt), cfg)

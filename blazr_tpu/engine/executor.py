@@ -193,7 +193,6 @@ class Executor:
         kv_quant = (self.app_cfg.inference.kv_cache_dtype == "int8"
                     and not self.model.needs_ssm_state
                     and self.model.cfg.attention is not None
-                    and not self.model.cfg.attention.is_mla
                     and not self.model.cfg.hybrid_layers)
         try:
             return self.model.init_cache(batch, self.capacity,

@@ -47,6 +47,13 @@ class MLACache:
     latent: jax.Array
     k_rope: jax.Array
     length: jax.Array   # [B]
+    # int8 latent mode: per-token absmax scales (None = float mode).
+    latent_scale: Optional[jax.Array] = None    # [L, B, S+1] f32
+    k_rope_scale: Optional[jax.Array] = None
+
+    @property
+    def quantized(self) -> bool:
+        return self.latent_scale is not None
 
     @property
     def capacity(self) -> int:
@@ -57,18 +64,25 @@ class MLACache:
         return self.latent.shape[2] - 1
 
     def reset(self) -> "MLACache":
-        return MLACache(latent=self.latent, k_rope=self.k_rope,
-                        length=jnp.zeros_like(self.length))
+        return dataclasses.replace(self, length=jnp.zeros_like(self.length))
 
 
 def init_mla_cache(cfg: UniversalConfig, batch: int, capacity: int,
-                   dtype=jnp.bfloat16) -> MLACache:
+                   dtype=jnp.bfloat16, quantized: bool = False) -> MLACache:
     att = cfg.attention
+    shape_c = (cfg.num_layers, batch, capacity + 1, att.kv_latent_dim)
+    shape_r = (cfg.num_layers, batch, capacity + 1, att.d_rope)
+    if quantized:
+        return MLACache(
+            latent=jnp.zeros(shape_c, dtype=jnp.int8),
+            k_rope=jnp.zeros(shape_r, dtype=jnp.int8),
+            length=jnp.zeros((batch,), dtype=jnp.int32),
+            latent_scale=jnp.zeros(shape_c[:3], dtype=jnp.float32),
+            k_rope_scale=jnp.zeros(shape_r[:3], dtype=jnp.float32),
+        )
     return MLACache(
-        latent=jnp.zeros((cfg.num_layers, batch, capacity + 1,
-                          att.kv_latent_dim), dtype=dtype),
-        k_rope=jnp.zeros((cfg.num_layers, batch, capacity + 1, att.d_rope),
-                         dtype=dtype),
+        latent=jnp.zeros(shape_c, dtype=dtype),
+        k_rope=jnp.zeros(shape_r, dtype=dtype),
         length=jnp.zeros((batch,), dtype=jnp.int32),
     )
 
@@ -111,11 +125,30 @@ def mla_attention_block(
     k_rope = rope_fn(k_rope, cos, sin)[:, :, 0, :]
 
     batch_idx = jnp.arange(b, dtype=jnp.int32)[:, None]
-    latent = cache.latent.at[layer, batch_idx, positions].set(
-        c.astype(cache.latent.dtype))
-    kr = cache.k_rope.at[layer, batch_idx, positions].set(
-        k_rope.astype(cache.k_rope.dtype))
-    cache = MLACache(latent=latent, k_rope=kr, length=cache.length)
+    if cache.quantized:
+        def _q(x):
+            xf = x.astype(jnp.float32)
+            sc = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1), 1e-8) / 127.0
+            return (jnp.clip(jnp.round(xf / sc[..., None]), -127, 127)
+                    .astype(jnp.int8), sc)
+
+        cq, csc = _q(c)
+        rq, rsc = _q(k_rope)
+        cache = dataclasses.replace(
+            cache,
+            latent=cache.latent.at[layer, batch_idx, positions].set(cq),
+            k_rope=cache.k_rope.at[layer, batch_idx, positions].set(rq),
+            latent_scale=cache.latent_scale.at[
+                layer, batch_idx, positions].set(csc),
+            k_rope_scale=cache.k_rope_scale.at[
+                layer, batch_idx, positions].set(rsc),
+        )
+    else:
+        latent = cache.latent.at[layer, batch_idx, positions].set(
+            c.astype(cache.latent.dtype))
+        kr = cache.k_rope.at[layer, batch_idx, positions].set(
+            k_rope.astype(cache.k_rope.dtype))
+        cache = dataclasses.replace(cache, latent=latent, k_rope=kr)
 
     # --- absorbed attention ---------------------------------------------
     # W_kb_k: [kv_lora, h, d_nope]; W_kb_v: [kv_lora, h, v_dim]
@@ -123,8 +156,13 @@ def mla_attention_block(
                        p["kv_b_k"].astype(jnp.float32))
     c_all = cache.latent[layer].astype(jnp.float32)      # [B, S+1, kv_lora]
     kr_all = cache.k_rope[layer].astype(jnp.float32)     # [B, S+1, d_rope]
-    scores = (jnp.einsum("bthr,bsr->bhts", q_eff, c_all)
-              + jnp.einsum("bthd,bsd->bhts", q_rope.astype(jnp.float32), kr_all))
+    sc_c = jnp.einsum("bthr,bsr->bhts", q_eff, c_all)
+    sc_r = jnp.einsum("bthd,bsd->bhts", q_rope.astype(jnp.float32), kr_all)
+    if cache.quantized:
+        # fold per-token dequant scales into each score term
+        sc_c = sc_c * cache.latent_scale[layer][:, None, None, :]
+        sc_r = sc_r * cache.k_rope_scale[layer][:, None, None, :]
+    scores = sc_c + sc_r
     scale = p.get("softmax_scale", 1.0 / math.sqrt(d_nope + d_rope))
     scores = scores * scale
 
@@ -136,6 +174,8 @@ def mla_attention_block(
     scores = jnp.where(mask[:, None, :, :], scores, -1e30)
     probs = jax.nn.softmax(scores, axis=-1)
 
+    if cache.quantized:
+        probs = probs * cache.latent_scale[layer][:, None, None, :]
     out_latent = jnp.einsum("bhts,bsr->bthr", probs, c_all)
     out = jnp.einsum("bthr,rhv->bthv", out_latent,
                      p["kv_b_v"].astype(jnp.float32))
@@ -172,11 +212,11 @@ def forward(
         else:
             x = x + swiglu_mlp(h, p["gate"], p["up"], p["down"])
 
-    cache = MLACache(latent=cache.latent, k_rope=cache.k_rope,
-                     length=jnp.maximum(
-                         cache.length,
-                         seq_lens if seq_lens is not None
-                         else jnp.max(positions, axis=-1) + 1).astype(jnp.int32))
+    cache = dataclasses.replace(
+        cache, length=jnp.maximum(
+            cache.length,
+            seq_lens if seq_lens is not None
+            else jnp.max(positions, axis=-1) + 1).astype(jnp.int32))
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
     lm_head = params.get("lm_head")
     if lm_head is None:

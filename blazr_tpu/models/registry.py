@@ -209,7 +209,8 @@ class Model:
         if self.cfg.attention is not None and self.cfg.attention.is_mla:
             from .mla import init_mla_cache
 
-            return init_mla_cache(self.cfg, batch, capacity, dtype=self.dtype)
+            return init_mla_cache(self.cfg, batch, capacity, dtype=self.dtype,
+                                  quantized=kv_quant)
         return init_kv_cache(
             self.num_layers, batch, capacity, self.num_kv_heads, self.head_dim,
             dtype=self.dtype, quantized=kv_quant,

@@ -174,3 +174,28 @@ def test_mixtral_forward_matches(tmp_path):
     logits, _ = model.forward(jnp.asarray(tokens.astype(np.int32)), cache,
                               jnp.asarray(pos))
     np.testing.assert_allclose(np.asarray(logits), ref, rtol=1e-3, atol=1e-3)
+
+
+def test_deepseek_int8_latent_cache(deepseek_checkpoint):
+    """int8 latent cache (per-token scales folded into the absorbed
+    attention) stays close to the float cache and decodes consistently."""
+    path, _ = deepseek_checkpoint
+    model, _ = load_model(path, dtype="f32")
+    rng = np.random.default_rng(4)
+    tokens = rng.integers(0, 128, (1, 10)).astype(np.int32)
+    pos = np.arange(10, dtype=np.int32)[None, :]
+
+    ref, _ = model.forward(jnp.asarray(tokens), model.init_cache(1, 32),
+                           jnp.asarray(pos))
+    cq = model.init_cache(1, 32, kv_quant=True)
+    assert cq.quantized and cq.latent.dtype == jnp.int8
+    got, cq = model.forward(jnp.asarray(tokens), cq, jnp.asarray(pos))
+    a, b = np.asarray(ref)[0, -1], np.asarray(got)[0, -1]
+    cos = float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+    assert cos > 0.995, cos
+    assert a.argmax() == b.argmax()
+
+    # incremental over the int8 cache continues exactly
+    l1, cq = model.forward(jnp.asarray(tokens[:, :1] * 0 + 5), cq,
+                           jnp.asarray([[10]], dtype=jnp.int32))
+    assert np.isfinite(np.asarray(l1)).all()
