@@ -33,7 +33,20 @@ def build_parser() -> argparse.ArgumentParser:
                    help="compute backend (auto = TPU if healthy, else CPU)")
     sub = p.add_subparsers(dest="command", required=True)
 
-    run = sub.add_parser("run", help="run a model (one-shot or REPL)")
+    # Flags shared by every model-loading generation command — a parent
+    # parser so run/generate can never drift apart again.
+    loadopts = argparse.ArgumentParser(add_help=False)
+    loadopts.add_argument("--dtype", choices=["f32", "f16", "bf16"])
+    loadopts.add_argument("--device-layers", type=int, default=None,
+                          help="decoder layers kept on device; the rest "
+                               "stream from host RAM (reference "
+                               "n-gpu-layers)")
+    loadopts.add_argument("--kv-cache-dtype", choices=["auto", "int8"],
+                          default="auto", help="int8 halves KV-cache HBM "
+                          "traffic")
+
+    run = sub.add_parser("run", help="run a model (one-shot or REPL)",
+                         parents=[loadopts])
     run.add_argument("model", help="model dir / file")
     run.add_argument("--prompt", "-p", help="prompt (omits REPL)")
     run.add_argument("--max-tokens", "-n", type=int, default=256)
@@ -41,32 +54,22 @@ def build_parser() -> argparse.ArgumentParser:
     run.add_argument("--top-p", type=float, default=0.9)
     run.add_argument("--top-k", type=int, default=40)
     run.add_argument("--seed", type=int)
-    run.add_argument("--dtype", choices=["f32", "f16", "bf16"])
-    run.add_argument("--device-layers", type=int, default=None,
-                     help="decoder layers kept on device; the rest stream "
-                          "from host RAM (reference n-gpu-layers)")
     run.add_argument("--grammar", help="GBNF grammar file or inline")
     run.add_argument("--json", action="store_true", dest="json_mode")
     run.add_argument("--no-warmup", action="store_true")
     run.add_argument("--draft-model", help="enable speculative decoding "
                      "with this draft model")
     run.add_argument("--num-speculative-tokens", type=int, default=5)
-    run.add_argument("--kv-cache-dtype", choices=["auto", "int8"],
-                     default="auto", help="int8 halves KV-cache HBM "
-                     "traffic (contiguous cache)")
     run.add_argument("--prompt-lookup", action="store_true",
                      help="draft-model-free speculation: draft from n-gram "
                           "matches in the sequence's own history")
 
-    gen = sub.add_parser("generate", help="alias of run --prompt")
+    gen = sub.add_parser("generate", help="alias of run --prompt",
+                         parents=[loadopts])
     gen.add_argument("model")
     gen.add_argument("prompt")
     gen.add_argument("--max-tokens", "-n", type=int, default=256)
     gen.add_argument("--temperature", "-t", type=float, default=0.7)
-    gen.add_argument("--dtype", choices=["f32", "f16", "bf16"])
-    gen.add_argument("--device-layers", type=int, default=None)
-    gen.add_argument("--kv-cache-dtype", choices=["auto", "int8"],
-                     default="auto")
 
     chat = sub.add_parser("chat", help="multi-turn chat REPL")
     chat.add_argument("model")
