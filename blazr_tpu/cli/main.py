@@ -169,15 +169,18 @@ def main(argv=None) -> int:
 
         multi = init_distributed(args.coordinator, args.num_processes,
                                  args.process_id)
-        if multi and args.command == "serve" and not is_primary():
-            print("serve: non-primary process in a multi-host world; "
-                  "HTTP binds on process 0 only. For multi-NODE serving "
-                  "use `swarm`/`disagg` (request routing over TCP).",
-                  file=sys.stderr)
-            sys.stderr.flush()
-            # Skip atexit: jax.distributed's shutdown barrier would wait
-            # forever for the (long-running) primary.
-            os._exit(2)
+        if multi and args.command == "serve":
+            # Multi-NODE SPMD serving: HTTP binds on process 0 only; every
+            # process (0 included) drives the engine through the lockstep
+            # request broadcast so the SPMD steps stay world-synchronous.
+            if not args.continuous_batching:
+                print("serve: multi-host world — forcing continuous "
+                      "batching (lockstep SPMD serving requires it)",
+                      file=sys.stderr)
+                args.continuous_batching = True
+            if not is_primary():
+                print("serve: lockstep follower (HTTP on process 0 only)",
+                      file=sys.stderr)
     return {
         "run": cmd_run, "generate": cmd_generate, "chat": cmd_chat,
         "serve": cmd_serve, "bench": cmd_bench, "info": cmd_info,
@@ -407,6 +410,21 @@ def cmd_serve(args) -> int:
         batch_engine = BatchEngine(ex.model, ex.tokenizer, ex.app_cfg)
         print(f"continuous batching enabled (max_batch={args.max_batch_size})",
               file=sys.stderr)
+
+    import jax
+
+    if jax.process_count() > 1:
+        from ..distributed.lockstep import LockstepEngine
+        from ..parallel.multihost import is_primary
+
+        lockstep = LockstepEngine(batch_engine)
+        if not is_primary():
+            # Follower: no HTTP; mirror the primary's op stream forever.
+            import asyncio
+
+            asyncio.run(lockstep.run())
+            return 0
+        batch_engine = lockstep
     run_server(scheduler, cfg, batch_engine=batch_engine)
     return 0
 

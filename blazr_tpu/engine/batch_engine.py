@@ -217,28 +217,42 @@ class BatchEngine:
                 await self._notify.wait()
                 continue
             try:
-                batch = self.scheduler.schedule()
-                if batch.is_empty:
+                if not await self.step_once():
                     await asyncio.sleep(0.001)  # backoff (reference :134-137)
                     continue
-                for seq in batch.prefill_sequences:
-                    with tracing_span("prefill", backend="paged",
-                                      seq=seq.seq_id):
-                        await asyncio.to_thread(self._process_prefill, seq)
-                decodes = [s for s in batch.decode_sequences
-                           if s.state == SequenceState.RUNNING]
-                if decodes:
-                    with tracing_span("decode", backend="paged",
-                                      batch=len(decodes)):
-                        await asyncio.to_thread(self._process_decode_batch,
-                                                decodes)
-                self.scheduler.cleanup_finished()
             except Exception:
                 logger.exception("batch failed; aborting batch sequences")
                 for seq in list(self.scheduler.running.values()):
                     self.scheduler.abort_sequence(seq.seq_id)
                     self._finish(seq.seq_id, None)
         logger.info("batch engine stopped")
+
+    # ------------------------------------------------------------------
+    async def step_once(self) -> bool:
+        """One scheduling iteration: schedule, run chunked prefills, run
+        ONE fused decode batch, clean up. Returns False when the batch was
+        empty. Deterministic given engine state — the multi-host lockstep
+        driver (distributed/lockstep.py) replays the identical iteration on
+        every process so all hosts issue the same SPMD calls."""
+        batch = self.scheduler.schedule()
+        if batch.is_empty:
+            return False
+        for seq in batch.prefill_sequences:
+            with tracing_span("prefill", backend="paged", seq=seq.seq_id):
+                await asyncio.to_thread(self._process_prefill, seq)
+        decodes = [s for s in batch.decode_sequences
+                   if s.state == SequenceState.RUNNING]
+        if decodes:
+            with tracing_span("decode", backend="paged", batch=len(decodes)):
+                await asyncio.to_thread(self._process_decode_batch, decodes)
+        self.scheduler.cleanup_finished()
+        return True
+
+    def detach_handle(self, seq_id: int) -> None:
+        """Stop streaming tokens for a sequence while letting it keep
+        decoding (lockstep follower processes run every sequence but serve
+        no clients — without this their per-request queues grow unread)."""
+        self._handles.pop(seq_id, None)
 
     # ------------------------------------------------------------------
     def _process_prefill(self, seq: Sequence) -> None:

@@ -12,6 +12,7 @@ metrics, Ollama-style management routes, and slots.
 from __future__ import annotations
 
 import asyncio
+import inspect
 import json
 import logging
 import time
@@ -419,6 +420,8 @@ async def _collect_via_engine(state: AppState, prompt_ids, cfg):
 
     eng = state.batch_engine
     handle = eng.submit(prompt_ids, cfg)
+    if inspect.isawaitable(handle):        # lockstep (multi-host) engine
+        handle = await handle
     scanner = StopScanner(cfg.stop_sequences)
     pieces = []
     tokens = []
@@ -471,6 +474,8 @@ async def _stream_chat(request, state: AppState, executor, prompt_ids,
         try:
             eng = state.batch_engine
             handle = eng.submit(prompt_ids, cfg)
+            if inspect.isawaitable(handle):   # lockstep (multi-host) engine
+                handle = await handle
             scanner = StopScanner(cfg.stop_sequences)
             while True:
                 tok, fin = await handle.queue.get()

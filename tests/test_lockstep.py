@@ -1,0 +1,184 @@
+"""Multi-NODE SPMD serving (lockstep request broadcast): op codec,
+single-process degenerate path, parity vs the plain engine, and a real
+2-process jax.distributed run where a follower mirrors the primary
+(SURVEY §2 multi-node serving; reference swarm/disagg TCP routing is the
+CUDA-world analogue)."""
+
+import asyncio
+import multiprocessing as mp
+import socket
+
+import numpy as np
+import pytest
+
+from blazr_tpu.config import AppConfig, GenerationConfig
+from blazr_tpu.distributed.lockstep import (
+    LockstepEngine,
+    broadcast_payload,
+    decode_ops,
+    encode_ops,
+)
+from blazr_tpu.engine.batch_engine import BatchEngine
+from blazr_tpu.loader import load_model
+from fixtures import write_tiny_llama_checkpoint
+from tests_helpers import ByteTok
+
+
+@pytest.fixture(scope="module")
+def model(tmp_path_factory):
+    rng = np.random.default_rng(21)
+    path = tmp_path_factory.mktemp("lockstep_model")
+    write_tiny_llama_checkpoint(path, rng)
+    model, _ = load_model(path, dtype="f32")
+    return model
+
+
+def _mk_engine(model):
+    app = AppConfig(model=model.cfg)
+    app.inference.max_seq_len = 64
+    app.inference.max_batch_size = 4
+    return BatchEngine(model, ByteTok(), app)
+
+
+def test_ops_roundtrip():
+    ops = [
+        {"op": "submit", "tokens": [1, 2, 3],
+         "gen": GenerationConfig(max_tokens=4).to_dict()},
+        {"op": "cancel", "seq": 7},
+        {"op": "stop"},
+    ]
+    assert decode_ops(encode_ops(ops)) == ops
+    assert decode_ops(b"") == []
+
+
+def test_broadcast_identity_single_process():
+    assert broadcast_payload(b"hello") == b"hello"
+    assert broadcast_payload(None) == b""
+
+
+async def _collect(handle, limit=64):
+    out = []
+    async for tok in handle.tokens():
+        out.append(tok.token_id)
+        if len(out) >= limit:
+            break
+    return out
+
+
+def test_lockstep_single_process_matches_direct(model):
+    """Same greedy tokens through LockstepEngine as through the plain
+    BatchEngine loop (broadcast degenerates to identity)."""
+    prompts = [[1, 2, 3], [9, 8, 7, 6]]
+
+    async def direct():
+        eng = _mk_engine(model)
+        task = asyncio.create_task(eng.run())
+        res = []
+        for p in prompts:
+            h = eng.submit(p, GenerationConfig(max_tokens=5, temperature=0.0))
+            res.append(await asyncio.wait_for(_collect(h), timeout=120))
+        eng.stop()
+        await task
+        return res
+
+    async def lockstep():
+        eng = _mk_engine(model)
+        ls = LockstepEngine(eng, heartbeat_s=0.2)
+        task = asyncio.create_task(ls.run())
+        res = []
+        for p in prompts:
+            h = await ls.submit(p, GenerationConfig(max_tokens=5,
+                                                    temperature=0.0))
+            res.append(await asyncio.wait_for(_collect(h), timeout=120))
+        ls.stop()
+        await asyncio.wait_for(task, timeout=60)
+        assert ls.steps > 0
+        return res
+
+    assert asyncio.run(lockstep()) == asyncio.run(direct())
+
+
+def test_lockstep_cancel_and_stop(model):
+    async def main():
+        eng = _mk_engine(model)
+        ls = LockstepEngine(eng, heartbeat_s=0.2)
+        task = asyncio.create_task(ls.run())
+        h = await ls.submit([5, 6, 7], GenerationConfig(max_tokens=500,
+                                                        temperature=0.0))
+        # let a couple of steps run, then cancel mid-generation
+        await asyncio.sleep(0.05)
+        ls.cancel(h.seq_id)
+        toks = await asyncio.wait_for(_collect(h, limit=500), timeout=60)
+        ls.stop()
+        await asyncio.wait_for(task, timeout=60)
+        return toks
+
+    toks = asyncio.run(main())
+    assert len(toks) < 500
+
+
+# ---------------------------------------------------------------------------
+# real 2-process lockstep
+# ---------------------------------------------------------------------------
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def _lockstep_proc(coord, rank, q):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from blazr_tpu.parallel.multihost import init_distributed
+
+    init_distributed(coord, num_processes=2, process_id=rank)
+
+    import pathlib
+    import tempfile
+
+    # Identical weights on both ranks: same deterministic fixture seed.
+    path = pathlib.Path(tempfile.mkdtemp(prefix=f"lockstep_r{rank}_"))
+    write_tiny_llama_checkpoint(path, np.random.default_rng(21))
+    model, _ = load_model(path, dtype="f32")
+    eng = _mk_engine(model)
+    ls = LockstepEngine(eng, heartbeat_s=1.0)
+
+    async def primary():
+        task = asyncio.create_task(ls.run())
+        h = await ls.submit([1, 2, 3], GenerationConfig(max_tokens=4,
+                                                        temperature=0.0))
+        toks = await asyncio.wait_for(_collect(h), timeout=180)
+        ls.stop()
+        await asyncio.wait_for(task, timeout=60)
+        return toks
+
+    async def follower():
+        await asyncio.wait_for(ls.run(), timeout=240)
+        return []
+
+    toks = asyncio.run(primary() if rank == 0 else follower())
+    q.put((rank, ls.steps, toks))
+
+
+@pytest.mark.slow
+def test_lockstep_two_processes():
+    """Primary broadcasts the op stream; the follower mirrors every
+    scheduling step and runs the same number of decode iterations."""
+    coord = f"127.0.0.1:{_free_port()}"
+    ctx = mp.get_context("spawn")
+    q = ctx.Queue()
+    procs = [ctx.Process(target=_lockstep_proc, args=(coord, r, q),
+                         daemon=True) for r in range(2)]
+    for p in procs:
+        p.start()
+    results = {}
+    for _ in range(2):
+        rank, steps, toks = q.get(timeout=300)
+        results[rank] = (steps, toks)
+    for p in procs:
+        p.join(timeout=30)
+
+    assert results[0][0] == results[1][0] > 0     # identical step counts
+    assert 1 <= len(results[0][1]) <= 4           # primary streamed tokens
