@@ -48,7 +48,9 @@ def bench_decode(cfg, steps: int = 48, warmup: int = 4, batch: int = 1,
     from functools import partial
 
     att = cfg.attention
-    params = synth_llama_params(cfg, quant="awq", dtype=jnp.bfloat16)
+    gs = min(128, cfg.hidden_size)     # tiny fallback configs have h < 128
+    params = synth_llama_params(cfg, quant="awq", dtype=jnp.bfloat16,
+                                group_size=gs)
     cache = init_kv_cache(cfg.num_layers, batch, ctx, att.kv_heads(),
                           att.resolved_head_dim(cfg.hidden_size),
                           dtype=jnp.bfloat16)
@@ -111,13 +113,45 @@ def bench_decode(cfg, steps: int = 48, warmup: int = 4, batch: int = 1,
     }
 
 
-def main() -> None:
+def _config_by_name(name: str):
     from blazr_tpu.utils.synthetic import (
         llama_3_2_1b_config,
         mistral_7b_config,
         tiny_llama_config,
     )
 
+    if name == "mistral-7b-awq-int4":
+        return mistral_7b_config()
+    if name == "llama-3.2-1b-awq-int4":
+        return llama_3_2_1b_config()
+    if name == "llama-1b-2layer-cpu-fallback":
+        small = llama_3_2_1b_config()
+        small.num_layers = 2
+        return small
+    return tiny_llama_config()
+
+
+def _emit(name: str, r: dict, platform: str) -> None:
+    print(json.dumps({
+        "metric": f"decode_tok_s_per_chip_{name.replace('-', '_')}",
+        "value": round(r["toks_per_s"], 2),
+        "unit": "tok/s",
+        "vs_baseline": round(r["toks_per_s"] / r["roofline"], 4),
+        "roofline_tok_s": round(r["roofline"], 1),
+        "weight_gb": round(r["weight_gb"], 2),
+        "platform": platform,
+    }))
+
+
+def _child(name: str) -> None:
+    """Run one bench attempt and print its JSON line (invoked by main() in
+    a timeboxed subprocess: a dying tunnel HANGS in the data fetch rather
+    than raising, and a hung bench would leave the driver with no output)."""
+    r = bench_decode(_config_by_name(name))
+    _emit(name, r, jax.default_backend())
+
+
+def main() -> None:
     # Probe TPU health in a SUBPROCESS: a half-dead axon tunnel makes
     # jax.default_backend() hang rather than raise.
     import subprocess
@@ -143,32 +177,35 @@ def main() -> None:
         jax.config.update("jax_platforms", "cpu")
     platform = jax.default_backend()
     if platform == "tpu":
-        attempts = [("mistral-7b-awq-int4", mistral_7b_config()),
-                    ("llama-3.2-1b-awq-int4", llama_3_2_1b_config())]
+        # (name, timeout_s): cold 7B compile through the tunnel is 5-7 min;
+        # the persistent cache makes warm runs much faster.
+        attempts = [("mistral-7b-awq-int4", 1800),
+                    ("llama-3.2-1b-awq-int4", 900)]
     else:
         # No healthy TPU: report a CPU sanity number on a small config so
         # the driver still gets a well-formed line.
-        small = llama_3_2_1b_config()
-        small.num_layers = 2
-        attempts = [("llama-1b-2layer-cpu-fallback", small),
-                    ("tiny-cpu-fallback", tiny_llama_config())]
-    err = None
-    for name, cfg in attempts:
+        attempts = [("llama-1b-2layer-cpu-fallback", 1200),
+                    ("tiny-cpu-fallback", 600)]
+    err: object = None
+    for name, budget in attempts:
+        # Timeboxed subprocess per attempt: a dying tunnel hangs in the
+        # device fetch; a hang here must fall through, not stall the driver.
+        env = dict(os.environ)
+        if platform != "tpu":
+            env["JAX_PLATFORM_NAME"] = "cpu"   # child must pin CPU itself
         try:
-            r = bench_decode(cfg)
-            print(json.dumps({
-                "metric": f"decode_tok_s_per_chip_{name.replace('-', '_')}",
-                "value": round(r["toks_per_s"], 2),
-                "unit": "tok/s",
-                "vs_baseline": round(r["toks_per_s"] / r["roofline"], 4),
-                "roofline_tok_s": round(r["roofline"], 1),
-                "weight_gb": round(r["weight_gb"], 2),
-                "platform": platform,
-            }))
-            return
-        except Exception as e:  # OOM or compile failure → smaller model
-            err = e
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--child", name],
+                capture_output=True, text=True, timeout=budget, env=env)
+        except subprocess.TimeoutExpired:
+            err = f"attempt {name} timed out after {budget}s"
             continue
+        line = next((ln for ln in reversed(r.stdout.splitlines())
+                     if ln.startswith("{")), None)
+        if r.returncode == 0 and line:
+            print(line)
+            return
+        err = (r.stderr or r.stdout)[-200:] or f"attempt {name} failed"
     print(json.dumps({
         "metric": "decode_tok_s_per_chip_mistral7b_awq_int4",
         "value": 0.0, "unit": "tok/s", "vs_baseline": 0.0,
@@ -177,4 +214,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 2 and sys.argv[1] == "--child":
+        _child(sys.argv[2])
+    else:
+        main()
