@@ -336,3 +336,42 @@ def test_chat_via_batch_engine(model_dir):
             outs = await asyncio.gather(*[one(i) for i in range(3)])
             assert len(outs) == 3
     run(main())
+
+
+def test_chat_via_lockstep_engine(model_dir):
+    """Serving through the LockstepEngine wrapper (multi-node SPMD serving
+    degenerate single-process path): the server's awaitable-submit branch,
+    streaming, and metrics gauges through the wrapped scheduler."""
+    from blazr_tpu.distributed.lockstep import LockstepEngine
+    from blazr_tpu.engine.batch_engine import BatchEngine
+
+    async def main():
+        scheduler = ModelScheduler(model_dir, dtype="f32")
+        ex = scheduler.get_executor("default")
+        ex.app_cfg.inference.max_seq_len = 128
+        ex.app_cfg.inference.prefix_cache = True
+        engine = LockstepEngine(
+            BatchEngine(ex.model, ex.tokenizer, ex.app_cfg),
+            heartbeat_s=0.2)
+        app = create_app(scheduler, ServerConfig(), batch_engine=engine)
+        async with TestClient(TestServer(app)) as c:
+            r = await c.post("/v1/chat/completions", json={
+                "messages": [{"role": "user", "content": "hi"}],
+                "max_tokens": 4, "temperature": 0.0,
+            })
+            assert r.status == 200
+            body = await r.json()
+            assert isinstance(body["choices"][0]["message"]["content"], str)
+
+            r2 = await c.post("/v1/chat/completions", json={
+                "messages": [{"role": "user", "content": "hi"}],
+                "max_tokens": 3, "temperature": 0.0, "stream": True,
+            })
+            raw = (await r2.read()).decode()
+            assert raw.strip().endswith("data: [DONE]")
+
+            m = await c.get("/metrics")
+            assert m.status == 200
+            assert "blazr_tpu_queue_depth" in (await m.text())
+        assert engine.steps > 0
+    run(main())
