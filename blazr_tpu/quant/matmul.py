@@ -16,12 +16,17 @@ import os
 import jax
 import jax.numpy as jnp
 
-from .qtensor import QuantTensor, dequantize_jnp
+from .qtensor import QuantTensor, dequantize_jnp, unpack_jnp
 
 _FORCE_XLA = os.environ.get("BLAZR_TPU_FORCE_XLA_QUANT", "0") == "1"
 # Debug/verification knob: route through the Pallas kernel in interpret
 # mode even off-TPU (slow; exercises the real kernel code path).
 _FORCE_PALLAS = os.environ.get("BLAZR_TPU_FORCE_PALLAS_QUANT", "0") == "1"
+# Experimental: grouped dequant-dot in pure XLA instead of the Pallas
+# kernel — rides XLA's own HBM streaming (measured ~770 GB/s on dense
+# bf16 vs ~310-400 for the Pallas auto-pipeline; tools/bench_quant_paths.py
+# decides whether this becomes the default).
+_XLA_GROUPED = os.environ.get("BLAZR_TPU_XLA_GROUPED", "0") == "1"
 
 
 def _on_tpu() -> bool:
@@ -40,6 +45,9 @@ def quant_matmul(x: jax.Array, qt: QuantTensor) -> jax.Array:
     if qt.perm is not None:
         x = jnp.take(x, qt.perm, axis=-1)
 
+    if _XLA_GROUPED:
+        return quant_matmul_xla_grouped(x, qt)
+
     if not _FORCE_XLA and (_on_tpu() or _FORCE_PALLAS):
         from .pallas.int_matmul import quant_matmul_pallas
 
@@ -50,3 +58,32 @@ def quant_matmul(x: jax.Array, qt: QuantTensor) -> jax.Array:
 
     w = dequantize_jnp(qt, dtype=x.dtype)
     return jnp.dot(x, w, preferred_element_type=jnp.float32).astype(x.dtype)
+
+
+def quant_matmul_xla_grouped(x: jax.Array, qt: QuantTensor) -> jax.Array:
+    """Grouped-affine dequant-dot expressed in pure XLA.
+
+    Never materializes the dense f32/bf16 weight: the integer weight is
+    converted group-wise inside a batched dot, the affine is applied to the
+    group partials —
+        y[m,n] = Σ_g s[g,n]·(Σ_{k∈g} x[m,k]·q[k,n]) − (Σ_{k∈g} x[m,k])·m[g,n]
+    Exactly the kernel's math (same affine, f32 accumulation); the bet is
+    that XLA's HBM pipelining of the int weight stream beats the Pallas
+    auto-pipeline in the weight-bound decode regime.
+    """
+    lead = x.shape[:-1]
+    k, n = qt.in_features, qt.out_features
+    g = k // qt.group_size
+    x2 = x.reshape(-1, k)
+    m = x2.shape[0]
+
+    # bf16 operands on the MXU; CPU XLA has no bf16 dot → f32 there.
+    cdtype = jnp.bfloat16 if _on_tpu() else jnp.float32
+    q = unpack_jnp(qt).astype(cdtype)                  # int values, exact
+    qg = q.reshape(g, qt.group_size, n)
+    xg = x2.astype(cdtype).reshape(m, g, qt.group_size)
+    partial = jnp.einsum("mgk,gkn->mgn", xg, qg,
+                         preferred_element_type=jnp.float32)   # [m, G, N]
+    y = jnp.einsum("mgn,gn->mn", partial, qt.scales)
+    y -= jnp.einsum("mg,gn->mn", xg.astype(jnp.float32).sum(-1), qt.mins)
+    return y.astype(x.dtype).reshape(*lead, n)

@@ -393,8 +393,9 @@ def dequantize_np(qt: QuantTensor) -> np.ndarray:
     return q * s - m
 
 
-def dequantize_jnp(qt: QuantTensor, dtype=jnp.float32) -> jax.Array:
-    """On-device dequant to dense [K, N] (the XLA fallback compute path)."""
+def unpack_jnp(qt: QuantTensor) -> jax.Array:
+    """On-device unpack of the K-packed words → int32 [K, N] (signed
+    values already de-biased when ``qt.signed``)."""
     r = 32 // qt.bits
     kw, n = qt.qweight.shape
     shifts = jnp.arange(r, dtype=jnp.uint32) * qt.bits
@@ -404,7 +405,12 @@ def dequantize_jnp(qt: QuantTensor, dtype=jnp.float32) -> jax.Array:
     if qt.signed:
         half = 1 << (qt.bits - 1)
         vals = jnp.where(vals >= half, vals - (1 << qt.bits), vals)
-    q = vals.reshape(kw * r, n).astype(jnp.float32)
+    return vals.reshape(kw * r, n)
+
+
+def dequantize_jnp(qt: QuantTensor, dtype=jnp.float32) -> jax.Array:
+    """On-device dequant to dense [K, N] (the XLA fallback compute path)."""
+    q = unpack_jnp(qt).astype(jnp.float32)
     s = jnp.repeat(qt.scales, qt.group_size, axis=0)
     m = jnp.repeat(qt.mins, qt.group_size, axis=0)
     return (q * s - m).astype(dtype)

@@ -180,3 +180,42 @@ def test_stream_kernel_matches_dense(rng, monkeypatch):
         got = np.asarray(quant_matmul_pallas(x, qt))
         ref = np.asarray(x @ dequantize_jnp(qt))
         np.testing.assert_allclose(got, ref, atol=2e-2, rtol=2e-2)
+
+
+def test_xla_grouped_matches_dequant(rng):
+    """Pure-XLA grouped dequant-dot vs the dense dequant reference, across
+    an asymmetric 4-bit and a signed 8-bit format, batched and single-row."""
+    import jax
+    import jax.numpy as jnp
+
+    from blazr_tpu.quant.matmul import quant_matmul_xla_grouped
+    from blazr_tpu.utils.synthetic import _rand_awq_qt
+
+    for qt in (
+        _rand_awq_qt(jax.random.key(5), 512, 256, group_size=128),
+        from_ggml(quantize_ggml(
+            rng.standard_normal((64, 512)).astype(np.float32), GgmlType.Q8_0),
+            GgmlType.Q8_0, (64, 512)),
+    ):
+        k = qt.in_features
+        ref_w = dequantize_np(qt)
+        for m in (1, 5):
+            x = rng.standard_normal((m, k)).astype(np.float32)
+            got = np.asarray(quant_matmul_xla_grouped(jnp.asarray(x), qt))
+            ref = x.astype(np.float32) @ ref_w
+            # bf16 operand rounding in the grouped path
+            np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)
+
+
+def test_xla_grouped_batch3d_shape(rng):
+    import jax
+    import jax.numpy as jnp
+
+    from blazr_tpu.quant.matmul import quant_matmul_xla_grouped
+    from blazr_tpu.utils.synthetic import _rand_awq_qt
+
+    qt = _rand_awq_qt(jax.random.key(6), 256, 128, group_size=64)
+    x = jnp.asarray(rng.standard_normal((2, 3, 256)), dtype=jnp.bfloat16)
+    out = quant_matmul_xla_grouped(x, qt)
+    assert out.shape == (2, 3, 128)
+    assert out.dtype == jnp.bfloat16

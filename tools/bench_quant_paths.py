@@ -58,10 +58,12 @@ for m in (1, 8):
            lambda x: (x @ w4.astype(jnp.bfloat16)) * s_row.astype(jnp.bfloat16),
            m, w4.size // 2)
     from blazr_tpu.utils.synthetic import _rand_awq_qt
-    from blazr_tpu.quant.matmul import quant_matmul
+    from blazr_tpu.quant.matmul import quant_matmul, quant_matmul_xla_grouped
     qt = _rand_awq_qt(jax.random.key(0), K, N, group_size=128)
     timeit("pallas int4 (current)", lambda x: quant_matmul(x, qt), m,
            qt.qweight.size * 4)
+    timeit("xla grouped int4 (real)", lambda x: quant_matmul_xla_grouped(x, qt),
+           m, qt.qweight.size * 4)
 
 print("=== B) long-ctx decode: int8 KV vs float KV ===", flush=True)
 from blazr_tpu.engine.sampling import greedy_token
