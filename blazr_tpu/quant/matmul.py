@@ -29,6 +29,13 @@ _FORCE_PALLAS = os.environ.get("BLAZR_TPU_FORCE_PALLAS_QUANT", "0") == "1"
 _XLA_GROUPED = os.environ.get("BLAZR_TPU_XLA_GROUPED", "0") == "1"
 
 
+def _rows(x: jax.Array) -> int:
+    n = 1
+    for d in x.shape[:-1]:
+        n *= d
+    return n
+
+
 def _on_tpu() -> bool:
     try:
         return jax.default_backend() in ("tpu", "axon")
@@ -45,7 +52,9 @@ def quant_matmul(x: jax.Array, qt: QuantTensor) -> jax.Array:
     if qt.perm is not None:
         x = jnp.take(x, qt.perm, axis=-1)
 
-    if _XLA_GROUPED:
+    # Decode-regime only: the grouped path keeps [m, G, N] f32 partials
+    # live (~1 GB at prefill sizes); prefill stays on the tiled kernel.
+    if _XLA_GROUPED and _rows(x) <= 32:
         return quant_matmul_xla_grouped(x, qt)
 
     if not _FORCE_XLA and (_on_tpu() or _FORCE_PALLAS):
