@@ -41,7 +41,7 @@ def build_parser() -> argparse.ArgumentParser:
                           help="decoder layers kept on device; the rest "
                                "stream from host RAM (reference "
                                "n-gpu-layers)")
-    loadopts.add_argument("--kv-cache-dtype", choices=["auto", "int8"],
+    loadopts.add_argument("--kv-cache-dtype", choices=["auto", "int8", "int4"],
                           default="auto", help="int8 halves KV-cache HBM "
                           "traffic")
 
@@ -93,7 +93,7 @@ def build_parser() -> argparse.ArgumentParser:
                        help="serve through the paged-KV batch engine "
                             "(reference serve.rs:156-222 wiring)")
     serve.add_argument("--max-batch-size", type=int, default=8)
-    serve.add_argument("--kv-cache-dtype", choices=["auto", "int8"],
+    serve.add_argument("--kv-cache-dtype", choices=["auto", "int8", "int4"],
                        default="auto")
 
     bench = sub.add_parser("bench", help="benchmark a model")

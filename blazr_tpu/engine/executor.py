@@ -188,15 +188,17 @@ class Executor:
                                   eos_token_id=self.tokenizer.eos_token_id)
 
     def _init_cache(self, batch: int):
-        """Model cache honoring inference.kv_cache_dtype (int8 KV is
-        contiguous-cache only; other backends ignore it)."""
-        kv_quant = (self.app_cfg.inference.kv_cache_dtype == "int8"
+        """Model cache honoring inference.kv_cache_dtype (int8/int4 KV on
+        the contiguous cache; int8 on paged/MLA; other backends ignore)."""
+        kv_dtype = self.app_cfg.inference.kv_cache_dtype
+        kv_quant = (kv_dtype in ("int8", "int4")
                     and not self.model.needs_ssm_state
                     and self.model.cfg.attention is not None
                     and not self.model.cfg.hybrid_layers)
         try:
             return self.model.init_cache(batch, self.capacity,
-                                         kv_quant=kv_quant)
+                                         kv_quant=kv_quant,
+                                         kv_dtype=kv_dtype)
         except TypeError:      # model types without the kv_quant arg
             return self.model.init_cache(batch, self.capacity)
 

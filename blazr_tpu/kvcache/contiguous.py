@@ -61,12 +61,15 @@ class KVCache:
 
 def init_kv_cache(num_layers: int, batch: int, capacity: int, kv_heads: int,
                   head_dim: int, dtype=jnp.bfloat16,
-                  quantized: bool = False) -> KVCache:
+                  quantized: bool = False, kv_dtype: str = "int8") -> KVCache:
     shape = (num_layers, batch, capacity + 1, kv_heads, head_dim)
     if quantized:
+        # int4 KV (PAPERS.md "When Quantization Is Free"): halves KV HBM
+        # traffic again vs int8; the attend() scale-fold path is identical.
+        qdt = jnp.int4 if kv_dtype == "int4" else jnp.int8
         return KVCache(
-            k=jnp.zeros(shape, dtype=jnp.int8),
-            v=jnp.zeros(shape, dtype=jnp.int8),
+            k=jnp.zeros(shape, dtype=qdt),
+            v=jnp.zeros(shape, dtype=qdt),
             length=jnp.zeros((batch,), dtype=jnp.int32),
             k_scale=jnp.zeros(shape[:4], dtype=jnp.float32),
             v_scale=jnp.zeros(shape[:4], dtype=jnp.float32),
@@ -78,11 +81,12 @@ def init_kv_cache(num_layers: int, batch: int, capacity: int, kv_heads: int,
     )
 
 
-def _quantize_tokens(x: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """[B, T, H, D] float → (int8 values, [B, T, H] scales)."""
+def _quantize_tokens(x: jax.Array, qdt=jnp.int8) -> tuple[jax.Array, jax.Array]:
+    """[B, T, H, D] float → (int4/int8 values, [B, T, H] absmax scales)."""
+    qmax = 7.0 if qdt == jnp.int4 else 127.0
     xf = x.astype(jnp.float32)
-    scale = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1), 1e-8) / 127.0
-    q = jnp.clip(jnp.round(xf / scale[..., None]), -127, 127).astype(jnp.int8)
+    scale = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1), 1e-8) / qmax
+    q = jnp.clip(jnp.round(xf / scale[..., None]), -qmax, qmax).astype(qdt)
     return q, scale
 
 
@@ -96,8 +100,8 @@ def write_layer(cache: KVCache, layer: int, k_new: jax.Array, v_new: jax.Array,
     b = k_new.shape[0]
     batch_idx = jnp.arange(b, dtype=jnp.int32)[:, None]          # [B, 1]
     if cache.quantized:
-        kq, ks = _quantize_tokens(k_new)
-        vq, vs = _quantize_tokens(v_new)
+        kq, ks = _quantize_tokens(k_new, cache.k.dtype)
+        vq, vs = _quantize_tokens(v_new, cache.v.dtype)
         return dataclasses.replace(
             cache,
             k=cache.k.at[layer, batch_idx, positions].set(kq),

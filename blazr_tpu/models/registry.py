@@ -197,7 +197,7 @@ class Model:
 
     # ---- cache management ------------------------------------------------
     def init_cache(self, batch: int, capacity: int,
-                   kv_quant: bool = False) -> Any:
+                   kv_quant: bool = False, kv_dtype: str = "int8") -> Any:
         if self.cfg.model_type in ("mamba2", "mamba3"):
             from ..kvcache.ssm_state import init_ssm_state
 
@@ -213,7 +213,7 @@ class Model:
                                   quantized=kv_quant)
         return init_kv_cache(
             self.num_layers, batch, capacity, self.num_kv_heads, self.head_dim,
-            dtype=self.dtype, quantized=kv_quant,
+            dtype=self.dtype, quantized=kv_quant, kv_dtype=kv_dtype,
         )
 
     # ---- forward ---------------------------------------------------------

@@ -160,3 +160,50 @@ def test_int8_pa_kernel_matches_reference(rng):
         interpret=True, k_scale=cq.k_scale[0], v_scale=cq.v_scale[0])
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=3e-2, rtol=3e-2)
+
+
+# ---------------------------------------------------------------------------
+# int4 KV (contiguous path)
+# ---------------------------------------------------------------------------
+
+def test_int4_kv_close_to_float(tmp_path, rng):
+    import jax.numpy as jnp
+
+    from blazr_tpu.loader import load_model
+    from fixtures import write_tiny_llama_checkpoint
+
+    write_tiny_llama_checkpoint(tmp_path, np.random.default_rng(43))
+    model, _ = load_model(tmp_path, dtype="f32")
+
+    prompt = rng.integers(0, 250, size=(1, 24)).astype(np.int32)
+    pos = np.arange(24, dtype=np.int32)[None, :]
+
+    cf = model.init_cache(1, 64)
+    lf, cf = model.forward(jnp.asarray(prompt), cf, jnp.asarray(pos))
+    cq = model.init_cache(1, 64, kv_quant=True, kv_dtype="int4")
+    assert cq.quantized and cq.k.dtype == jnp.int4
+    lq, cq = model.forward(jnp.asarray(prompt), cq, jnp.asarray(pos))
+
+    a, b = np.asarray(lf)[0, -1], np.asarray(lq)[0, -1]
+    cos = float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+    # int4 is lossier than int8 but must stay directionally faithful
+    assert cos > 0.99, cos
+
+
+def test_int4_kv_through_executor(tmp_path):
+    """Executor honors inference.kv_cache_dtype=int4 and generates."""
+    from blazr_tpu.config.generation import GenerationConfig
+    from blazr_tpu.engine.executor import Executor
+    from blazr_tpu.loader import load_model
+    from blazr_tpu.tokenizer import load_tokenizer
+    from fixtures import write_byte_tokenizer_json, write_tiny_llama_checkpoint
+
+    write_tiny_llama_checkpoint(tmp_path, np.random.default_rng(44))
+    write_byte_tokenizer_json(tmp_path)
+    model, app_cfg = load_model(tmp_path, dtype="f32")
+    app_cfg.inference.kv_cache_dtype = "int4"
+    ex = Executor(model, load_tokenizer(tmp_path), app_cfg)
+    cfg = GenerationConfig(max_tokens=6, temperature=0.0)
+    out = [e.token_id for e in ex.generate(ex.tokenizer.encode("hi"), cfg)
+           if e.token_id is not None]
+    assert len(out) == 6
