@@ -207,3 +207,18 @@ def test_int4_kv_through_executor(tmp_path):
     out = [e.token_id for e in ex.generate(ex.tokenizer.encode("hi"), cfg)
            if e.token_id is not None]
     assert len(out) == 6
+
+
+def test_int4_cache_shards_over_mesh():
+    """int4 planes + f32 scales shard like the int8 cache (TP/DP mesh)."""
+    import jax.numpy as jnp
+
+    from blazr_tpu.kvcache.contiguous import init_kv_cache
+    from blazr_tpu.parallel import MeshConfig, make_mesh
+    from blazr_tpu.parallel.tp import shard_cache
+
+    mesh = make_mesh(MeshConfig(tp=4, dp=2))
+    c = init_kv_cache(2, 2, 32, 4, 16, quantized=True, kv_dtype="int4")
+    cs = shard_cache(c, mesh)
+    assert cs.k.dtype == jnp.int4
+    assert cs.k_scale is not None
