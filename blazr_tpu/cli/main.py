@@ -44,6 +44,9 @@ def build_parser() -> argparse.ArgumentParser:
     loadopts.add_argument("--kv-cache-dtype", choices=["auto", "int8", "int4"],
                           default="auto", help="int8 halves KV-cache HBM "
                           "traffic")
+    loadopts.add_argument("--prefix-cache", action="store_true",
+                          help="reuse the previous request's KV when the "
+                               "new prompt extends it (suffix-only prefill)")
 
     run = sub.add_parser("run", help="run a model (one-shot or REPL)",
                          parents=[loadopts])
@@ -216,7 +219,7 @@ def _pin_backend(device: str) -> None:
 
 
 def _load_executor(model_path: str, dtype, device_layers=None,
-                   kv_cache_dtype=None):
+                   kv_cache_dtype=None, prefix_cache=False):
     from ..engine.executor import Executor
     from ..loader import load_model
     from ..tokenizer import load_tokenizer
@@ -226,6 +229,8 @@ def _load_executor(model_path: str, dtype, device_layers=None,
                                 device_layers=device_layers)
     if kv_cache_dtype:
         app_cfg.inference.kv_cache_dtype = kv_cache_dtype
+    if prefix_cache:
+        app_cfg.inference.prefix_cache = True
     p = Path(model_path)
     gguf = p if p.suffix == ".gguf" else None
     tok = load_tokenizer(p.parent if p.is_file() else p, gguf_path=gguf)
@@ -261,7 +266,8 @@ def cmd_run(args) -> int:
 
     ex = _load_executor(args.model, args.dtype,
                         device_layers=getattr(args, "device_layers", None),
-                        kv_cache_dtype=getattr(args, "kv_cache_dtype", None))
+                        kv_cache_dtype=getattr(args, "kv_cache_dtype", None),
+                        prefix_cache=getattr(args, "prefix_cache", False))
     if not args.no_warmup:
         ex.warmup()
     cfg = GenerationConfig(
@@ -340,7 +346,8 @@ def cmd_generate(args) -> int:
 
     ex = _load_executor(args.model, args.dtype,
                         device_layers=getattr(args, "device_layers", None),
-                        kv_cache_dtype=getattr(args, "kv_cache_dtype", None))
+                        kv_cache_dtype=getattr(args, "kv_cache_dtype", None),
+                        prefix_cache=getattr(args, "prefix_cache", False))
     cfg = GenerationConfig(max_tokens=args.max_tokens,
                            temperature=args.temperature)
     _print_stream(ex, ex.tokenizer.encode(args.prompt), cfg)
@@ -351,7 +358,9 @@ def cmd_chat(args) -> int:
     from ..config.generation import GenerationConfig
     from ..model_meta.chat_template import ChatMessage, ChatTemplate, TemplateFormat
 
-    ex = _load_executor(args.model, args.dtype)
+    # Chat turns extend the same history — session KV reuse means each
+    # turn prefills only the new tokens.
+    ex = _load_executor(args.model, args.dtype, prefix_cache=True)
     template = (ChatTemplate(TemplateFormat.from_name(args.template))
                 if args.template
                 else ChatTemplate.detect(model_type=ex.model.cfg.model_type))

@@ -68,6 +68,11 @@ class Executor:
             model.cfg.max_seq_len or 4096,
         )
         self._vocab_bytes: Optional[list[bytes]] = None
+        # Last completed session's (fed tokens, device cache) — reused when
+        # the next prompt extends it (reference prefix reuse,
+        # executor_generate.rs:230-249). Restore COPIES the pytree: the
+        # retained buffers must never flow into a donating jit.
+        self._session: Optional[tuple[list[int], Any]] = None
         self.load_time = time.time()
 
         fwd = model.forward_fn
@@ -203,6 +208,42 @@ class Executor:
             return self.model.init_cache(batch, self.capacity)
 
     # ------------------------------------------------------------------
+    # single-stream session KV reuse (contiguous cache)
+    # ------------------------------------------------------------------
+    _MIN_REUSE_TOKENS = 16   # below this a fresh prefill beats the copy
+
+    def _session_restore(self, prompt_ids: list[int]):
+        """(cache, start) reusing the previous session's device-resident KV
+        when the new prompt extends it; (None, 0) on miss. Recurrent-state
+        backends (SSM/hybrid) can't be partially replayed and never match."""
+        if not self.app_cfg.inference.prefix_cache or self._session is None:
+            return None, 0
+        toks, cache = self._session
+        limit = min(len(toks), len(prompt_ids) - 1)
+        n = 0
+        while n < limit and toks[n] == prompt_ids[n]:
+            n += 1
+        if n < self._MIN_REUSE_TOKENS:
+            return None, 0
+        import dataclasses
+
+        fresh = jax.tree.map(jnp.copy, cache)
+        # Trim to the matched prefix; later slots get overwritten by the
+        # suffix prefill or masked by the per-sequence length.
+        return dataclasses.replace(
+            fresh, length=jnp.minimum(fresh.length, n)), n
+
+    def _session_save(self, fed_tokens: list[int], cache) -> None:
+        # Positional caches only (contiguous KV, MLA latent): hybrid/SSM
+        # recurrent state reflects every token fed and cannot be trimmed
+        # back to a prefix.
+        if (self.app_cfg.inference.prefix_cache
+                and (hasattr(cache, "k") or hasattr(cache, "latent"))
+                and not hasattr(cache, "ssm")
+                and hasattr(cache, "trash_position")):
+            self._session = (list(fed_tokens), cache)
+
+    # ------------------------------------------------------------------
     def prefill(self, cache, prompt_ids: list[int], start_pos: int = 0):
         """Bucketed prefill. Returns (last_logits [1, V] device, cache)."""
         n = len(prompt_ids)
@@ -258,12 +299,17 @@ class Executor:
 
         backend = ("mamba2" if self.model.needs_ssm_state and
                    not self.model.needs_kv_cache else "contiguous")
-        cache = self._init_cache(1)
+        cache, start = self._session_restore(prompt_ids)
+        if cache is None:
+            cache = self._init_cache(1)
         t0 = time.time()
         with tracing_span("prefill", backend=backend,
-                          tokens=len(prompt_ids)):
-            last_logits, cache = self.prefill(cache, prompt_ids)
+                          tokens=len(prompt_ids) - start, cached=start):
+            last_logits, cache = self.prefill(cache, prompt_ids[start:],
+                                              start_pos=start)
         prefill_time = time.time() - t0
+        # Tokens whose KV the cache holds (grows as decode feeds tokens).
+        kv_tokens = list(prompt_ids)
 
         history = list(prompt_ids)
         window = jnp.asarray(make_window(history)[None, :])
@@ -304,50 +350,59 @@ class Executor:
         # First token from prefill logits.
         tok, lp, top_lp, top_ids = pick_token(last_logits, 0)
 
-        for step in range(max_new):
-            finished, tok = self._postprocess_token(tok, grammar)
-            gt = GeneratedToken(
-                token_id=tok,
-                text="" if self.tokenizer.is_eos(tok) else self._token_text(tok),
-                logprob=None if np.isnan(lp) else lp,
-                top_logprobs=self._top_logprobs(cfg, top_lp, top_ids),
-            )
-            history.append(tok)
-            window = jnp.concatenate(
-                [window[:, 1:], jnp.asarray([[tok]], dtype=jnp.int32)], axis=1
-            )
-            yield gt
-            emitted += 1
-            if finished or self.tokenizer.is_eos(tok) or emitted >= max_new:
-                return
-            if pos + 1 >= self.capacity:
-                return
+        try:
+            for step in range(max_new):
+                finished, tok = self._postprocess_token(tok, grammar)
+                gt = GeneratedToken(
+                    token_id=tok,
+                    text="" if self.tokenizer.is_eos(tok)
+                         else self._token_text(tok),
+                    logprob=None if np.isnan(lp) else lp,
+                    top_logprobs=self._top_logprobs(cfg, top_lp, top_ids),
+                )
+                history.append(tok)
+                window = jnp.concatenate(
+                    [window[:, 1:], jnp.asarray([[tok]], dtype=jnp.int32)],
+                    axis=1,
+                )
+                yield gt
+                emitted += 1
+                if finished or self.tokenizer.is_eos(tok) or emitted >= max_new:
+                    return
+                if pos + 1 >= self.capacity:
+                    return
 
-            positions = jnp.asarray([[pos]], dtype=jnp.int32)
-            seq_lens = jnp.asarray([pos + 1], dtype=jnp.int32)
-            if host_path:
-                # Host-sampler path: forward only, then sample on host from
-                # the raw logits (reference CPU-side samplers).
-                last_logits, cache = self._forward_step(
-                    cache, jnp.asarray([[tok]], dtype=jnp.int32),
-                    positions, seq_lens,
-                )
-                pos += 1
-                tok, lp, top_lp, top_ids = pick_token(last_logits, step + 1)
-            else:
-                # Fused path: forward + sample in one compiled program.
-                sp = SamplingParams.from_config([cfg], step=step + 1)
-                use_mask = grammar is not None
-                tok_dev, cache, lp_dev, top_lp, top_ids = self._decode_step(
-                    cache, jnp.asarray([[tok]], dtype=jnp.int32), window,
-                    positions, seq_lens, sp, bias_ids, bias_vals,
-                    grammar_mask_dev() if use_mask else
-                    jnp.ones((1, self.model.vocab_size), dtype=bool),
-                    use_mask=use_mask,
-                )
-                pos += 1
-                tok = int(tok_dev[0])
-                lp = float(lp_dev[0])
+                positions = jnp.asarray([[pos]], dtype=jnp.int32)
+                seq_lens = jnp.asarray([pos + 1], dtype=jnp.int32)
+                if host_path:
+                    # Host-sampler path: forward only, then sample on host
+                    # from the raw logits (reference CPU-side samplers).
+                    last_logits, cache = self._forward_step(
+                        cache, jnp.asarray([[tok]], dtype=jnp.int32),
+                        positions, seq_lens,
+                    )
+                    kv_tokens.append(tok)
+                    pos += 1
+                    tok, lp, top_lp, top_ids = pick_token(last_logits, step + 1)
+                else:
+                    # Fused path: forward + sample in one compiled program.
+                    sp = SamplingParams.from_config([cfg], step=step + 1)
+                    use_mask = grammar is not None
+                    tok_dev, cache, lp_dev, top_lp, top_ids = self._decode_step(
+                        cache, jnp.asarray([[tok]], dtype=jnp.int32), window,
+                        positions, seq_lens, sp, bias_ids, bias_vals,
+                        grammar_mask_dev() if use_mask else
+                        jnp.ones((1, self.model.vocab_size), dtype=bool),
+                        use_mask=use_mask,
+                    )
+                    kv_tokens.append(tok)
+                    pos += 1
+                    tok = int(tok_dev[0])
+                    lp = float(lp_dev[0])
+        finally:
+            # Retain the device cache for prefix reuse by the next request
+            # (runs on normal finish AND client-disconnect GeneratorExit).
+            self._session_save(kv_tokens, cache)
 
     # ------------------------------------------------------------------
     def _postprocess_token(self, tok: int, grammar) -> tuple[bool, int]:

@@ -256,3 +256,72 @@ def test_think_unclosed_trailing():
 def test_think_none():
     th, rest = extract_thinking("plain")
     assert th is None and rest == "plain"
+
+
+# ---------------------------------------------------------------------------
+# single-stream session KV reuse (reference prefix reuse,
+# executor_generate.rs:230-249)
+# ---------------------------------------------------------------------------
+
+def _fresh_executor(tmp_path_factory, prefix_cache, seed=99, kv_dtype="auto"):
+    rng = np.random.default_rng(seed)
+    path = tmp_path_factory.mktemp("sess_model")
+    write_tiny_llama_checkpoint(path, rng)
+    model, app_cfg = load_model(path, dtype="f32")
+    app_cfg.inference.max_seq_len = 128
+    app_cfg.inference.prefix_cache = prefix_cache
+    app_cfg.inference.kv_cache_dtype = kv_dtype
+    return Executor(model, ByteTokenizer(), app_cfg)
+
+
+def test_session_reuse_matches_cold(tmp_path_factory):
+    """Turn 2 extending turn 1's history must produce identical greedy
+    tokens with session reuse on (suffix-only prefill) and off."""
+    cfg = GenerationConfig(max_tokens=4, temperature=0.0)
+    turn1 = list(range(1, 33))                       # >= _MIN_REUSE_TOKENS
+
+    ex = _fresh_executor(tmp_path_factory, prefix_cache=True)
+    out1 = [t.token_id for t in ex.generate(turn1, cfg)]
+    assert ex._session is not None
+    turn2 = turn1 + out1 + [50, 51, 52]
+    cache_id_before = id(ex._session[1])
+    reused = [t.token_id for t in ex.generate(turn2, cfg)]
+
+    cold = _fresh_executor(tmp_path_factory, prefix_cache=False)
+    [t.token_id for t in cold.generate(turn1, cfg)]
+    fresh = [t.token_id for t in cold.generate(turn2, cfg)]
+    assert cold._session is None
+    assert reused == fresh
+    # the retained cache object was not clobbered by donation
+    assert id(ex._session[1]) != cache_id_before
+
+
+def test_session_reuse_partial_prefix(tmp_path_factory):
+    """A diverging prompt reuses only the common prefix."""
+    cfg = GenerationConfig(max_tokens=3, temperature=0.0)
+    ex = _fresh_executor(tmp_path_factory, prefix_cache=True, seed=7)
+    base = list(range(1, 41))
+    [t.token_id for t in ex.generate(base, cfg)]
+    diverged = base[:24] + [99, 98, 97, 96]
+    got = [t.token_id for t in ex.generate(diverged, cfg)]
+
+    cold = _fresh_executor(tmp_path_factory, prefix_cache=False, seed=7)
+    want = [t.token_id for t in cold.generate(diverged, cfg)]
+    assert got == want
+
+
+def test_session_reuse_int8_kv(tmp_path_factory):
+    """Reuse over a quantized cache: requantization is per-token, so the
+    restored prefix is bit-identical to a cold prefill."""
+    cfg = GenerationConfig(max_tokens=4, temperature=0.0)
+    ex = _fresh_executor(tmp_path_factory, prefix_cache=True, seed=13,
+                         kv_dtype="int8")
+    t1 = list(range(5, 45))
+    out1 = [t.token_id for t in ex.generate(t1, cfg)]
+    t2 = t1 + out1 + [7]
+    got = [t.token_id for t in ex.generate(t2, cfg)]
+
+    cold = _fresh_executor(tmp_path_factory, prefix_cache=False, seed=13,
+                           kv_dtype="int8")
+    want = [t.token_id for t in cold.generate(t2, cfg)]
+    assert got == want
