@@ -11,6 +11,8 @@ from functools import partial
 jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 assert jax.default_backend() in ("tpu", "axon"), jax.default_backend()
+import time as _t; _t0=_t.time()
+print("alive: compute", float(jnp.sum(jnp.ones((128,128)) @ jnp.ones((128,128)))), f"{_t.time()-_t0:.1f}s", flush=True)
 
 K, N = 4096, 14336
 ITERS = 512

@@ -6,6 +6,10 @@ jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 assert jax.default_backend() == "tpu"
 
+# quick compute liveness check (the light probe can pass while real work hangs)
+import time as _t; _t0=_t.time()
+print("alive: compute", float(jnp.sum(jnp.ones((128,128)) @ jnp.ones((128,128)))), f"{_t.time()-_t0:.1f}s", flush=True)
+
 from blazr_tpu.utils.synthetic import _rand_awq_qt
 from blazr_tpu.quant.pallas import int_matmul as im
 
@@ -47,9 +51,10 @@ def old_path(x):
                    bm=bm, bk=bk, bn=bn, out_dtype=x.dtype)
 timeit(f"auto-pipe bk={bk} bn={bn}", old_path, 16, qbytes)
 
-# new stream kernel, nbuf sweep
-for nbuf in (2, 3, 4, 6):
-    for sbk in (256, 512, 1024):
+# new stream kernel — trimmed to the decision-critical configs (each case
+# is a separate Mosaic compile through the flaky tunnel; keep it short).
+for nbuf in (4,):
+    for sbk in (512, 1024):
         if K % sbk: continue
         def sp(x, nbuf=nbuf, sbk=sbk):
             return im._qmm_stream(x, qt.qweight, qt.scales.astype(jnp.float32),
