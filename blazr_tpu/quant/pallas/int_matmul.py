@@ -396,3 +396,18 @@ def quant_matmul_pallas(x: jax.Array, qt: QuantTensor) -> jax.Array:
 #   shapes -> the cap is the Pallas auto-pipeline's effective HBM
 #   streaming (~310-400 GB/s vs XLA's own 770 GB/s on dense bf16);
 #   round 2: manual double-buffered DMA per the pallas guide pattern.
+# ROUND-1 TAIL MEASUREMENTS (same chip, later session; chained 512-iter
+# fori_loop, K=4096 N=14336):
+#   dense bf16                m=16   97 us  (~1210 GB/s — chip streams
+#                                            well above the v5e 819 spec)
+#   auto-pipe (this kernel)   m=16  104 us  (~319 GB/s)   <- still fastest
+#   manual-DMA stream kernel  m=16  122-146 us (nbuf=4, bk=1024/512)
+#                             -> SLOWER than auto-pipe; stays opt-in/off.
+#   xla int8 dequant-dot      m=1   131 us  (~462 GB/s over 2x the bytes)
+#   xla grouped int4 einsum   m=1   773 us  (~38 GB/s — XLA materializes
+#                             the [m,G,N] partials; BLAZR_TPU_XLA_GROUPED
+#                             stays off)
+# Verdict: keep the auto-pipelined kernel as default. The 97-vs-104 us
+# dense gap means the kernel is only ~7% from DENSE wall time while
+# reading 4x fewer weight bytes — the unpack/convert chain, not DMA, is
+# the bottleneck. Round-2: native-int4 MXU feed / bitcast unpack.
