@@ -426,6 +426,12 @@ def cmd_serve(args) -> int:
         from ..distributed.lockstep import LockstepEngine
         from ..parallel.multihost import is_primary
 
+        if batch_engine is None:
+            # Lockstep replays BatchEngine steps on every process; without
+            # one it would crash with an obscure AttributeError at runtime.
+            print("error: multi-process serving requires --continuous-batching",
+                  file=sys.stderr)
+            return 2
         lockstep = LockstepEngine(batch_engine)
         if not is_primary():
             # Follower: no HTTP; mirror the primary's op stream forever.

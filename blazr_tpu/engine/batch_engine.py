@@ -112,11 +112,16 @@ class BatchEngine:
         )
 
         att = model.cfg.attention
+        if inf.kv_cache_dtype == "int4":
+            # int4 KV is contiguous-cache only; silently running bf16 would
+            # give the user 4x the expected KV footprint (ADVICE r1).
+            logger.warning("kv_cache_dtype=int4 is not supported on the "
+                           "paged path; using int8")
         self.cache = init_paged_cache(
             model.cfg.num_layers, num_blocks, self.block_size,
             att.kv_heads(), att.resolved_head_dim(model.cfg.hidden_size),
             dtype=model.dtype,
-            quantized=inf.kv_cache_dtype == "int8",
+            quantized=inf.kv_cache_dtype in ("int8", "int4"),
         )
 
         self._handles: dict[int, RequestHandle] = {}
@@ -258,11 +263,12 @@ class BatchEngine:
     def _process_prefill(self, seq: Sequence) -> None:
         """Prefill the uncached/unprefilled prompt suffix (chunked), then
         sample the first token (reference process_prefill)."""
-        chunk_cfg = self.app_cfg.inference.prefill_chunk_size
+        chunk_cfg = (self.app_cfg.inference.prefill_chunk_size
+                     or self.scheduler.config.max_batch_tokens)
         prompt = seq.prompt_tokens
         start = seq.prefilled_tokens
         remaining = len(prompt) - start
-        chunk = min(chunk_cfg or remaining, remaining)
+        chunk = min(chunk_cfg, remaining)
         piece = prompt[start : start + chunk]
         is_last = start + chunk >= len(prompt)
 

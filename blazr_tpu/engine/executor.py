@@ -312,7 +312,7 @@ class Executor:
         kv_tokens = list(prompt_ids)
 
         history = list(prompt_ids)
-        window = jnp.asarray(make_window(history)[None, :])
+        window = jnp.asarray(make_window(history, cfg.repeat_last_n)[None, :])
         bias_ids, bias_vals = make_bias_rows([cfg])
         bias_ids = jnp.asarray(bias_ids)
         bias_vals = jnp.asarray(bias_vals)
@@ -361,10 +361,12 @@ class Executor:
                     top_logprobs=self._top_logprobs(cfg, top_lp, top_ids),
                 )
                 history.append(tok)
-                window = jnp.concatenate(
-                    [window[:, 1:], jnp.asarray([[tok]], dtype=jnp.int32)],
-                    axis=1,
-                )
+                # Rebuild the penalty window from history each step (a pure
+                # shift-append evicts prompt tokens early while PAD slots
+                # remain whenever len(prompt) < window — reference keeps
+                # last-repeat_last_n semantics, batch_engine does the same).
+                window = jnp.asarray(
+                    make_window(history, cfg.repeat_last_n)[None, :])
                 yield gt
                 emitted += 1
                 if finished or self.tokenizer.is_eos(tok) or emitted >= max_new:

@@ -113,23 +113,26 @@ class SequenceScheduler:
             if not seq.needs_prefill:
                 batch.decode_sequences.append(seq)
 
-        # Admission: FIFO while under budgets.
+        # Admission: FIFO while under budgets. A prompt longer than one
+        # step's token budget is still admitted — only its first chunk
+        # counts against this step; the chunked-prefill path finishes the
+        # rest across later steps (reference batch_engine.rs:171-319).
         budget_tokens = self.config.max_batch_tokens - sum(
             1 for _ in batch.decode_sequences)
         while self.waiting:
             if len(self.running) >= self.config.max_batch_size:
                 break
-            seq = self.waiting[0]
-            remaining_prefill = len(seq.prompt_tokens) - seq.prefilled_tokens
-            if remaining_prefill > budget_tokens:
+            if budget_tokens <= 0:
                 break
+            seq = self.waiting[0]
             if not self._allocate_prompt_blocks(seq):
                 break
+            remaining_prefill = len(seq.prompt_tokens) - seq.prefilled_tokens
             self.waiting.pop(0)
             seq.state = SequenceState.RUNNING
             self.running[seq.seq_id] = seq
             batch.prefill_sequences.append(seq)
-            budget_tokens -= remaining_prefill
+            budget_tokens -= min(remaining_prefill, budget_tokens)
 
         # Continuing prefills of already-running sequences (chunked prefill).
         for seq in self.running.values():
@@ -201,6 +204,9 @@ class SequenceScheduler:
         seq = self.sequences[seq_id]
         seq.prefilled_tokens = min(seq.prefilled_tokens + num_tokens,
                                    len(seq.prompt_tokens))
+        if self.prefix_cache is not None:
+            # Blocks now covered by real KV become servable cache hits.
+            self.prefix_cache.mark_computed(seq_id, seq.prefilled_tokens)
 
     def append_token(self, seq_id: int, token: int) -> None:
         self.sequences[seq_id].output_tokens.append(token)

@@ -98,7 +98,8 @@ def attach_host_tier(prefix_cache, paged_cache_getter, max_blocks: int = 5000):
             blk = prefix_cache._by_hash.get(h)
             if blk is not None and prefix_cache.allocator.ref_count(blk) <= 1:
                 cache = paged_cache_getter()
-                if cache is not None:
+                # Only computed blocks hold real KV worth preserving.
+                if cache is not None and blk in prefix_cache._computed:
                     tier.save(h, *_block_kv(cache, blk))
                 break
         orig_evict()
@@ -138,6 +139,13 @@ def attach_host_tier(prefix_cache, paged_cache_getter, max_blocks: int = 5000):
                 # Register so future requests hit the device tier directly.
                 if h not in prefix_cache._by_hash:
                     prefix_cache._register(h, blk)
+                # The restored block carries valid KV — computed immediately
+                # (it was never prefilled by this sequence, so clear any
+                # pending entry orig_get recorded for it).
+                prefix_cache._computed.add(blk)
+                pend = prefix_cache._pending.get(seq_id)
+                if pend:
+                    pend[:] = [p for p in pend if p[0] != blk]
                 cached = (i + 1) * bs
             prev = h
         if cached >= len(tokens):

@@ -56,6 +56,14 @@ class PrefixCache:
         self._lru: dict[bytes, int] = {}
         self._clock = 0
         self._seq_blocks: dict[int, list[BlockId]] = {}
+        # Blocks whose KV has actually been written by a prefill. A block is
+        # only served as a hit once computed — otherwise a request aborted
+        # between admission and prefill would leave garbage KV registered
+        # and a retry of the same prompt would silently skip prefill over it.
+        self._computed: set[BlockId] = set()
+        # seq_id -> [(block, hash, end_token_index)] registered by that
+        # sequence but not yet covered by a completed prefill.
+        self._pending: dict[int, list[tuple[BlockId, bytes, int]]] = {}
         self.stats = PrefixCacheStats()
 
     # ------------------------------------------------------------------
@@ -73,13 +81,14 @@ class PrefixCache:
         prev = b"root"
         reused = True
         self._clock += 1
+        pending = self._pending.setdefault(seq_id, [])
         for i in range(n_blocks):
             chunk = tuple(tokens[i * bs : (i + 1) * bs])
             full = len(chunk) == bs
-            if full and reused and self.config.enabled:
+            if full and self.config.enabled:
                 h = _chain_hash(prev, chunk)
                 hit = self._by_hash.get(h)
-                if hit is not None:
+                if reused and hit is not None and hit in self._computed:
                     self.allocator.inc_ref(hit)
                     blocks.append(hit)
                     cached_tokens += bs
@@ -87,25 +96,39 @@ class PrefixCache:
                     self.stats.hits += 1
                     prev = h
                     continue
+                if reused:
+                    self.stats.misses += 1
                 reused = False
-                self.stats.misses += 1
                 blk = self._fresh_block()
-                self._register(h, blk)
+                if h not in self._by_hash:
+                    # Register the hash now (so concurrent identical prompts
+                    # dedupe) but serve hits only after mark_computed.
+                    self._register(h, blk)
+                    pending.append((blk, h, (i + 1) * bs))
                 blocks.append(blk)
                 prev = h
             else:
-                if full and self.config.enabled and reused is False:
-                    # still register chain hashes for later reuse
-                    h = _chain_hash(prev, chunk)
-                    blk = self._fresh_block()
-                    if h not in self._by_hash:
-                        self._register(h, blk)
-                    blocks.append(blk)
-                    prev = h
-                else:
-                    blocks.append(self._fresh_block())
+                blocks.append(self._fresh_block())
         self._seq_blocks[seq_id] = blocks
         return cached_tokens, blocks
+
+    def mark_computed(self, seq_id: int, prefilled_tokens: int) -> None:
+        """Expose this sequence's registered blocks covered by a completed
+        prefill as reusable (reference/vLLM semantics: only computed blocks
+        serve cache hits)."""
+        pending = self._pending.get(seq_id)
+        if not pending:
+            return
+        keep = []
+        for blk, h, end in pending:
+            if end <= prefilled_tokens:
+                self._computed.add(blk)
+            else:
+                keep.append((blk, h, end))
+        if keep:
+            self._pending[seq_id] = keep
+        else:
+            self._pending.pop(seq_id, None)
 
     def extend(self, seq_id: int, n_new_blocks: int) -> list[BlockId]:
         """Allocate decode-time blocks (not registered in the cache)."""
@@ -114,12 +137,22 @@ class PrefixCache:
         return new
 
     def release_blocks(self, seq_id: int) -> None:
-        """Drop this sequence's refs. Registered blocks stay alive — the
-        cache holds its own reference until eviction (two-tier retention,
-        so later requests reuse prefixes of finished ones)."""
+        """Drop this sequence's refs. Computed registered blocks stay alive
+        — the cache holds its own reference until eviction (two-tier
+        retention, so later requests reuse prefixes of finished ones).
+        Blocks this sequence registered but never computed (aborted before
+        prefill) are deregistered so their garbage KV can't be served."""
+        for blk, h, _ in self._pending.pop(seq_id, []):
+            if self._by_hash.get(h) == blk:
+                self._by_hash.pop(h, None)
+                self._hash_of.pop(blk, None)
+                self._lru.pop(h, None)
+                self.stats.cached_blocks -= 1
+                self.allocator.free([blk])   # drop the cache's own ref
         for b in self._seq_blocks.pop(seq_id, []):
             self.allocator.free([b])
             if self.allocator.ref_count(b) == 0:
+                self._computed.discard(b)
                 # Unregistered (decode-time) block fully freed.
                 h = self._hash_of.pop(b, None)
                 if h is not None:
@@ -156,6 +189,7 @@ class PrefixCache:
                 self._by_hash.pop(h, None)
                 self._hash_of.pop(blk, None)
                 self._lru.pop(h, None)
+                self._computed.discard(blk)
                 self.allocator.free([blk])
                 self.stats.cached_blocks -= 1
                 self.stats.evictions += 1

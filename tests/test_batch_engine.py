@@ -78,6 +78,7 @@ def test_prefix_cache_shares_blocks():
     toks = list(range(12))              # 3 full blocks
     c1, b1 = pc.get_or_allocate_blocks(1, toks)
     assert c1 == 0
+    pc.mark_computed(1, 12)             # simulate completed prefill
     c2, b2 = pc.get_or_allocate_blocks(2, toks)
     assert c2 == 12 - 1 or c2 == 12     # full-hit capped for logits recompute
     assert b2[:2] == b1[:2]             # shared full blocks
@@ -94,6 +95,7 @@ def test_prefix_cache_partial_hit():
     a = BlockAllocator(64, 4)
     pc = PrefixCache(a)
     pc.get_or_allocate_blocks(1, [1, 2, 3, 4, 5, 6, 7, 8])
+    pc.mark_computed(1, 8)
     cached, blocks = pc.get_or_allocate_blocks(2, [1, 2, 3, 4, 9, 9, 9, 9])
     assert cached == 4                  # first block shared only
     assert pc.stats.hits >= 1
@@ -345,3 +347,56 @@ def test_batch_engine_int8_kv_matches_float(model):
     f = asyncio.run(run("auto"))
     q = asyncio.run(run("int8"))
     assert q == f
+
+
+def test_scheduler_admits_prompt_longer_than_step_budget():
+    """A prompt longer than max_batch_tokens must still be admitted and
+    prefilled across steps (ADVICE r1 high: it used to wedge the queue)."""
+    s = _sched(max_tokens=8)
+    sid = s.add_request(list(range(30)), GenerationConfig())
+    batch = s.schedule()
+    assert [q.seq_id for q in batch.prefill_sequences] == [sid]
+    # chunked prefill across steps
+    s.prefill_complete(sid, 8)
+    batch = s.schedule()
+    assert s.sequences[sid] in batch.prefill_sequences
+    s.prefill_complete(sid, 22)
+    s.append_token(sid, 1)
+    batch = s.schedule()
+    assert [q.seq_id for q in batch.decode_sequences] == [sid]
+
+
+def test_scheduler_long_prompt_does_not_block_queue():
+    """A long prompt at the head must not starve later requests forever."""
+    s = _sched(max_tokens=8, max_batch=4)
+    long_id = s.add_request(list(range(30)), GenerationConfig())
+    short_id = s.add_request([1, 2, 3], GenerationConfig())
+    batch = s.schedule()
+    ids = [q.seq_id for q in batch.prefill_sequences]
+    assert long_id in ids  # admitted, not wedged
+
+
+def test_prefix_cache_abort_before_prefill_not_served():
+    """Blocks of a sequence aborted before its prefill ran must not be
+    served as cache hits (they hold garbage KV) — ADVICE r1 medium."""
+    a = BlockAllocator(64, 4)
+    pc = PrefixCache(a)
+    toks = [1, 2, 3, 4, 5, 6, 7, 8]
+    pc.get_or_allocate_blocks(1, toks)
+    # abort before any prefill: no mark_computed
+    pc.release_blocks(1)
+    cached, _ = pc.get_or_allocate_blocks(2, toks)
+    assert cached == 0
+    assert a.free_blocks + a.stats().allocated_blocks == 64
+
+
+def test_prefix_cache_partial_prefill_abort():
+    """Only the prefilled prefix survives an abort; the rest is deregistered."""
+    a = BlockAllocator(64, 4)
+    pc = PrefixCache(a)
+    toks = list(range(16))               # 4 full blocks
+    pc.get_or_allocate_blocks(1, toks)
+    pc.mark_computed(1, 8)               # prefill covered 2 blocks, then abort
+    pc.release_blocks(1)
+    cached, _ = pc.get_or_allocate_blocks(2, toks)
+    assert cached == 8

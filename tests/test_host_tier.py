@@ -42,6 +42,7 @@ def test_two_tier_restore_roundtrip():
     for blk in blocks:
         cache.k = cache.k.at[:, blk * bs : (blk + 1) * bs].set(float(blk + 1))
         cache.v = cache.v.at[:, blk * bs : (blk + 1) * bs].set(float(blk + 1))
+    pc.mark_computed(1, len(tokens))
     pc.release_blocks(1)
 
     # Force eviction of both cached blocks (device tier drops them).
@@ -76,6 +77,7 @@ def test_two_tier_restore_int8_scales():
     cache.k = cache.k.at[:, blk * bs : (blk + 1) * bs].set(42)
     cache.k_scale = cache.k_scale.at[:, blk * bs : (blk + 1) * bs].set(0.5)
     cache.v_scale = cache.v_scale.at[:, blk * bs : (blk + 1) * bs].set(0.25)
+    pc.mark_computed(1, len(tokens))
     pc.release_blocks(1)
     while pc.stats.cached_blocks:
         pc._evict_one()
