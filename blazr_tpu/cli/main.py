@@ -47,6 +47,9 @@ def build_parser() -> argparse.ArgumentParser:
     loadopts.add_argument("--prefix-cache", action="store_true",
                           help="reuse the previous request's KV when the "
                                "new prompt extends it (suffix-only prefill)")
+    loadopts.add_argument("--tp", default=None, metavar="N",
+                          help="tensor-parallel degree over the device "
+                               "mesh ('auto' = all local devices)")
 
     run = sub.add_parser("run", help="run a model (one-shot or REPL)",
                          parents=[loadopts])
@@ -98,6 +101,9 @@ def build_parser() -> argparse.ArgumentParser:
     serve.add_argument("--max-batch-size", type=int, default=8)
     serve.add_argument("--kv-cache-dtype", choices=["auto", "int8", "int4"],
                        default="auto")
+    serve.add_argument("--tp", default=None, metavar="N",
+                       help="tensor-parallel degree over the device mesh "
+                            "('auto' = all local devices)")
 
     bench = sub.add_parser("bench", help="benchmark a model")
     bench.add_argument("model", nargs="?", help="model dir (synthetic if omitted)")
@@ -218,8 +224,19 @@ def _pin_backend(device: str) -> None:
         jax.config.update("jax_platforms", "cpu")
 
 
+def _resolve_tp(tp) -> int:
+    """'auto' → every local device; None/'' → 1."""
+    if tp in (None, "", "1"):
+        return 1
+    if tp == "auto":
+        import jax
+
+        return len(jax.devices())
+    return int(tp)
+
+
 def _load_executor(model_path: str, dtype, device_layers=None,
-                   kv_cache_dtype=None, prefix_cache=False):
+                   kv_cache_dtype=None, prefix_cache=False, tp=None):
     from ..engine.executor import Executor
     from ..loader import load_model
     from ..tokenizer import load_tokenizer
@@ -231,6 +248,7 @@ def _load_executor(model_path: str, dtype, device_layers=None,
         app_cfg.inference.kv_cache_dtype = kv_cache_dtype
     if prefix_cache:
         app_cfg.inference.prefix_cache = True
+    app_cfg.inference.tensor_parallel_size = _resolve_tp(tp)
     p = Path(model_path)
     gguf = p if p.suffix == ".gguf" else None
     tok = load_tokenizer(p.parent if p.is_file() else p, gguf_path=gguf)
@@ -267,7 +285,8 @@ def cmd_run(args) -> int:
     ex = _load_executor(args.model, args.dtype,
                         device_layers=getattr(args, "device_layers", None),
                         kv_cache_dtype=getattr(args, "kv_cache_dtype", None),
-                        prefix_cache=getattr(args, "prefix_cache", False))
+                        prefix_cache=getattr(args, "prefix_cache", False),
+                        tp=getattr(args, "tp", None))
     if not args.no_warmup:
         ex.warmup()
     cfg = GenerationConfig(
@@ -347,7 +366,8 @@ def cmd_generate(args) -> int:
     ex = _load_executor(args.model, args.dtype,
                         device_layers=getattr(args, "device_layers", None),
                         kv_cache_dtype=getattr(args, "kv_cache_dtype", None),
-                        prefix_cache=getattr(args, "prefix_cache", False))
+                        prefix_cache=getattr(args, "prefix_cache", False),
+                        tp=getattr(args, "tp", None))
     cfg = GenerationConfig(max_tokens=args.max_tokens,
                            temperature=args.temperature)
     _print_stream(ex, ex.tokenizer.encode(args.prompt), cfg)
@@ -399,7 +419,8 @@ def cmd_serve(args) -> int:
     if env_key:
         api_keys.append(env_key)
     scheduler = ModelScheduler(args.model, max_loaded=args.max_loaded,
-                               dtype=args.dtype)
+                               dtype=args.dtype,
+                               tp=_resolve_tp(getattr(args, "tp", None)))
     if not args.no_warmup:
         try:
             ex = scheduler.get_executor("default")

@@ -124,6 +124,18 @@ class BatchEngine:
             quantized=inf.kv_cache_dtype in ("int8", "int4"),
         )
 
+        # Tensor-parallel serving: shard params (column/row Megatron specs,
+        # quantized weights included) and the paged KV over the kv-head
+        # axis; every jitted step below then runs GSPMD-partitioned
+        # (reference scheduler.rs:160-206 + tensor_parallel.rs:76-163).
+        from ..parallel.tp import (maybe_serving_mesh, shard_paged_cache,
+                                   shard_params)
+
+        self.mesh = maybe_serving_mesh(inf, model.cfg, model.params)
+        if self.mesh is not None:
+            model.params = shard_params(model.params, self.mesh, model.cfg)
+            self.cache = shard_paged_cache(self.cache, self.mesh)
+
         self._handles: dict[int, RequestHandle] = {}
         self._grammars: dict[int, GrammarState] = {}
         self._windows: dict[int, list[int]] = {}
@@ -165,12 +177,22 @@ class BatchEngine:
             lp = jnp.take_along_axis(logprobs, tok[:, None], axis=1)[:, 0]
             return tok, lp
 
-        def bind(fn):
-            return lambda *a, **kw: fn(self.model.params, *a, **kw)
+        def bind(fn, with_params=True):
+            if self.mesh is None:
+                if with_params:
+                    return lambda *a, **kw: fn(self.model.params, *a, **kw)
+                return fn
+
+            def call(*a, **kw):
+                with jax.set_mesh(self.mesh):
+                    if with_params:
+                        return fn(self.model.params, *a, **kw)
+                    return fn(*a, **kw)
+            return call
 
         self._prefill_step = bind(prefill_step)
         self._decode_step = bind(decode_step)
-        self._sample_from = sample_from
+        self._sample_from = bind(sample_from, with_params=False)
 
     # ------------------------------------------------------------------
     # submission API (reference RequestScheduler::submit)

@@ -75,6 +75,21 @@ class Executor:
         self._session: Optional[tuple[list[int], Any]] = None
         self.load_time = time.time()
 
+        # Tensor-parallel serving: build the mesh and shard the params in
+        # place so every jitted step below runs GSPMD-partitioned
+        # (reference wires TP into the model lifecycle the same way,
+        # scheduler.rs:160-206). Streaming (host-offload) models stay
+        # single-device — their layers live in host RAM.
+        self.mesh = None
+        if not getattr(model, "is_streaming", False):
+            from ..parallel.tp import maybe_serving_mesh, shard_params
+
+            self.mesh = maybe_serving_mesh(self.app_cfg.inference,
+                                           model.cfg, model.params)
+            if self.mesh is not None:
+                model.params = shard_params(model.params, self.mesh,
+                                            model.cfg)
+
         fwd = model.forward_fn
         cfg = model.cfg
 
@@ -130,7 +145,13 @@ class Executor:
             return tok, chosen_lp, top_lp, top_ids
 
         def bind(fn):
-            return lambda *a, **kw: fn(self.model.params, *a, **kw)
+            if self.mesh is None:
+                return lambda *a, **kw: fn(self.model.params, *a, **kw)
+
+            def call(*a, **kw):
+                with jax.set_mesh(self.mesh):
+                    return fn(self.model.params, *a, **kw)
+            return call
 
         if getattr(model, "is_streaming", False):
             # Host-offloaded layers stream in Python between per-layer
@@ -171,7 +192,13 @@ class Executor:
             self._decode_step = bind(decode_step)
             self._forward_step = bind(forward_step)
             self._verify_step = bind(verify_step)
-        self._sample_only = sample_only
+        if self.mesh is not None:
+            def sample_in_mesh(*a, **kw):
+                with jax.set_mesh(self.mesh):
+                    return sample_only(*a, **kw)
+            self._sample_only = sample_in_mesh
+        else:
+            self._sample_only = sample_only
 
     # ------------------------------------------------------------------
     def vocab_bytes(self) -> list[bytes]:
@@ -201,11 +228,16 @@ class Executor:
                     and self.model.cfg.attention is not None
                     and not self.model.cfg.hybrid_layers)
         try:
-            return self.model.init_cache(batch, self.capacity,
-                                         kv_quant=kv_quant,
-                                         kv_dtype=kv_dtype)
+            cache = self.model.init_cache(batch, self.capacity,
+                                          kv_quant=kv_quant,
+                                          kv_dtype=kv_dtype)
         except TypeError:      # model types without the kv_quant arg
-            return self.model.init_cache(batch, self.capacity)
+            cache = self.model.init_cache(batch, self.capacity)
+        if self.mesh is not None and hasattr(cache, "k"):
+            from ..parallel.tp import shard_cache
+
+            cache = shard_cache(cache, self.mesh)
+        return cache
 
     # ------------------------------------------------------------------
     # single-stream session KV reuse (contiguous cache)

@@ -59,9 +59,19 @@ def _paged_attention_block(
     n_heads = att.num_heads
     n_kv = att.kv_heads()
 
-    q = linear(x, p["q"], p.get("q_bias")).reshape(b, t, n_heads, head_dim)
-    k = linear(x, p["k"], p.get("k_bias")).reshape(b, t, n_kv, head_dim)
-    v = linear(x, p["v"], p.get("v_bias")).reshape(b, t, n_kv, head_dim)
+    if p.get("qkv") is not None:
+        # Fused QKV projection (one wide matmul — single-chip layout;
+        # under TP the loader unfuses, parallel/tp.unfuse_projections).
+        qkv = linear(x, p["qkv"], p.get("qkv_bias"))
+        q_dim = n_heads * head_dim
+        kv_dim = n_kv * head_dim
+        q = qkv[..., :q_dim].reshape(b, t, n_heads, head_dim)
+        k = qkv[..., q_dim : q_dim + kv_dim].reshape(b, t, n_kv, head_dim)
+        v = qkv[..., q_dim + kv_dim :].reshape(b, t, n_kv, head_dim)
+    else:
+        q = linear(x, p["q"], p.get("q_bias")).reshape(b, t, n_heads, head_dim)
+        k = linear(x, p["k"], p.get("k_bias")).reshape(b, t, n_kv, head_dim)
+        v = linear(x, p["v"], p.get("v_bias")).reshape(b, t, n_kv, head_dim)
     if p.get("q_norm") is not None:
         q = rms_norm(q, p["q_norm"], cfg.rms_norm_eps)
         k = rms_norm(k, p["k_norm"], cfg.rms_norm_eps)
@@ -163,6 +173,11 @@ def forward_paged(
         elif p.get("fc") is not None:              # starcoder2 plain MLP
             x = x + plain_mlp(h, p["fc"], p.get("fc_bias"), p["down"],
                               p.get("down_bias"), act=cfg.hidden_act)
+        elif p.get("gateup") is not None:          # fused gate+up matmul
+            gu = linear(h, p["gateup"])
+            inter = gu.shape[-1] // 2
+            x = x + linear(jax.nn.silu(gu[..., :inter]) * gu[..., inter:],
+                           p["down"])
         else:
             x = x + swiglu_mlp(h, p["gate"], p["up"], p["down"])
 
