@@ -50,6 +50,12 @@ def build_parser() -> argparse.ArgumentParser:
     loadopts.add_argument("--tp", default=None, metavar="N",
                           help="tensor-parallel degree over the device "
                                "mesh ('auto' = all local devices)")
+    loadopts.add_argument("--quant-compute",
+                          choices=["auto", "w4a16", "w4a8", "w8a8"],
+                          default=None,
+                          help="matmul compute for int-quantized weights: "
+                               "w4a16 bit-exact bf16 MXU; w4a8/w8a8 dynamic "
+                               "int8 activation quant on the int8 MXU")
 
     run = sub.add_parser("run", help="run a model (one-shot or REPL)",
                          parents=[loadopts])
@@ -104,6 +110,8 @@ def build_parser() -> argparse.ArgumentParser:
     serve.add_argument("--tp", default=None, metavar="N",
                        help="tensor-parallel degree over the device mesh "
                             "('auto' = all local devices)")
+    serve.add_argument("--quant-compute",
+                       choices=["auto", "w4a16", "w4a8", "w8a8"], default=None)
 
     bench = sub.add_parser("bench", help="benchmark a model")
     bench.add_argument("model", nargs="?", help="model dir (synthetic if omitted)")
@@ -236,7 +244,8 @@ def _resolve_tp(tp) -> int:
 
 
 def _load_executor(model_path: str, dtype, device_layers=None,
-                   kv_cache_dtype=None, prefix_cache=False, tp=None):
+                   kv_cache_dtype=None, prefix_cache=False, tp=None,
+                   quant_compute=None):
     from ..engine.executor import Executor
     from ..loader import load_model
     from ..tokenizer import load_tokenizer
@@ -249,6 +258,8 @@ def _load_executor(model_path: str, dtype, device_layers=None,
     if prefix_cache:
         app_cfg.inference.prefix_cache = True
     app_cfg.inference.tensor_parallel_size = _resolve_tp(tp)
+    if quant_compute:
+        app_cfg.inference.quant_compute = quant_compute
     p = Path(model_path)
     gguf = p if p.suffix == ".gguf" else None
     tok = load_tokenizer(p.parent if p.is_file() else p, gguf_path=gguf)
@@ -286,7 +297,8 @@ def cmd_run(args) -> int:
                         device_layers=getattr(args, "device_layers", None),
                         kv_cache_dtype=getattr(args, "kv_cache_dtype", None),
                         prefix_cache=getattr(args, "prefix_cache", False),
-                        tp=getattr(args, "tp", None))
+                        tp=getattr(args, "tp", None),
+                        quant_compute=getattr(args, "quant_compute", None))
     if not args.no_warmup:
         ex.warmup()
     cfg = GenerationConfig(
@@ -367,7 +379,8 @@ def cmd_generate(args) -> int:
                         device_layers=getattr(args, "device_layers", None),
                         kv_cache_dtype=getattr(args, "kv_cache_dtype", None),
                         prefix_cache=getattr(args, "prefix_cache", False),
-                        tp=getattr(args, "tp", None))
+                        tp=getattr(args, "tp", None),
+                        quant_compute=getattr(args, "quant_compute", None))
     cfg = GenerationConfig(max_tokens=args.max_tokens,
                            temperature=args.temperature)
     _print_stream(ex, ex.tokenizer.encode(args.prompt), cfg)
@@ -420,7 +433,9 @@ def cmd_serve(args) -> int:
         api_keys.append(env_key)
     scheduler = ModelScheduler(args.model, max_loaded=args.max_loaded,
                                dtype=args.dtype,
-                               tp=_resolve_tp(getattr(args, "tp", None)))
+                               tp=_resolve_tp(getattr(args, "tp", None)),
+                               quant_compute=getattr(args, "quant_compute",
+                                                     None))
     if not args.no_warmup:
         try:
             ex = scheduler.get_executor("default")

@@ -38,6 +38,14 @@ class InferenceConfig:
     max_batch_size: int = 8
     max_seq_len: Optional[int] = None
 
+    # Quantized-matmul compute mode for signed 4/8-bit weights:
+    #   auto  — platform default (resolved by the engine)
+    #   w4a16 — int4 HBM stream, bf16 MXU (bit-exact dequant)
+    #   w4a8  — int4 HBM stream, dynamic int8 activation quant, int8 MXU
+    #   w8a8  — int8-widened HBM stream (2× bytes, zero-op weight feed),
+    #           dynamic int8 activation quant, int8 MXU
+    quant_compute: str = "auto"
+
     # Paged attention (reference defaults: block_size 16)
     paged_attention: bool = True
     block_size: int = 16

@@ -27,11 +27,14 @@ from ..kvcache.block_allocator import BlockAllocator
 from ..kvcache.paged import (
     PagedKVCache,
     compute_slot_mapping,
-    init_paged_cache,
     pad_block_table,
 )
 from ..kvcache.prefix_cache import PrefixCache, PrefixCacheConfig
-from ..models.llama_paged import forward_paged
+from ..models.paged_multi import (
+    init_engine_cache,
+    make_paged_forward,
+    zero_state_rows,
+)
 from ..models.registry import Model
 from .grammar import GrammarState, compile_grammar_to_dfa, make_grammar_state
 from .grammar_json import JSON_GRAMMAR, json_schema_to_gbnf
@@ -111,30 +114,56 @@ class BatchEngine:
             prefix_cache=self.prefix_cache,
         )
 
-        att = model.cfg.attention
         if inf.kv_cache_dtype == "int4":
             # int4 KV is contiguous-cache only; silently running bf16 would
             # give the user 4x the expected KV footprint (ADVICE r1).
             logger.warning("kv_cache_dtype=int4 is not supported on the "
                            "paged path; using int8")
-        self.cache = init_paged_cache(
-            model.cfg.num_layers, num_blocks, self.block_size,
-            att.kv_heads(), att.resolved_head_dim(model.cfg.hidden_size),
+        # Per-family continuous-batching cache + forward (paged KV for
+        # llama, paged latent for MLA, state slots for mamba2/hybrid) —
+        # reference serves every arch through the batch engine the same
+        # way (executor_generate.rs:123-340).
+        self.cache, self._needs_state_rows = init_engine_cache(
+            model.cfg, num_blocks, self.block_size, self.max_batch,
             dtype=model.dtype,
             quantized=inf.kv_cache_dtype in ("int8", "int4"),
         )
+        self._fwd = make_paged_forward(model.cfg)
+        self._trash = getattr(self.cache, "trash_slot", 0)
+        if self._needs_state_rows:
+            # Recurrent state can never be reconstructed from cached KV
+            # blocks — prefix reuse is attention-only (same invariant as
+            # the single-stream session cache).
+            if self.prefix_cache is not None:
+                logger.warning("prefix cache disabled: model has recurrent "
+                               "(SSM) state")
+                self.prefix_cache = None
+                self.scheduler.prefix_cache = None
+            self._free_rows = list(range(self.max_batch))
+            self._seq_rows: dict[int, int] = {}
 
         # Tensor-parallel serving: shard params (column/row Megatron specs,
         # quantized weights included) and the paged KV over the kv-head
         # axis; every jitted step below then runs GSPMD-partitioned
         # (reference scheduler.rs:160-206 + tensor_parallel.rs:76-163).
+        from ..quant.qtensor import apply_quant_compute
+
+        model.params = apply_quant_compute(model.params, inf.quant_compute)
         from ..parallel.tp import (maybe_serving_mesh, shard_paged_cache,
                                    shard_params)
 
         self.mesh = maybe_serving_mesh(inf, model.cfg, model.params)
         if self.mesh is not None:
             model.params = shard_params(model.params, self.mesh, model.cfg)
-            self.cache = shard_paged_cache(self.cache, self.mesh)
+            if isinstance(self.cache, PagedKVCache):
+                self.cache = shard_paged_cache(self.cache, self.mesh)
+            elif hasattr(self.cache, "kv"):      # hybrid: shard the KV part
+                import dataclasses as _dc
+
+                self.cache = _dc.replace(
+                    self.cache,
+                    kv=shard_paged_cache(self.cache.kv, self.mesh))
+            # MLA latent / SSM state have no kv-head axis — replicated.
 
         self._handles: dict[int, RequestHandle] = {}
         self._grammars: dict[int, GrammarState] = {}
@@ -144,24 +173,26 @@ class BatchEngine:
         self._vocab_bytes: Optional[list[bytes]] = None
 
         cfg = model.cfg
+        fwd = self._fwd
 
         # Params as explicit jit args (avoid constant-embedding the weights).
         @partial(jax.jit, donate_argnums=(1,))
         def prefill_step(params, cache, tokens, positions, slots, block_tables,
-                         seq_lens, last_idx):
-            logits, cache = forward_paged(params, cfg, tokens, cache,
-                                          positions, slots, block_tables,
-                                          seq_lens)
+                         seq_lens, last_idx, state_rows):
+            logits, cache = fwd(params, cfg, tokens, cache,
+                                positions, slots, block_tables,
+                                seq_lens, state_rows)
             last = jnp.take_along_axis(logits, last_idx[:, None, None],
                                        axis=1)[:, 0, :]
             return last, cache
 
         @partial(jax.jit, donate_argnums=(1,), static_argnames=("use_mask",))
         def decode_step(params, cache, tokens, positions, slots, block_tables,
-                        seq_lens, window, sp, grammar_mask, use_mask=False):
-            logits, cache = forward_paged(params, cfg, tokens, cache,
-                                          positions, slots, block_tables,
-                                          seq_lens)
+                        seq_lens, window, sp, grammar_mask, state_rows,
+                        use_mask=False):
+            logits, cache = fwd(params, cfg, tokens, cache,
+                                positions, slots, block_tables,
+                                seq_lens, state_rows)
             last = logits[:, -1, :]
             tok, logprobs = sample_tokens(
                 last, sp, window_tokens=window,
@@ -282,6 +313,24 @@ class BatchEngine:
         self._handles.pop(seq_id, None)
 
     # ------------------------------------------------------------------
+    # SSM state-slot management (mamba2/hybrid families only)
+    # ------------------------------------------------------------------
+    def _row_for(self, seq_id: int) -> int:
+        """Slot row owning ``seq_id``'s recurrent state (assigns lazily;
+        reclaims rows of preempted/aborted sequences under pressure)."""
+        row = self._seq_rows.get(seq_id)
+        if row is None:
+            if not self._free_rows:
+                running = set(self.scheduler.running)
+                for sid, r in list(self._seq_rows.items()):
+                    if sid not in running:
+                        self._seq_rows.pop(sid)
+                        self._free_rows.append(r)
+            row = self._free_rows.pop()
+            self._seq_rows[seq_id] = row
+        return row
+
+    # ------------------------------------------------------------------
     def _process_prefill(self, seq: Sequence) -> None:
         """Prefill the uncached/unprefilled prompt suffix (chunked), then
         sample the first token (reference process_prefill)."""
@@ -294,24 +343,61 @@ class BatchEngine:
         piece = prompt[start : start + chunk]
         is_last = start + chunk >= len(prompt)
 
-        padded = _next_pow2(len(piece))
-        toks = np.zeros((1, padded), dtype=np.int32)
-        toks[0, : len(piece)] = piece
-        positions = np.full((1, padded), 0, dtype=np.int32)
-        positions[0, : len(piece)] = np.arange(start, start + len(piece))
-        slots = np.full((1, padded), self.cache.trash_slot, dtype=np.int32)
-        slots[0, : len(piece)] = compute_slot_mapping(
-            seq.block_table, start, len(piece), self.block_size,
-            self.cache.trash_slot)
-        bt = pad_block_table(seq.block_table, self.max_blocks_per_seq)[None, :]
-        seq_lens = np.array([start + len(piece)], dtype=np.int32)
-        last_idx = np.array([len(piece) - 1], dtype=np.int32)
+        rows = np.zeros((1,), dtype=np.int32)
+        if self._needs_state_rows:
+            rows[0] = self._row_for(seq.seq_id)
+            if start == 0:
+                # Fresh admission or preemption restart: recurrent state
+                # must start from zero.
+                self.cache = zero_state_rows(self.cache, int(rows[0]))
 
-        last, self.cache = self._prefill_step(
-            self.cache, jnp.asarray(toks), jnp.asarray(positions),
-            jnp.asarray(slots), jnp.asarray(bt), jnp.asarray(seq_lens),
-            jnp.asarray(last_idx),
-        )
+        bt = pad_block_table(seq.block_table, self.max_blocks_per_seq)[None, :]
+
+        if self._needs_state_rows:
+            # Recurrent state: PAD TOKENS MUST NEVER ENTER THE SCAN (they
+            # would shift the conv window / update the SSM state), so run
+            # exact-shaped sub-chunks of power-of-two length — a bounded
+            # set of compiled shapes with zero padding.
+            sub_start = start
+            while sub_start < start + len(piece):
+                rem = start + len(piece) - sub_start
+                sub = 1
+                while sub * 2 <= rem:
+                    sub *= 2
+                sp_ = prompt[sub_start : sub_start + sub]
+                toks = np.asarray(sp_, dtype=np.int32)[None, :]
+                positions = np.arange(sub_start, sub_start + sub,
+                                      dtype=np.int32)[None, :]
+                slots = compute_slot_mapping(
+                    seq.block_table, sub_start, sub, self.block_size,
+                    self._trash)[None, :]
+                seq_lens = np.array([sub_start + sub], dtype=np.int32)
+                last_idx = np.array([sub - 1], dtype=np.int32)
+                last, self.cache = self._prefill_step(
+                    self.cache, jnp.asarray(toks), jnp.asarray(positions),
+                    jnp.asarray(slots), jnp.asarray(bt),
+                    jnp.asarray(seq_lens), jnp.asarray(last_idx),
+                    jnp.asarray(rows),
+                )
+                sub_start += sub
+        else:
+            padded = _next_pow2(len(piece))
+            toks = np.zeros((1, padded), dtype=np.int32)
+            toks[0, : len(piece)] = piece
+            positions = np.full((1, padded), 0, dtype=np.int32)
+            positions[0, : len(piece)] = np.arange(start, start + len(piece))
+            slots = np.full((1, padded), self._trash, dtype=np.int32)
+            slots[0, : len(piece)] = compute_slot_mapping(
+                seq.block_table, start, len(piece), self.block_size,
+                self._trash)
+            seq_lens = np.array([start + len(piece)], dtype=np.int32)
+            last_idx = np.array([len(piece) - 1], dtype=np.int32)
+
+            last, self.cache = self._prefill_step(
+                self.cache, jnp.asarray(toks), jnp.asarray(positions),
+                jnp.asarray(slots), jnp.asarray(bt), jnp.asarray(seq_lens),
+                jnp.asarray(last_idx), jnp.asarray(rows),
+            )
         self.scheduler.prefill_complete(seq.seq_id, len(piece))
         if not is_last:
             return
@@ -334,10 +420,12 @@ class BatchEngine:
 
         tokens = np.zeros((bmax, 1), dtype=np.int32)
         positions = np.zeros((bmax, 1), dtype=np.int32)
-        slots = np.full((bmax, 1), self.cache.trash_slot, dtype=np.int32)
+        slots = np.full((bmax, 1), self._trash, dtype=np.int32)
         bts = np.full((bmax, self.max_blocks_per_seq), 0x7FFFFFFF, dtype=np.int32)
         seq_lens = np.zeros((bmax,), dtype=np.int32)
         windows = np.full((bmax, 64), PAD_TOKEN, dtype=np.int32)
+        # Batch padding points at the state pool's trash row (last row).
+        rows = np.full((bmax,), self.max_batch, dtype=np.int32)
         cfgs = []
         any_mask = False
         for i, seq in enumerate(decodes):
@@ -347,11 +435,13 @@ class BatchEngine:
             positions[i, 0] = pos
             slots[i, 0] = compute_slot_mapping(
                 seq.block_table, pos, 1, self.block_size,
-                self.cache.trash_slot)[0]
+                self._trash)[0]
             bts[i] = pad_block_table(seq.block_table, self.max_blocks_per_seq)
             seq_lens[i] = pos + 1
             windows[i] = make_window(self._windows[seq.seq_id],
                                      seq.gen_cfg.repeat_last_n)
+            if self._needs_state_rows:
+                rows[i] = self._row_for(seq.seq_id)
             cfgs.append(seq.gen_cfg)
             any_mask |= seq.seq_id in self._grammars
         for i in range(n, bmax):
@@ -364,7 +454,8 @@ class BatchEngine:
         tok_dev, lp_dev, self.cache = self._decode_step(
             self.cache, jnp.asarray(tokens), jnp.asarray(positions),
             jnp.asarray(slots), jnp.asarray(bts), jnp.asarray(seq_lens),
-            jnp.asarray(windows), sp, jnp.asarray(mask), use_mask=any_mask,
+            jnp.asarray(windows), sp, jnp.asarray(mask), jnp.asarray(rows),
+            use_mask=any_mask,
         )
         toks = np.asarray(tok_dev)
         lps = np.asarray(lp_dev)
@@ -417,6 +508,10 @@ class BatchEngine:
         self._handles.pop(seq_id, None)
         self._grammars.pop(seq_id, None)
         self._windows.pop(seq_id, None)
+        if self._needs_state_rows:
+            row = self._seq_rows.pop(seq_id, None)
+            if row is not None:
+                self._free_rows.append(row)
 
     def _token_text(self, tok: int) -> str:
         try:

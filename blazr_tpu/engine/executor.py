@@ -82,6 +82,10 @@ class Executor:
         # single-device — their layers live in host RAM.
         self.mesh = None
         if not getattr(model, "is_streaming", False):
+            from ..quant.qtensor import apply_quant_compute
+
+            model.params = apply_quant_compute(
+                model.params, self.app_cfg.inference.quant_compute)
             from ..parallel.tp import maybe_serving_mesh, shard_params
 
             self.mesh = maybe_serving_mesh(self.app_cfg.inference,
@@ -277,12 +281,40 @@ class Executor:
 
     # ------------------------------------------------------------------
     def prefill(self, cache, prompt_ids: list[int], start_pos: int = 0):
-        """Bucketed prefill. Returns (last_logits [1, V] device, cache)."""
+        """Bucketed prefill. Returns (last_logits [1, V] device, cache).
+
+        Models with recurrent (SSM) state run exact-shaped power-of-two
+        sub-chunks instead of padded buckets: a pad token has nowhere
+        harmless to go in a recurrence — it would shift the conv window
+        and update the SSM state (KV models park pads on the trash slot).
+        """
         n = len(prompt_ids)
         assert n > 0, "empty prompt"
         bucket = min(_next_bucket(n), self.capacity)
         chunk_cfg = self.app_cfg.inference.prefill_chunk_size
         chunk = min(chunk_cfg or bucket, bucket)
+
+        if self.model.needs_ssm_state:
+            pos = start_pos
+            last = None
+            idx = 0
+            while idx < n:
+                rem = min(chunk, n - idx)
+                sub = 1
+                while sub * 2 <= rem:
+                    sub *= 2
+                piece = prompt_ids[idx : idx + sub]
+                toks = np.asarray(piece, dtype=np.int32)[None, :]
+                positions = np.arange(pos, pos + sub, dtype=np.int32)[None, :]
+                seq_lens = np.array([pos + sub], dtype=np.int32)
+                last_idx = np.array([sub - 1], dtype=np.int32)
+                last, cache = self._prefill_step(
+                    cache, jnp.asarray(toks), jnp.asarray(positions),
+                    jnp.asarray(seq_lens), jnp.asarray(last_idx),
+                )
+                pos += sub
+                idx += sub
+            return last, cache
 
         trash = cache.trash_position if hasattr(cache, "trash_position") else None
         pos = start_pos

@@ -62,11 +62,13 @@ class ModelScheduler:
     """Thread-safe named-model cache."""
 
     def __init__(self, model_dir: str | Path, max_loaded: int = 1,
-                 dtype: Optional[str] = None, tp: int = 1):
+                 dtype: Optional[str] = None, tp: int = 1,
+                 quant_compute: Optional[str] = None):
         self.model_dir = Path(model_dir)
         self.max_loaded = max_loaded
         self.dtype = dtype
         self.tp = tp
+        self.quant_compute = quant_compute
         self._models: dict[str, LoadedEntry] = {}
         self._lock = threading.Lock()
         self.loads = 0
@@ -129,6 +131,8 @@ class ModelScheduler:
         logger.info("loading model %r from %s", name, path)
         model, app_cfg = load_model(path, dtype=self.dtype)
         app_cfg.inference.tensor_parallel_size = self.tp
+        if self.quant_compute:
+            app_cfg.inference.quant_compute = self.quant_compute
         gguf_path = path if path.suffix == ".gguf" else None
         tok_dir = path.parent if path.is_file() else path
         tokenizer = load_tokenizer(tok_dir, gguf_path=gguf_path)

@@ -57,6 +57,18 @@ def quant_matmul(x: jax.Array, qt: QuantTensor) -> jax.Array:
     if _XLA_GROUPED and _rows(x) <= 32:
         return quant_matmul_xla_grouped(x, qt)
 
+    # int8-MXU compute (W4A8/W8A8): tensors tagged by mark_act_quant /
+    # widen_to_int8 (inference.quant_compute) carry dynamic per-row
+    # activation quant through the int8 MXU — zero/one VPU op per weight
+    # element vs the int4→bf16 convert chain (pallas PERF LOG).
+    if (qt.act_quant and not _FORCE_XLA and (_on_tpu() or _FORCE_PALLAS)):
+        from .pallas.int_matmul import quant_matmul_int8mxu
+
+        try:
+            return quant_matmul_int8mxu(x, qt)
+        except NotImplementedError:
+            pass
+
     if not _FORCE_XLA and (_on_tpu() or _FORCE_PALLAS):
         from .pallas.int_matmul import quant_matmul_pallas
 

@@ -265,6 +265,141 @@ def _qmm_stream(x, qweight, scales, mins, *, bits, group_size,
     )(x, scales3, mins3, qweight)
 
 
+def _qmm_int8_kernel(xq_ref, xs_ref, qw_ref, s_ref, m_ref, o_ref,
+                     acc_ref, *, bits: int, group_size: int,
+                     bk: int, bn: int, k_tiles: int):
+    """int8-MXU matmul with per-group affine applied to the partials.
+
+    The weight feed is a FREE bitcast for 8-bit payloads (zero VPU ops per
+    element — the whole point, see PERF LOG: the int4→bf16 convert chain
+    was the round-1 floor) and one int4→int8 convert for 4-bit payloads.
+    Activations arrive pre-quantized (per-row symmetric int8, scale xs):
+
+        y[i,n] = xs[i] · Σ_g [ s[g,n] · (Σ_{k∈g} xq[i,k]·q[k,n])
+                               − (Σ_{k∈g} xq[i,k]) · m[g,n] ]
+
+    The offset (mins) term reuses the quantized activations' group sums
+    (computed in-kernel from xq — a separate exact-sums input would need a
+    [bm, gpb] block, whose last dim violates the Mosaic (8,128) block
+    rule), so both terms carry the same ~1/254 relative activation-quant
+    error. MXU runs int8×int8→int32 (2× the bf16 rate on v5e+).
+    """
+    @pl.when(pl.program_id(2) == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    bm = xq_ref.shape[0]
+    gpb = bk // group_size
+    if bits == 4:
+        q = pltpu.bitcast(qw_ref[...], jnp.int4).astype(jnp.int8)
+    else:
+        q = pltpu.bitcast(qw_ref[...], jnp.int8)
+    xq = xq_ref[...]
+    xg = xq.reshape(bm, gpb, group_size).transpose(1, 0, 2)   # [gpb, bm, gs]
+    qg = q.reshape(gpb, group_size, bn)                       # [gpb, gs, bn]
+    partial = jax.lax.dot_general(
+        xg, qg, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32)                     # [gpb, bm, bn]
+    s = s_ref[0]                                              # [gpb, bn]
+    m = m_ref[0]
+    # Group sums of the quantized activations for the mins/offset term.
+    gsum = xq.astype(jnp.float32).reshape(bm, gpb, group_size).sum(axis=2)
+    scaled = jnp.sum(partial.astype(jnp.float32) * s[:, None, :], axis=0)
+    offset = jnp.dot(gsum, m, preferred_element_type=jnp.float32)
+    acc_ref[...] += (scaled - offset) * xs_ref[...]
+
+    @pl.when(pl.program_id(2) == k_tiles - 1)
+    def _done():
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("bits", "group_size", "in_features", "out_features",
+                     "bm", "bk", "bn", "out_dtype"),
+)
+def _qmm_int8(xq, xs, qweight, scales, mins, *, bits, group_size,
+              in_features, out_features, bm, bk, bn, out_dtype):
+    k, n = in_features, out_features
+    k_tiles = k // bk
+    n_tiles = n // bn
+    m_tiles = pl.cdiv(xq.shape[0], bm)
+    gpb = bk // group_size
+    scales3 = scales.reshape(k_tiles, gpb, n)
+    mins3 = mins.reshape(k_tiles, gpb, n)
+    kernel = functools.partial(
+        _qmm_int8_kernel, bits=bits, group_size=group_size,
+        bk=bk, bn=bn, k_tiles=k_tiles)
+    m = xq.shape[0]
+    return pl.pallas_call(
+        kernel,
+        grid=(m_tiles, n_tiles, k_tiles),
+        interpret=jax.default_backend() != "tpu",
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, t: (i, t),
+                         memory_space=pltpu.VMEM),             # xq int8
+            pl.BlockSpec((bm, 1), lambda i, j, t: (i, 0),
+                         memory_space=pltpu.VMEM),             # xs f32
+            pl.BlockSpec((bk * bits // 32, bn), lambda i, j, t: (t, j),
+                         memory_space=pltpu.VMEM),             # qweight u32
+            pl.BlockSpec((1, gpb, bn), lambda i, j, t: (t, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, gpb, bn), lambda i, j, t: (t, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, t: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m_tiles * bm, n), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * k * n,
+            bytes_accessed=qweight.size * 4 + scales.size * 8 + xq.size,
+            transcendentals=0,
+        ),
+    )(xq, xs, qweight, scales3, mins3)
+
+
+def quant_matmul_int8mxu(x: jax.Array, qt: QuantTensor) -> jax.Array:
+    """``x [..., K] @ dequant(qt) → [..., N]`` via dynamic per-row int8
+    activation quant + the int8-MXU kernel (W4A8 when qt.bits==4,
+    W8A8 when the storage was widened — quant.qtensor.widen_to_int8)."""
+    if not qt.signed or qt.bits not in (4, 8):
+        raise NotImplementedError(
+            f"int8-MXU path needs signed 4/8-bit (got {qt.bits}/{qt.signed})")
+    k, n = qt.in_features, qt.out_features
+    lead_shape = x.shape[:-1]
+    m = int(np.prod(lead_shape)) if lead_shape else 1
+    tiles = _choose_tiles(m, k, n, qt.bits, qt.group_size)
+    if tiles is None:
+        raise NotImplementedError(
+            f"quant geometry not tiled: K={k} N={n} bits={qt.bits} "
+            f"gs={qt.group_size}")
+    bm, bk, bn = tiles
+
+    x2 = x.reshape(m, k).astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(x2), axis=1, keepdims=True)
+    xs = jnp.maximum(absmax, 1e-30) / 127.0
+    xq = jnp.clip(jnp.round(x2 / xs), -127, 127).astype(jnp.int8)
+
+    pad = (-m) % bm
+    if pad:
+        xq = jnp.pad(xq, ((0, pad), (0, 0)))
+        xs = jnp.pad(xs, ((0, pad), (0, 0)))
+
+    out = _qmm_int8(
+        xq, xs, qt.qweight,
+        qt.scales.astype(jnp.float32), qt.mins.astype(jnp.float32),
+        bits=qt.bits, group_size=qt.group_size,
+        in_features=k, out_features=n, bm=bm, bk=bk, bn=bn,
+        out_dtype=x.dtype,
+    )
+    return out[:m].reshape(*lead_shape, n)
+
+
 def _largest_aligned_divisor(n: int, unit: int, cap: int) -> Optional[int]:
     """Largest multiple of ``unit`` that divides ``n`` and is ≤ cap."""
     if n % unit != 0:

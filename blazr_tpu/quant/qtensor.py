@@ -59,6 +59,11 @@ class QuantTensor:
     in_features: int = dataclasses.field(metadata=dict(static=True))
     out_features: int = dataclasses.field(metadata=dict(static=True))
     fmt: str = dataclasses.field(metadata=dict(static=True))
+    # Serve-time compute mode: route matmuls through the int8-MXU kernel
+    # (dynamic per-token activation quant, W4A8/W8A8). Set by
+    # mark_act_quant/widen_to_int8; never set by the format decoders.
+    act_quant: bool = dataclasses.field(
+        default=False, metadata=dict(static=True))
 
     @property
     def shape(self) -> tuple[int, int]:
@@ -414,6 +419,68 @@ def dequantize_jnp(qt: QuantTensor, dtype=jnp.float32) -> jax.Array:
     s = jnp.repeat(qt.scales, qt.group_size, axis=0)
     m = jnp.repeat(qt.mins, qt.group_size, axis=0)
     return (q * s - m).astype(dtype)
+
+
+def widen_to_int8(qt: QuantTensor) -> QuantTensor:
+    """4-bit → 8-bit storage widening for the int8-MXU serve path (W8A8).
+
+    Same integer values, same scales/mins/affine — only the packing
+    changes (2× HBM bytes). The payoff on TPU: the kernel's weight feed
+    becomes a single free ``pltpu.bitcast(u32, int8)`` with **zero**
+    per-element VPU work, where the int4 feed pays an unpack+convert op
+    chain per element (the measured round-1 throughput floor,
+    pallas/int_matmul.py PERF LOG). The TPU analogue of the reference
+    choosing its dp4a int8 tier over bit-exact int4 CUDA unpack
+    (/root/reference/src/README.md "Model Formats": optimized dp4a
+    kernels for Q4_K/Q6_K/Q8_0)."""
+    if qt.bits == 8:
+        return qt if qt.act_quant else dataclasses.replace(qt, act_quant=True)
+    if qt.bits != 4 or not qt.signed:
+        raise NotImplementedError(
+            f"widen_to_int8: only signed 4-bit payloads (got bits={qt.bits} "
+            f"signed={qt.signed})")
+    q = unpack_jnp(qt)                                    # int32 [K, N]
+    k, n = qt.in_features, qt.out_features
+    b = (q.astype(jnp.uint32) & jnp.uint32(0xFF)).reshape(k // 4, 4, n)
+    words = (b[:, 0] | (b[:, 1] << jnp.uint32(8))
+             | (b[:, 2] << jnp.uint32(16)) | (b[:, 3] << jnp.uint32(24)))
+    return dataclasses.replace(qt, qweight=words, bits=8, act_quant=True)
+
+
+def mark_act_quant(qt: QuantTensor) -> QuantTensor:
+    """Tag a signed 4/8-bit tensor for the int8-MXU kernel WITHOUT
+    widening the storage (W4A8: int4 HBM stream + in-kernel int4→int8)."""
+    if qt.act_quant:
+        return qt
+    if not qt.signed or qt.bits not in (4, 8):
+        raise NotImplementedError(
+            f"act-quant compute: only signed 4/8-bit payloads (got "
+            f"bits={qt.bits} signed={qt.signed})")
+    return dataclasses.replace(qt, act_quant=True)
+
+
+def apply_quant_compute(params, mode: Optional[str]):
+    """Apply an ``inference.quant_compute`` mode to a param tree.
+
+    ``w4a8`` tags signed int tensors for the int8-MXU kernel; ``w8a8``
+    additionally widens 4-bit storage to int8 (see widen_to_int8).
+    ``auto``/``w4a16``/None leave the tree untouched (bit-exact bf16-MXU
+    dequant compute). Unsupported leaves (unsigned/2-bit payloads) pass
+    through unchanged rather than failing the whole model."""
+    if mode in (None, "auto", "w4a16"):
+        return params
+    if mode not in ("w4a8", "w8a8"):
+        raise ValueError(f"unknown quant_compute mode {mode!r}")
+
+    def f(leaf):
+        if (isinstance(leaf, QuantTensor) and leaf.signed
+                and leaf.bits in (4, 8)):
+            return widen_to_int8(leaf) if mode == "w8a8" else mark_act_quant(leaf)
+        return leaf
+
+    return jax.tree.map(
+        f, params,
+        is_leaf=lambda x: isinstance(x, QuantTensor) or x is None)
 
 
 def concat_n(qts: list["QuantTensor"]) -> "QuantTensor":
