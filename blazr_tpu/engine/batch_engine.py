@@ -38,7 +38,8 @@ from ..models.paged_multi import (
 from ..models.registry import Model
 from .grammar import GrammarState, compile_grammar_to_dfa, make_grammar_state
 from .grammar_json import JSON_GRAMMAR, json_schema_to_gbnf
-from .sampling import PAD_TOKEN, SamplingParams, make_window, sample_tokens
+from .sampling import (PAD_TOKEN, SamplingParams, make_bias_rows,
+                       make_window, sample_tokens)
 from .sequence_scheduler import (
     ScheduledBatch,
     SchedulerConfig,
@@ -168,6 +169,11 @@ class BatchEngine:
         self._handles: dict[int, RequestHandle] = {}
         self._grammars: dict[int, GrammarState] = {}
         self._windows: dict[int, list[int]] = {}
+        # Host-sampler path (mirostat/DRY/typical/dynatemp): per-sequence
+        # state, applied per batch row on the raw decode logits
+        # (reference applies the full sampler stack per sequence in batch
+        # decode, batch_decode.rs:35-209).
+        self._host_states: dict[int, dict] = {}
         self._notify = asyncio.Event()
         self._stop = False
         self._vocab_bytes: Optional[list[bytes]] = None
@@ -188,22 +194,25 @@ class BatchEngine:
 
         @partial(jax.jit, donate_argnums=(1,), static_argnames=("use_mask",))
         def decode_step(params, cache, tokens, positions, slots, block_tables,
-                        seq_lens, window, sp, grammar_mask, state_rows,
-                        use_mask=False):
+                        seq_lens, window, sp, bias_ids, bias_vals,
+                        grammar_mask, state_rows, use_mask=False):
             logits, cache = fwd(params, cfg, tokens, cache,
                                 positions, slots, block_tables,
                                 seq_lens, state_rows)
             last = logits[:, -1, :]
             tok, logprobs = sample_tokens(
                 last, sp, window_tokens=window,
+                logit_bias_ids=bias_ids, logit_bias_vals=bias_vals,
                 grammar_mask=grammar_mask if use_mask else None,
             )
             lp = jnp.take_along_axis(logprobs, tok[:, None], axis=1)[:, 0]
-            return tok, lp, cache
+            return tok, lp, last, cache
 
         @jax.jit
-        def sample_from(last, window, sp, grammar_mask):
+        def sample_from(last, window, sp, bias_ids, bias_vals, grammar_mask):
             tok, logprobs = sample_tokens(last, sp, window_tokens=window,
+                                          logit_bias_ids=bias_ids,
+                                          logit_bias_vals=bias_vals,
                                           grammar_mask=grammar_mask)
             lp = jnp.take_along_axis(logprobs, tok[:, None], axis=1)[:, 0]
             return tok, lp
@@ -240,8 +249,40 @@ class BatchEngine:
         if g is not None:
             self._grammars[seq_id] = g
         self._windows[seq_id] = list(prompt_tokens)
+        from .samplers import MirostatState, needs_host_sampling
+
+        if needs_host_sampling(gen_cfg):
+            self._host_states[seq_id] = {
+                "mirostat": (MirostatState.from_config(gen_cfg)
+                             if gen_cfg.mirostat == 2 else None),
+                "rng": np.random.default_rng(
+                    gen_cfg.seed if gen_cfg.seed is not None else 0),
+                "breakers": (self._dry_breaker_ids(gen_cfg)
+                             if gen_cfg.dry_multiplier > 0 else None),
+            }
         self._notify.set()
         return handle
+
+    def _dry_breaker_ids(self, cfg: GenerationConfig) -> set[int]:
+        out: set[int] = set()
+        for s in cfg.dry_sequence_breakers:
+            if hasattr(self.tokenizer, "encode"):
+                out.update(self.tokenizer.encode(s))
+        return out
+
+    def _host_pick(self, seq: Sequence, logits_row: np.ndarray) -> int:
+        """Per-row host sampler chain on the raw decode logits."""
+        from .samplers import host_sample
+
+        st = self._host_states[seq.seq_id]
+        logits_row = np.asarray(logits_row, dtype=np.float32)
+        g = self._grammars.get(seq.seq_id)
+        if g is not None:
+            m = g.mask()
+            logits_row = np.where(m[: len(logits_row)], logits_row, -np.inf)
+        return host_sample(logits_row, seq.gen_cfg,
+                           self._windows[seq.seq_id],
+                           st["mirostat"], st["breakers"], st["rng"])
 
     def cancel(self, seq_id: int) -> None:
         self.scheduler.abort_sequence(seq_id)
@@ -403,10 +444,18 @@ class BatchEngine:
             return
 
         # First sampled token.
+        if seq.seq_id in self._host_states:
+            tok = self._host_pick(seq, np.asarray(last)[0])
+            self._emit(seq, tok, float("nan"))
+            return
         sp = SamplingParams.from_config([seq.gen_cfg], step=0)
         window = jnp.asarray(make_window(self._windows[seq.seq_id])[None, :])
+        bias_ids, bias_vals = make_bias_rows([seq.gen_cfg])
         mask = self._grammar_mask([seq.seq_id])
-        tok_dev, lp_dev = self._sample_from(last, window, sp, jnp.asarray(mask))
+        tok_dev, lp_dev = self._sample_from(last, window, sp,
+                                            jnp.asarray(bias_ids),
+                                            jnp.asarray(bias_vals),
+                                            jnp.asarray(mask))
         self._emit(seq, int(tok_dev[0]), float(lp_dev[0]))
 
     # ------------------------------------------------------------------
@@ -450,15 +499,26 @@ class BatchEngine:
         steps = max((len(s.output_tokens) for s in decodes), default=0)
         sp = SamplingParams.from_config(cfgs, step=steps)
         mask = self._grammar_mask([s.seq_id for s in decodes], bmax)
+        bias_ids, bias_vals = make_bias_rows(cfgs)
 
-        tok_dev, lp_dev, self.cache = self._decode_step(
+        tok_dev, lp_dev, last_dev, self.cache = self._decode_step(
             self.cache, jnp.asarray(tokens), jnp.asarray(positions),
             jnp.asarray(slots), jnp.asarray(bts), jnp.asarray(seq_lens),
-            jnp.asarray(windows), sp, jnp.asarray(mask), jnp.asarray(rows),
+            jnp.asarray(windows), sp, jnp.asarray(bias_ids),
+            jnp.asarray(bias_vals), jnp.asarray(mask), jnp.asarray(rows),
             use_mask=any_mask,
         )
-        toks = np.asarray(tok_dev)
-        lps = np.asarray(lp_dev)
+        toks = np.array(tok_dev)
+        lps = np.array(lp_dev)
+        # Rows needing the host sampler chain re-sample from the raw
+        # logits (one [B, V] fetch, only when such a row exists).
+        host_rows = [i for i, s in enumerate(decodes)
+                     if s.seq_id in self._host_states]
+        if host_rows:
+            last_np = np.asarray(last_dev)
+            for i in host_rows:
+                toks[i] = self._host_pick(decodes[i], last_np[i])
+                lps[i] = float("nan")
         for i, seq in enumerate(decodes):
             self._emit(seq, int(toks[i]), float(lps[i]))
 
@@ -488,7 +548,8 @@ class BatchEngine:
         hit_len = len(seq.output_tokens) >= seq.gen_cfg.max_tokens or \
             seq.total_len >= self.max_seq_len - 1
         text = "" if is_eos else self._token_text(token)
-        gt = GeneratedToken(token_id=token, text=text, logprob=logprob)
+        gt = GeneratedToken(token_id=token, text=text,
+                            logprob=None if logprob != logprob else logprob)
         fin = (FinishReason.EOS if is_eos
                else FinishReason.LENGTH if hit_len else None)
         handle = self._handles.get(seq.seq_id)
@@ -508,6 +569,7 @@ class BatchEngine:
         self._handles.pop(seq_id, None)
         self._grammars.pop(seq_id, None)
         self._windows.pop(seq_id, None)
+        self._host_states.pop(seq_id, None)
         if self._needs_state_rows:
             row = self._seq_rows.pop(seq_id, None)
             if row is not None:

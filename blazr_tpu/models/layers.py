@@ -198,19 +198,23 @@ def attend(
     """
     b, t, h, d = q.shape
     s = k.shape[1]
-    n_rep = h // k.shape[2]
-    k = repeat_kv(k, n_rep)
-    v = repeat_kv(v, n_rep)
+    g = k.shape[2]
+    n_rep = h // g
     scale = scale if scale is not None else 1.0 / math.sqrt(d)
 
-    qf = (q * scale).astype(jnp.float32)
-    logits = jnp.einsum("bthd,bshd->bhts", qf, k.astype(jnp.float32))
+    # GQA via GROUPED einsums: q heads fold onto the kv-head axis instead
+    # of materializing repeat_kv'd K/V (n_rep× the KV bytes written+read —
+    # the dominant cost of batched decode). Compute runs in the model
+    # dtype (bf16 on TPU) with f32 accumulation; int8-KV planes convert
+    # inside the fused dot, never to a float buffer.
+    cdt = q.dtype
+    qg = (q * scale).astype(cdt).reshape(b, t, g, n_rep, d)
+    logits = jnp.einsum("btgrd,bsgd->bgrts", qg, k.astype(cdt),
+                        preferred_element_type=jnp.float32)   # [B,G,R,T,S]
     if k_scale is not None:
         # int8 KV: fold the per-key scale into the scores AFTER the dot
-        # (score_s = (q·k_i8[s]) * scale_s) — the int8 plane is read from
-        # HBM directly, never dequantized to a float buffer.
-        ks = jnp.repeat(k_scale, n_rep, axis=2)                   # [B,S,H]
-        logits = logits * jnp.transpose(ks, (0, 2, 1))[:, :, None, :]
+        # (score_s = (q·k_i8[s]) * scale_s).
+        logits = logits * jnp.transpose(k_scale, (0, 2, 1))[:, :, None, None, :]
     if logit_softcap is not None:
         logits = jnp.tanh(logits / logit_softcap) * logit_softcap
 
@@ -220,19 +224,19 @@ def attend(
     mask = valid[:, None, :] & causal
     if sliding_window is not None:
         mask = mask & (kv_pos[:, None, :] > q_positions[:, :, None] - sliding_window)
-    logits = jnp.where(mask[:, None, :, :], logits, -1e30)
+    logits = jnp.where(mask[:, None, None, :, :], logits, -1e30)
 
     probs = jax.nn.softmax(logits, axis=-1)
     if v_scale is not None:
         # fold the per-value scale into the probabilities
-        vs = jnp.repeat(v_scale, n_rep, axis=2)                   # [B,S,H]
-        probs = probs * jnp.transpose(vs, (0, 2, 1))[:, :, None, :]
-        out = jnp.einsum("bhts,bshd->bthd", probs,
-                         v.astype(jnp.float32))
+        probs = probs * jnp.transpose(v_scale, (0, 2, 1))[:, :, None, None, :]
+        out = jnp.einsum("bgrts,bsgd->btgrd", probs,
+                         v.astype(jnp.float32),
+                         preferred_element_type=jnp.float32)
     else:
-        probs = probs.astype(v.dtype)
-        out = jnp.einsum("bhts,bshd->bthd", probs, v)
-    return out.astype(q.dtype)
+        out = jnp.einsum("bgrts,bsgd->btgrd", probs.astype(cdt),
+                         v.astype(cdt), preferred_element_type=jnp.float32)
+    return out.reshape(b, t, h, d).astype(q.dtype)
 
 
 # ---------------------------------------------------------------------------

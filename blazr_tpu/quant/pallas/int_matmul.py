@@ -546,3 +546,31 @@ def quant_matmul_pallas(x: jax.Array, qt: QuantTensor) -> jax.Array:
 # dense gap means the kernel is only ~7% from DENSE wall time while
 # reading 4x fewer weight bytes — the unpack/convert chain, not DMA, is
 # the bottleneck. Round-2: native-int4 MXU feed / bitcast unpack.
+#
+# ROUND-2 MEASUREMENTS (fresh session, chained 256-iter fori_loop,
+# K=4096 N=14336; tools/bench_int8_mxu.py + bench_tile_sweep.py):
+#   dense bf16    m=16: 145.7 us (806 GB/s = chip spec; r1's "1210 GB/s"
+#                 was a VMEM-residency artifact), m=1: 271 us (XLA's
+#                 small-m path is 2x worse than m=16)
+#   w4a16 (this kernel): 151-157 us across bk=512/1024/2048 — FLAT
+#   w4a8  (int8 MXU, int4 stream): 135-154 us — FLAT
+#   w8a8  (int8 MXU, FREE bitcast feed, zero VPU/elem): 177-191 us
+#         across every (gs, bk, bn) incl. gpb=1 single-dot — FLAT
+# Fitting fixed-cost + bytes/BW across w4/w8: F ≈ 120 us fixed,
+# incremental streaming ≈ 1000 GB/s. The fixed cost matches the MXU
+# systolic wave count: (K/128)·(N/128)·128 cycles / 4 MXUs at 940 MHz
+# = 122 us — with m=16 rows the array pads the output-row wave to 128,
+# so 87.5% of MXU capacity is dead and NOTHING about the weight feed
+# (bytes, converts, group structure, tile sizes) moves the floor.
+# int8 × int8 → int32 dots get NO rate doubling through Mosaic on this
+# chip (w8a8 ≈ w4a16 wall time at 2x the bytes).
+# CONCLUSIONS:
+#   1. Single-stream decode (m ≤ 16) is MXU-WAVE-bound at ~100 tok/s for
+#      7B on this chip — the HBM "roofline" (183 tok/s) is not reachable
+#      by ANY weight-compression scheme at batch 1; W4A8/W8A8 stay
+#      opt-in (no win to justify the activation-quant numerics).
+#   2. The throughput lever is BATCH: MXU waves are ~constant in B up to
+#      128 rows, so batched decode amortizes the floor across sequences.
+#      Optimize the continuous-batching step (paged-attention kernel,
+#      fused sampling, host-side batching overheads) instead of the
+#      matmul feed.
