@@ -45,6 +45,8 @@ class ServerConfig:
     # in-flight (prompt + max_tokens) exceeds this (reference handlers.rs:72-103).
     max_inflight_tokens: Optional[int] = None
     slo: LatencySlo = field(default_factory=LatencySlo)
+    # User-config hot-reload poll cadence (reference config_watch.rs:22).
+    config_poll_interval: float = 5.0
 
     def to_dict(self) -> dict[str, Any]:
         return dataclasses.asdict(self)

@@ -60,10 +60,15 @@ class AppState:
     start_time: float = field(default_factory=time.time)
     inflight_tokens: int = 0
     slo: SloTracker = None            # type: ignore[assignment]
+    user_config: Any = None           # hot-reloaded UserConfig (handlers.rs:33)
 
     def __post_init__(self) -> None:
         if self.slo is None:
             self.slo = SloTracker(self.server_cfg.slo, self.metrics)
+        if self.user_config is None:
+            from ..config.user import UserConfig
+
+            self.user_config = UserConfig.load()
 
     # -- admission control (reference handlers.rs:72-103) ------------------
     def try_admit(self, tokens: int) -> bool:
@@ -147,6 +152,42 @@ async def cors_mw(request: web.Request, handler):
     resp.headers["Access-Control-Allow-Methods"] = "GET, POST, DELETE, OPTIONS"
     resp.headers["Access-Control-Allow-Headers"] = "Content-Type, Authorization, x-api-key"
     return resp
+
+
+def timeout_middleware(seconds: float):
+    """Per-request timeout (reference TimeoutLayer, startup.rs:231-234 —
+    408 when the handler doesn't complete in time). Streaming responses
+    mark ``request["streaming"]`` once the SSE stream is in flight and are
+    then allowed to run to completion, matching axum's semantics where the
+    timeout covers the response *future*, not the streamed body."""
+
+    @web.middleware
+    async def mw(request: web.Request, handler):
+        task = asyncio.ensure_future(handler(request))
+        try:
+            return await asyncio.wait_for(asyncio.shield(task), seconds)
+        except asyncio.TimeoutError:
+            if request.get("streaming"):
+                return await task
+            task.cancel()
+            return web.json_response(
+                {"error": {"message": "request timeout",
+                           "type": "timeout_error"}}, status=408)
+
+    return mw
+
+
+def concurrency_middleware(limit: int):
+    """Cap in-flight requests (reference ConcurrencyLimitLayer,
+    startup.rs:236-238). Excess requests queue on the semaphore."""
+    sem = asyncio.Semaphore(limit)
+
+    @web.middleware
+    async def mw(request: web.Request, handler):
+        async with sem:
+            return await handler(request)
+
+    return mw
 
 
 # ---------------------------------------------------------------------------
@@ -450,6 +491,7 @@ async def _stream_chat(request, state: AppState, executor, prompt_ids,
                        cfg: GenerationConfig, body: dict) -> web.StreamResponse:
     from .streaming import SSE_DONE, SSE_HEADERS, ChatStream
 
+    request["streaming"] = True       # exempt in-flight SSE from the timeout
     resp = web.StreamResponse(headers=SSE_HEADERS)
     await resp.prepare(request)
     stream = ChatStream(body.get("model", "default"))
@@ -541,6 +583,7 @@ async def _stream_completion(request, state: AppState, executor, prompt_ids,
                              cfg, body) -> web.StreamResponse:
     from .streaming import SSE_DONE, SSE_HEADERS, CompletionStream
 
+    request["streaming"] = True       # exempt in-flight SSE from the timeout
     resp = web.StreamResponse(headers=SSE_HEADERS)
     await resp.prepare(request)
     stream = CompletionStream(body.get("model", "default"))
@@ -680,6 +723,79 @@ async def api_delete(request: web.Request) -> web.Response:
     return web.json_response({"unloaded": unloaded})
 
 
+async def api_copy(request: web.Request) -> web.Response:
+    """Copy/alias a model on disk (reference management.rs:140-195)."""
+    import shutil
+
+    state = request.app[STATE_KEY]
+    body = await _json(request)
+    source = body.get("source")
+    destination = body.get("destination")
+    if not source or not destination:
+        raise ApiError(400, "source and destination required")
+    if "/" in destination or destination in (".", ".."):
+        raise ApiError(400, "destination must be a plain model name")
+
+    src = state.scheduler.model_dir / source
+    if not src.exists() and state.scheduler.model_dir.name == source:
+        src = state.scheduler.model_dir    # model_dir IS the model
+    if source not in state.scheduler.discover_models() or not src.exists():
+        raise ApiError(404, f"source model '{source}' not found",
+                       "not_found_error")
+    dest = src.parent / destination
+    if dest.exists():
+        raise ApiError(409, f"destination '{destination}' already exists")
+
+    def do_copy():
+        if src.is_dir():
+            shutil.copytree(src, dest)
+        else:
+            shutil.copy2(src, dest)
+
+    await asyncio.to_thread(do_copy)
+    logger.info("copied model '%s' -> '%s'", source, destination)
+    return web.json_response({"copied": destination})
+
+
+async def api_pull(request: web.Request) -> web.StreamResponse:
+    """Pull a model from the HF Hub, streaming NDJSON progress lines
+    (reference management.rs:213-300). Gated on ``huggingface_hub``
+    availability and network access — errors stream as status lines."""
+    state = request.app[STATE_KEY]
+    body = await _json(request)
+    name = body.get("name") or body.get("model")
+    if not name:
+        raise ApiError(400, "name required")
+
+    request["streaming"] = True
+    resp = web.StreamResponse(
+        headers={"Content-Type": "application/x-ndjson"})
+    await resp.prepare(request)
+
+    async def send(obj: dict) -> None:
+        await resp.write((json.dumps(obj) + "\n").encode())
+
+    await send({"status": f"pulling manifest for {name}"})
+    dest = state.scheduler.model_dir / name.split("/")[-1]
+    try:
+        from huggingface_hub import snapshot_download
+    except ImportError:
+        await send({"error": "huggingface_hub is not installed"})
+        await resp.write_eof()
+        return resp
+    try:
+        await send({"status": "downloading"})
+        await asyncio.to_thread(
+            snapshot_download, name, local_dir=dest,
+            allow_patterns=["*.safetensors", "*.json", "*.gguf", "*.model"],
+        )
+        await send({"status": "success", "path": str(dest)})
+    except Exception as e:  # network unavailable, bad repo, ...
+        await send({"error": f"pull failed: {e}"})
+    await resp.write_eof()
+    return resp
+
+
 # ---------------------------------------------------------------------------
 # slots (reference handlers.rs:366-416, slots.rs)
 # ---------------------------------------------------------------------------
@@ -719,6 +835,12 @@ def create_app(scheduler: ModelScheduler,
     if server_cfg.enable_cors:
         middlewares.append(cors_mw)
     middlewares.append(auth_middleware(server_cfg.api_keys))
+    # Request timeout + concurrency cap (reference startup.rs:223-245).
+    if server_cfg.request_timeout_secs:
+        middlewares.append(timeout_middleware(server_cfg.request_timeout_secs))
+    if server_cfg.max_concurrent_requests:
+        middlewares.append(
+            concurrency_middleware(server_cfg.max_concurrent_requests))
 
     app = web.Application(middlewares=middlewares,
                           client_max_size=server_cfg.max_body_bytes)
@@ -739,6 +861,8 @@ def create_app(scheduler: ModelScheduler,
     r.add_get("/api/ps", api_ps)
     r.add_post("/api/show", api_show)
     r.add_delete("/api/delete", api_delete)
+    r.add_post("/api/copy", api_copy)
+    r.add_post("/api/pull", api_pull)
     r.add_get("/api/slots", slots_list)
     r.add_post("/api/slots", slots_create)
     r.add_delete("/api/slots/{slot_id}", slots_delete)
@@ -793,6 +917,32 @@ def create_app(scheduler: ModelScheduler,
 
     app.on_startup.append(start_reaper)
     app.on_cleanup.append(stop_reaper)
+
+    # Config hot-reload watcher (reference startup.rs:179 →
+    # config_watch.rs:18-47): poll the user config file and swap
+    # state.user_config on change.
+    WATCH_KEY = web.AppKey("config_watch", object)
+
+    async def start_config_watch(app):
+        from ..config.user import UserConfig, user_config_path
+        from .config_watch import watch_config
+
+        def on_change(data: dict) -> None:
+            import dataclasses as _dc
+
+            known = {f.name for f in _dc.fields(UserConfig)}
+            state.user_config = UserConfig(
+                **{k: v for k, v in (data or {}).items() if k in known})
+
+        app[WATCH_KEY] = asyncio.create_task(
+            watch_config(user_config_path(), on_change,
+                         poll_interval=server_cfg.config_poll_interval))
+
+    async def stop_config_watch(app):
+        app[WATCH_KEY].cancel()
+
+    app.on_startup.append(start_config_watch)
+    app.on_cleanup.append(stop_config_watch)
     return app
 
 
