@@ -50,6 +50,10 @@ def build_parser() -> argparse.ArgumentParser:
     loadopts.add_argument("--tp", default=None, metavar="N",
                           help="tensor-parallel degree over the device "
                                "mesh ('auto' = all local devices)")
+    loadopts.add_argument("--mmproj", default=None, metavar="PATH",
+                          help="GGUF vision projector (mmproj) sidecar for "
+                               "multimodal models (auto-detected when "
+                               "colocated with the model)")
     loadopts.add_argument("--quant-compute",
                           choices=["auto", "w4a16", "w4a8", "w8a8"],
                           default=None,
@@ -245,14 +249,14 @@ def _resolve_tp(tp) -> int:
 
 def _load_executor(model_path: str, dtype, device_layers=None,
                    kv_cache_dtype=None, prefix_cache=False, tp=None,
-                   quant_compute=None):
+                   quant_compute=None, mmproj=None):
     from ..engine.executor import Executor
     from ..loader import load_model
     from ..tokenizer import load_tokenizer
 
     t0 = time.time()
     model, app_cfg = load_model(model_path, dtype=dtype,
-                                device_layers=device_layers)
+                                device_layers=device_layers, mmproj=mmproj)
     if kv_cache_dtype:
         app_cfg.inference.kv_cache_dtype = kv_cache_dtype
     if prefix_cache:
@@ -298,6 +302,7 @@ def cmd_run(args) -> int:
                         kv_cache_dtype=getattr(args, "kv_cache_dtype", None),
                         prefix_cache=getattr(args, "prefix_cache", False),
                         tp=getattr(args, "tp", None),
+                        mmproj=getattr(args, "mmproj", None),
                         quant_compute=getattr(args, "quant_compute", None))
     if not args.no_warmup:
         ex.warmup()
@@ -380,6 +385,7 @@ def cmd_generate(args) -> int:
                         kv_cache_dtype=getattr(args, "kv_cache_dtype", None),
                         prefix_cache=getattr(args, "prefix_cache", False),
                         tp=getattr(args, "tp", None),
+                        mmproj=getattr(args, "mmproj", None),
                         quant_compute=getattr(args, "quant_compute", None))
     cfg = GenerationConfig(max_tokens=args.max_tokens,
                            temperature=args.temperature)

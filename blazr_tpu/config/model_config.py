@@ -291,12 +291,36 @@ _HF_ARCH_TO_MODEL_TYPE = {
 }
 
 
+def vision_config_from_hf(vc: Optional[dict]) -> Optional[VisionConfig]:
+    """HF ``vision_config`` (CLIP naming) → :class:`VisionConfig`."""
+    if not isinstance(vc, dict):
+        return None
+    hidden = vc.get("hidden_size", 1024)
+    return VisionConfig(
+        hidden_size=hidden,
+        num_layers=vc.get("num_hidden_layers", vc.get("num_layers", 24)),
+        num_heads=vc.get("num_attention_heads", vc.get("num_heads", 16)),
+        image_size=vc.get("image_size", 336),
+        patch_size=vc.get("patch_size", 14),
+        intermediate_size=vc.get("intermediate_size", hidden * 4),
+        projection_dim=vc.get("projection_dim", vc.get("proj_dim", 4096)),
+    )
+
+
 def universal_from_hf_config(cfg: dict[str, Any]) -> UniversalConfig:
     """Convert a HuggingFace ``config.json`` dict to :class:`UniversalConfig`.
 
     Mirrors the reference's HuggingFaceConfig::to_universal conversion
     (behavior inferred from src/loader/safetensors/config.rs usage).
     """
+    # LLaVA-style multimodal configs nest the LLM under "text_config" and
+    # the vision tower under "vision_config": recurse on the text config
+    # and attach the parsed VisionConfig (reference loader/vision.rs:25-80).
+    if isinstance(cfg.get("text_config"), dict):
+        out = universal_from_hf_config(cfg["text_config"])
+        out.vision = vision_config_from_hf(cfg.get("vision_config"))
+        return out
+
     model_type = cfg.get("model_type")
     if not model_type:
         archs = cfg.get("architectures") or []
@@ -406,6 +430,7 @@ def universal_from_hf_config(cfg: dict[str, Any]) -> UniversalConfig:
         attention=attention,
         ssm=ssm,
         moe=moe,
+        vision=vision_config_from_hf(cfg.get("vision_config")),
         hybrid_layers=hybrid_layers,
         tie_word_embeddings=bool(cfg.get(
             "tie_word_embeddings", model_type == "starcoder2")),

@@ -22,6 +22,27 @@ from ..utils.preprocess import compute_mel_spectrogram, preprocess_image
 from .types import GeneratedToken
 
 
+class MediaBoundExecutor:
+    """Adapter binding decoded media to a MultimodalExecutor so the shared
+    text helpers (collect_generation / stream_generation) drive multimodal
+    generation unchanged (reference generate_multimodal_text,
+    executor_multimodal.rs:50-120)."""
+
+    def __init__(self, mm: "MultimodalExecutor", images, audio):
+        self.mm = mm
+        self.images = images
+        self.audio = audio
+        self.executor = mm.executor
+
+    def __getattr__(self, name):
+        return getattr(self.executor, name)
+
+    def generate(self, prompt_ids, gen_cfg=None):
+        return self.mm.generate_multimodal(
+            prompt_ids, images=self.images, audio=self.audio,
+            gen_cfg=gen_cfg)
+
+
 class MultimodalExecutor:
     """Wraps a text Executor with vision (and audio) encoders."""
 

@@ -36,12 +36,19 @@ logger = logging.getLogger(__name__)
 
 def load_varmap(source: ModelSource) -> VarMap:
     if source.format == ModelFormat.GGUF:
-        return varmap_from_gguf(source.path)
-    if source.quant == QuantMethod.AWQ:
-        return varmap_from_awq(source.path)
-    if source.quant == QuantMethod.GPTQ:
-        return varmap_from_gptq(source.path)
-    return varmap_from_safetensors(source.path)
+        vm = varmap_from_gguf(source.path)
+    elif source.quant == QuantMethod.AWQ:
+        vm = varmap_from_awq(source.path)
+    elif source.quant == QuantMethod.GPTQ:
+        vm = varmap_from_gptq(source.path)
+    else:
+        vm = varmap_from_safetensors(source.path)
+    # HF multimodal (LLaVA) checkpoints nest the LLM under "language_model.";
+    # strip it so the text builders see canonical names.
+    lm_names = [n for n in vm.names() if n.startswith("language_model.")]
+    for n in lm_names:
+        vm.insert(n[len("language_model."):], vm.take(n))
+    return vm
 
 
 def resolve_config(source: ModelSource, vm: Optional[VarMap] = None) -> AppConfig:
@@ -71,12 +78,15 @@ def resolve_config(source: ModelSource, vm: Optional[VarMap] = None) -> AppConfi
 
 
 def load_model(path: str | Path, dtype: Optional[str] = None,
-               device_layers: Optional[int] = None) -> tuple[Model, AppConfig]:
+               device_layers: Optional[int] = None,
+               mmproj: Optional[str] = None) -> tuple[Model, AppConfig]:
     """Auto-detect and load a model (reference api.rs:20-34).
 
     ``device_layers`` caps how many decoder layers stay device-resident
     (reference n-gpu-layers); the remainder live in host RAM and stream
     per step via ``engine.offload_stream.StreamingModel``.
+    ``mmproj`` points at a GGUF vision-projector sidecar (auto-detected
+    when colocated; reference loader/vision.rs).
     """
     source = detect_model_source(path)
     logger.info("Loading %s model from %s (quant=%s)",
@@ -90,6 +100,11 @@ def load_model(path: str | Path, dtype: Optional[str] = None,
     # Fill holes in the config from actual tensor shapes (e.g. vocab pad).
     _reconcile_config_with_weights(app_cfg.model, vm)
     model = build_model(app_cfg.model, vm, dtype=parse_dtype(app_cfg.inference.dtype))
+    # Vision tower: mmproj sidecar or in-checkpoint tower
+    # (reference loader/vision.rs:25-95).
+    from .vision import attach_vision
+
+    attach_vision(model, app_cfg.model, source.path, vm, mmproj_path=mmproj)
     if device_layers is not None and device_layers < model.num_layers:
         from ..engine.offload_stream import maybe_stream
         from .offloading import LayerDeviceMap

@@ -163,6 +163,13 @@ class Model:
     params: dict[str, Any]
     dtype: Any
     forward_fn: Callable[..., tuple[jax.Array, Any]]
+    # Vision tower (multimodal checkpoints; reference LoadedModel::Multimodal)
+    vision_params: Any = None
+    vision_cfg: Any = None
+
+    @property
+    def is_multimodal(self) -> bool:
+        return self.vision_params is not None
 
     # ---- introspection ---------------------------------------------------
     @property

@@ -239,17 +239,9 @@ def _build_prompt(request_body: dict, executor, model_cfg) -> tuple[str, list]:
 
 def _content_text(content) -> str:
     """Flatten string-or-parts message content (reference multimodal.rs)."""
-    if content is None:
-        return ""
-    if isinstance(content, str):
-        return content
-    if isinstance(content, list):
-        parts = []
-        for p in content:
-            if isinstance(p, dict) and p.get("type") == "text":
-                parts.append(p.get("text", ""))
-        return "".join(parts)
-    return str(content)
+    from .multimodal import content_text
+
+    return content_text(content)
 
 
 # ---------------------------------------------------------------------------
@@ -400,6 +392,28 @@ async def chat_completions(request: web.Request) -> web.Response:
 
     prompt, _ = _build_prompt(body, executor, executor.model.cfg)
     prompt_ids = executor.tokenizer.encode(prompt)
+
+    # Multimodal content parts: decode images/audio and bind them to a
+    # MultimodalExecutor (reference chat.rs:70-118 + executor_multimodal.rs).
+    from .multimodal import (MultimodalError, extract_media, has_audio,
+                             has_images)
+
+    messages = body.get("messages", [])
+    mm_present = any(has_images(m.get("content")) or has_audio(m.get("content"))
+                     for m in messages if isinstance(m, dict))
+    if mm_present:
+        try:
+            images, audio = await extract_media(messages)
+        except MultimodalError as e:
+            raise ApiError(400, f"failed to decode multimodal content: {e}")
+        if not getattr(executor.model, "is_multimodal", False):
+            raise ApiError(400, "model does not support image/audio input")
+        from ..engine.executor_multimodal import (MediaBoundExecutor,
+                                                  MultimodalExecutor)
+
+        executor = MediaBoundExecutor(
+            MultimodalExecutor(executor, executor.model.vision_params,
+                               executor.model.vision_cfg), images, audio)
     budget = len(prompt_ids) + cfg.max_tokens
     if not state.try_admit(budget):
         return _overloaded()
@@ -408,7 +422,7 @@ async def chat_completions(request: web.Request) -> web.Response:
     try:
         if body.get("stream"):
             return await _stream_chat(request, state, executor, prompt_ids,
-                                      cfg, body)
+                                      cfg, body, force_direct=mm_present)
         n = int(body.get("n", 1))
         choices = []
         usage_p = usage_c = 0
@@ -417,7 +431,7 @@ async def chat_completions(request: web.Request) -> web.Response:
             c = GenerationConfig.from_dict(cfg.to_dict())
             if c.seed is not None and i:
                 c.seed += i
-            if state.batch_engine is not None:
+            if state.batch_engine is not None and not mm_present:
                 res = await _collect_via_engine(state, prompt_ids, c)
                 if want_think:
                     res.thinking, res.text = extract_thinking(res.text)
@@ -488,7 +502,8 @@ async def _collect_via_engine(state: AppState, prompt_ids, cfg):
 
 
 async def _stream_chat(request, state: AppState, executor, prompt_ids,
-                       cfg: GenerationConfig, body: dict) -> web.StreamResponse:
+                       cfg: GenerationConfig, body: dict,
+                       force_direct: bool = False) -> web.StreamResponse:
     from .streaming import SSE_DONE, SSE_HEADERS, ChatStream
 
     request["streaming"] = True       # exempt in-flight SSE from the timeout
@@ -536,7 +551,7 @@ async def _stream_chat(request, state: AppState, executor, prompt_ids,
             queue.put_nowait(("", None, str(e)))
         queue.put_nowait(None)
 
-    if state.batch_engine is not None:
+    if state.batch_engine is not None and not force_direct:
         task = asyncio.ensure_future(produce_engine())
     else:
         task = loop.run_in_executor(None, produce)
