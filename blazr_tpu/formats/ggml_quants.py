@@ -346,6 +346,8 @@ def dequant_tq1_0(raw) -> np.ndarray:
     return (out * d[:, None]).reshape(-1)
 
 
+from .iq_quants import IQ_DEQUANT_FNS, IQ_QUANT_FNS  # noqa: E402
+
 _DEQUANT_FNS = {
     GgmlType.Q8_0: dequant_q8_0,
     GgmlType.Q8_1: dequant_q8_1,
@@ -363,6 +365,7 @@ _DEQUANT_FNS = {
     GgmlType.IQ4_XS: dequant_iq4_xs,
     GgmlType.TQ1_0: dequant_tq1_0,
     GgmlType.TQ2_0: dequant_tq2_0,
+    **IQ_DEQUANT_FNS,
 }
 
 
@@ -393,8 +396,8 @@ def dequantize_ggml(raw: bytes | memoryview, gt: GgmlType,
     fn = _DEQUANT_FNS.get(gt)
     if fn is None:
         raise NotImplementedError(
-            f"GGML type {gt.name} not yet supported (grid-codebook IQ formats "
-            f"pending); supported: {[t.name for t in supported_quant_types()]}"
+            f"GGML type {gt.name} not supported; "
+            f"supported: {[t.name for t in supported_quant_types()]}"
         )
     return fn(raw).reshape(shape)
 
@@ -614,6 +617,7 @@ _QUANT_FNS = {
     GgmlType.Q4_K: quant_q4_k,
     GgmlType.Q5_K: quant_q5_k,
     GgmlType.Q6_K: quant_q6_k,
+    **IQ_QUANT_FNS,
 }
 
 
