@@ -50,6 +50,21 @@ def build_parser() -> argparse.ArgumentParser:
     loadopts.add_argument("--tp", default=None, metavar="N",
                           help="tensor-parallel degree over the device "
                                "mesh ('auto' = all local devices)")
+    loadopts.add_argument("--ep", default=None, metavar="N",
+                          help="expert-parallel degree: MoE expert stacks "
+                               "shard over an 'ep' mesh axis with "
+                               "all-to-all dispatch")
+    loadopts.add_argument("--moe-offload",
+                          choices=["auto", "gpu", "cpu", "hybrid"],
+                          default=None,
+                          help="MoE expert offload: keep only the hot "
+                               "expert set in HBM, cold experts in host "
+                               "RAM (reference --moe-offload)")
+    loadopts.add_argument("--moe-device-experts", type=int, default=None,
+                          metavar="K",
+                          help="device-resident experts per layer under "
+                               "--moe-offload (default: half for hybrid, "
+                               "one for cpu)")
     loadopts.add_argument("--mmproj", default=None, metavar="PATH",
                           help="GGUF vision projector (mmproj) sidecar for "
                                "multimodal models (auto-detected when "
@@ -249,7 +264,8 @@ def _resolve_tp(tp) -> int:
 
 def _load_executor(model_path: str, dtype, device_layers=None,
                    kv_cache_dtype=None, prefix_cache=False, tp=None,
-                   quant_compute=None, mmproj=None):
+                   quant_compute=None, mmproj=None, ep=None,
+                   moe_offload=None, moe_device_experts=None):
     from ..engine.executor import Executor
     from ..loader import load_model
     from ..tokenizer import load_tokenizer
@@ -262,6 +278,12 @@ def _load_executor(model_path: str, dtype, device_layers=None,
     if prefix_cache:
         app_cfg.inference.prefix_cache = True
     app_cfg.inference.tensor_parallel_size = _resolve_tp(tp)
+    if ep:
+        app_cfg.inference.expert_parallel_size = int(ep)
+    if moe_offload:
+        app_cfg.inference.moe_offload = moe_offload
+    if moe_device_experts is not None:
+        app_cfg.inference.moe_device_experts = moe_device_experts
     if quant_compute:
         app_cfg.inference.quant_compute = quant_compute
     p = Path(model_path)
@@ -303,7 +325,11 @@ def cmd_run(args) -> int:
                         prefix_cache=getattr(args, "prefix_cache", False),
                         tp=getattr(args, "tp", None),
                         mmproj=getattr(args, "mmproj", None),
-                        quant_compute=getattr(args, "quant_compute", None))
+                        quant_compute=getattr(args, "quant_compute", None),
+                        ep=getattr(args, "ep", None),
+                        moe_offload=getattr(args, "moe_offload", None),
+                        moe_device_experts=getattr(args, "moe_device_experts",
+                                                   None))
     if not args.no_warmup:
         ex.warmup()
     cfg = GenerationConfig(
@@ -386,7 +412,11 @@ def cmd_generate(args) -> int:
                         prefix_cache=getattr(args, "prefix_cache", False),
                         tp=getattr(args, "tp", None),
                         mmproj=getattr(args, "mmproj", None),
-                        quant_compute=getattr(args, "quant_compute", None))
+                        quant_compute=getattr(args, "quant_compute", None),
+                        ep=getattr(args, "ep", None),
+                        moe_offload=getattr(args, "moe_offload", None),
+                        moe_device_experts=getattr(args, "moe_device_experts",
+                                                   None))
     cfg = GenerationConfig(max_tokens=args.max_tokens,
                            temperature=args.temperature)
     _print_stream(ex, ex.tokenizer.encode(args.prompt), cfg)

@@ -73,6 +73,11 @@ class InferenceConfig:
     # MoE expert offload: auto | gpu | cpu | hybrid (reference: hbm vs host)
     moe_offload: Optional[str] = None
     moe_gpu_experts: Optional[int] = None
+    # Device-resident experts per layer under offload (None = strategy
+    # default: half for hybrid, one for cpu) and how many forward passes
+    # between hot-set rebalances (reference rebalance_interval).
+    moe_device_experts: Optional[int] = None
+    moe_rebalance_interval: int = 64
 
     # Layer offload (reference n-gpu-layers): layers resident on device;
     # the rest live in host RAM and stream per step (engine/offload_stream).

@@ -127,6 +127,10 @@ class MoeConfig:
     scoring_func: str = "softmax"                # softmax | sigmoid (v3)
     n_group: int = 1                             # group-limited routing (v3)
     topk_group: int = 1
+    # Serve-time flag (set by the executor, never by checkpoints): route
+    # MoE forwards through the expert-parallel all-to-all path when the
+    # serving mesh has an ``ep`` axis.
+    use_ep: bool = False
 
 
 @dataclass

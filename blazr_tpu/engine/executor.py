@@ -91,8 +91,24 @@ class Executor:
             self.mesh = maybe_serving_mesh(self.app_cfg.inference,
                                            model.cfg, model.params)
             if self.mesh is not None:
+                if (self.mesh.shape.get("ep", 1) > 1
+                        and model.cfg.moe is not None):
+                    # Route MoE forwards through the all-to-all EP path
+                    # (parallel/ep.py); expert stacks shard over ``ep``.
+                    model.cfg.moe.use_ep = True
                 model.params = shard_params(model.params, self.mesh,
                                             model.cfg)
+
+        # MoE expert offload (reference executor_cache.rs:235-348): swap
+        # params to resident-stack form and keep the host mirror; the
+        # generate loops call _moe_tick() once per forward pass.
+        self._moe_rt = None
+        if (self.app_cfg.inference.moe_offload and self.mesh is None
+                and not getattr(model, "is_streaming", False)):
+            from .moe_offload import install_offload
+
+            model.params, self._moe_rt = install_offload(
+                model.params, model.cfg, self.app_cfg.inference)
 
         fwd = model.forward_fn
         cfg = model.cfg
@@ -314,6 +330,7 @@ class Executor:
                 )
                 pos += sub
                 idx += sub
+                self._moe_tick()
             return last, cache
 
         trash = cache.trash_position if hasattr(cache, "trash_position") else None
@@ -337,6 +354,7 @@ class Executor:
             )
             pos += len(piece)
             idx += chunk
+            self._moe_tick()
         return last, cache
 
     # ------------------------------------------------------------------
@@ -465,10 +483,18 @@ class Executor:
                     pos += 1
                     tok = int(tok_dev[0])
                     lp = float(lp_dev[0])
+                self._moe_tick()
         finally:
             # Retain the device cache for prefix reuse by the next request
             # (runs on normal finish AND client-disconnect GeneratorExit).
             self._session_save(kv_tokens, cache)
+
+    # ------------------------------------------------------------------
+    def _moe_tick(self) -> None:
+        """One forward pass completed → drive the MoE offload manager
+        (usage decay + periodic hot-set rebalance)."""
+        if self._moe_rt is not None:
+            self._moe_rt.tick(self.model.params)
 
     # ------------------------------------------------------------------
     def _postprocess_token(self, tok: int, grammar) -> tuple[bool, int]:

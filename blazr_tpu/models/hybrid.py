@@ -91,9 +91,9 @@ def forward(
         if p.get("gate") is not None:          # separate FFN sub-block
             h = rms_norm(x, p["post_norm"], cfg.rms_norm_eps)
             if p.get("moe") is not None:
-                from .moe import moe_ffn
+                from .moe import moe_forward
 
-                x = x + moe_ffn(h, p["moe"], cfg.moe)
+                x = x + moe_forward(h, p["moe"], cfg.moe)
             else:
                 x = x + swiglu_mlp(h, p["gate"], p["up"], p["down"])
 

@@ -137,9 +137,9 @@ def forward(
         x = x + attn_out
         h = norm(x, p["post_norm"], p.get("post_norm_bias"))
         if p.get("moe") is not None:
-            from .moe import moe_ffn
+            from .moe import moe_forward
 
-            mlp_out = moe_ffn(h, p["moe"], cfg.moe)
+            mlp_out = moe_forward(h, p["moe"], cfg.moe)
         elif p.get("fc") is not None:              # starcoder2 plain MLP
             mlp_out = plain_mlp(h, p["fc"], p.get("fc_bias"), p["down"],
                                 p.get("down_bias"), act=cfg.hidden_act)
@@ -220,9 +220,9 @@ def forward_layers_range(
         x = x + attn_out
         h = rms_norm(x, p["post_norm"], cfg.rms_norm_eps)
         if p.get("moe") is not None:
-            from .moe import moe_ffn
+            from .moe import moe_forward
 
-            x = x + moe_ffn(h, p["moe"], cfg.moe)
+            x = x + moe_forward(h, p["moe"], cfg.moe)
         elif p.get("gateup") is not None:
             gu = linear(h, p["gateup"])
             inter = gu.shape[-1] // 2

@@ -167,9 +167,9 @@ def forward_paged(
         x = x + attn_out
         h = norm(x, p["post_norm"], p.get("post_norm_bias"))
         if p.get("moe") is not None:
-            from .moe import moe_ffn
+            from .moe import moe_forward
 
-            x = x + moe_ffn(h, p["moe"], cfg.moe)
+            x = x + moe_forward(h, p["moe"], cfg.moe)
         elif p.get("fc") is not None:              # starcoder2 plain MLP
             x = x + plain_mlp(h, p["fc"], p.get("fc_bias"), p["down"],
                               p.get("down_bias"), act=cfg.hidden_act)

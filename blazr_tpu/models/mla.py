@@ -35,7 +35,7 @@ from .layers import (
     rope_frequencies,
     swiglu_mlp,
 )
-from .moe import moe_ffn
+from .moe import moe_forward
 
 
 @jax.tree_util.register_dataclass
@@ -208,7 +208,7 @@ def forward(
         x = x + attn_out
         h = rms_norm(x, p["post_norm"], cfg.rms_norm_eps)
         if p.get("moe") is not None:
-            x = x + moe_ffn(h, p["moe"], cfg.moe)
+            x = x + moe_forward(h, p["moe"], cfg.moe)
         else:
             x = x + swiglu_mlp(h, p["gate"], p["up"], p["down"])
 

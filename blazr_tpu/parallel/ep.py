@@ -78,11 +78,21 @@ def moe_ffn_ep(x: jax.Array, p: dict[str, Any], moe: MoeConfig,
 
     dispatch, combine = make_dispatch(topk_idx, topk_w, e, capacity)
 
+    def dense(w):
+        # Quantized expert stacks dequant per-expert (elementwise over the
+        # ep-sharded expert axis → each shard only touches its local
+        # experts; no resharding is induced).
+        from ..quant.qtensor import QuantTensor, dequantize_stack_jnp
+
+        if isinstance(w, QuantTensor):
+            return dequantize_stack_jnp(w, jnp.float32)
+        return w.astype(jnp.float32)
+
     expert_in = jnp.einsum("th,tec->ech", flat.astype(jnp.float32), dispatch)
-    g = jnp.einsum("ech,ehi->eci", expert_in, p["experts_gate"].astype(jnp.float32))
-    u = jnp.einsum("ech,ehi->eci", expert_in, p["experts_up"].astype(jnp.float32))
+    g = jnp.einsum("ech,ehi->eci", expert_in, dense(p["experts_gate"]))
+    u = jnp.einsum("ech,ehi->eci", expert_in, dense(p["experts_up"]))
     a = jax.nn.silu(g) * u
-    expert_out = jnp.einsum("eci,eih->ech", a, p["experts_down"].astype(jnp.float32))
+    expert_out = jnp.einsum("eci,eih->ech", a, dense(p["experts_down"]))
 
     y = jnp.einsum("ech,tec->th", expert_out, combine)
     if p.get("shared_gate") is not None:

@@ -47,6 +47,10 @@ def _spec_for_quant(qt: QuantTensor, dim_spec: P) -> QuantTensor:
 def _leaf_spec(key: str, value: Any):
     if value is None:
         return None
+    if isinstance(value, dict):
+        # Nested param groups (the "moe" subtree): spec per inner key so
+        # expert stacks pick up their ep/tp axes.
+        return {k: _leaf_spec(k, v) for k, v in value.items()}
     is_quant = isinstance(value, QuantTensor)
     if key in _COL_KEYS:
         spec = P(None, "tp")

@@ -503,3 +503,67 @@ def concat_n(qts: list["QuantTensor"]) -> "QuantTensor":
         out_features=sum(q.out_features for q in qts),
         fmt=first.fmt,
     )
+
+
+# ---------------------------------------------------------------------------
+# Stacked expert weights (MoE): QuantTensor with a leading [E] axis
+# ---------------------------------------------------------------------------
+
+def stack_quant(qts: list["QuantTensor"]) -> "QuantTensor":
+    """Stack per-expert QuantTensors into one whose array fields carry a
+    leading expert axis: qweight [E, K*bits/32, N], scales/mins [E, K/gs, N].
+
+    The logical per-expert shape stays (in_features, out_features); slice
+    experts back out with :func:`expert_slice`. This is the TPU answer to
+    the reference's per-expert weight list (moe_offload.rs expert slices):
+    one stacked HBM allocation that einsum/scan can index dynamically.
+    """
+    first = qts[0]
+    for q in qts[1:]:
+        assert (q.in_features, q.out_features, q.bits, q.group_size,
+                q.signed) == (first.in_features, first.out_features,
+                              first.bits, first.group_size, first.signed)
+        assert q.perm is None and first.perm is None, \
+            "desc-act (perm) expert weights cannot be stacked"
+    return dataclasses.replace(
+        first,
+        qweight=jnp.stack([q.qweight for q in qts]),
+        scales=jnp.stack([q.scales for q in qts]),
+        mins=jnp.stack([q.mins for q in qts]),
+        perm=None,
+    )
+
+
+def is_stacked(qt: "QuantTensor") -> bool:
+    return isinstance(qt, QuantTensor) and qt.qweight.ndim == 3
+
+
+def expert_slice(w, e):
+    """Expert ``e`` from a stacked expert weight — dense [E, K, N] array or
+    stacked QuantTensor. ``e`` may be a traced scalar (dynamic index)."""
+    if isinstance(w, QuantTensor):
+        return dataclasses.replace(
+            w, qweight=w.qweight[e], scales=w.scales[e], mins=w.mins[e],
+            perm=None)
+    return w[e]
+
+
+def dequantize_stack_jnp(qt: "QuantTensor", dtype=jnp.float32) -> jax.Array:
+    """On-device dequant of a stacked expert QuantTensor → [E, K, N]."""
+    def one(qw, sc, mn):
+        return dequantize_jnp(
+            dataclasses.replace(qt, qweight=qw, scales=sc, mins=mn,
+                                perm=None), dtype)
+    return jax.vmap(one)(qt.qweight, qt.scales, qt.mins)
+
+
+def dequantize_stack_np(qt: "QuantTensor") -> np.ndarray:
+    """Host-side dequant of a stacked expert QuantTensor → f32 [E, K, N]."""
+    qw = np.asarray(qt.qweight)
+    sc = np.asarray(qt.scales)
+    mn = np.asarray(qt.mins)
+    return np.stack([
+        dequantize_np(dataclasses.replace(
+            qt, qweight=qw[e], scales=sc[e], mins=mn[e], perm=None))
+        for e in range(qw.shape[0])
+    ])
