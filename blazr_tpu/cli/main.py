@@ -50,6 +50,10 @@ def build_parser() -> argparse.ArgumentParser:
     loadopts.add_argument("--tp", default=None, metavar="N",
                           help="tensor-parallel degree over the device "
                                "mesh ('auto' = all local devices)")
+    loadopts.add_argument("--sp", default=None, metavar="N",
+                          help="sequence-parallel degree: long prompts "
+                               "prefill with ring attention over an 'sp' "
+                               "mesh axis")
     loadopts.add_argument("--ep", default=None, metavar="N",
                           help="expert-parallel degree: MoE expert stacks "
                                "shard over an 'ep' mesh axis with "
@@ -264,7 +268,7 @@ def _resolve_tp(tp) -> int:
 
 def _load_executor(model_path: str, dtype, device_layers=None,
                    kv_cache_dtype=None, prefix_cache=False, tp=None,
-                   quant_compute=None, mmproj=None, ep=None,
+                   quant_compute=None, mmproj=None, ep=None, sp=None,
                    moe_offload=None, moe_device_experts=None):
     from ..engine.executor import Executor
     from ..loader import load_model
@@ -280,6 +284,8 @@ def _load_executor(model_path: str, dtype, device_layers=None,
     app_cfg.inference.tensor_parallel_size = _resolve_tp(tp)
     if ep:
         app_cfg.inference.expert_parallel_size = int(ep)
+    if sp:
+        app_cfg.inference.sequence_parallel_size = int(sp)
     if moe_offload:
         app_cfg.inference.moe_offload = moe_offload
     if moe_device_experts is not None:
@@ -327,6 +333,7 @@ def cmd_run(args) -> int:
                         mmproj=getattr(args, "mmproj", None),
                         quant_compute=getattr(args, "quant_compute", None),
                         ep=getattr(args, "ep", None),
+                        sp=getattr(args, "sp", None),
                         moe_offload=getattr(args, "moe_offload", None),
                         moe_device_experts=getattr(args, "moe_device_experts",
                                                    None))
@@ -414,6 +421,7 @@ def cmd_generate(args) -> int:
                         mmproj=getattr(args, "mmproj", None),
                         quant_compute=getattr(args, "quant_compute", None),
                         ep=getattr(args, "ep", None),
+                        sp=getattr(args, "sp", None),
                         moe_offload=getattr(args, "moe_offload", None),
                         moe_device_experts=getattr(args, "moe_device_experts",
                                                    None))

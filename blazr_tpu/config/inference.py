@@ -69,6 +69,10 @@ class InferenceConfig:
     data_parallel_size: int = 1
     expert_parallel_size: int = 1
     sequence_parallel_size: int = 1
+    # Prompts at least this long take the ring-attention (sequence-
+    # parallel) prefill when the mesh has an ``sp`` axis; shorter prompts
+    # use the ordinary bucketed prefill (ring pays p ppermute hops).
+    sp_prefill_threshold: int = 256
 
     # MoE expert offload: auto | gpu | cpu | hybrid (reference: hbm vs host)
     moe_offload: Optional[str] = None

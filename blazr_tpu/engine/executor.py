@@ -220,6 +220,42 @@ class Executor:
         else:
             self._sample_only = sample_only
 
+        # Ring-attention (sequence-parallel) prefill: a SEPARATE jit whose
+        # closed-over config carries the sp mesh, so the ordinary prefill
+        # buckets never alias its compiled programs. Long prompts whose
+        # attention is pure in-chunk causal (start_pos 0, one chunk) shard
+        # the sequence over ``sp`` and rotate KV blocks over ICI
+        # (parallel/ring_attention.py; green-field BASELINE SP row).
+        self._ring_prefill_step = None
+        self._sp = self.mesh.shape.get("sp", 1) if self.mesh else 1
+        if self._sp > 1 and not getattr(model, "is_streaming", False):
+            from ..models import llama as _llama
+
+            att = cfg.attention
+            ring_ok = (
+                fwd is _llama.forward
+                and att is not None
+                and not att.sliding_window
+                and not cfg.attn_logit_softcapping
+                and not self.model.needs_ssm_state
+            )
+            if ring_ok:
+                import copy
+
+                ring_cfg = copy.copy(cfg)
+                ring_cfg._sp_ring_mesh = self.mesh
+
+                @partial(jax.jit, donate_argnums=(1,))
+                def ring_prefill_step(params, cache, tokens, positions,
+                                      seq_lens, last_idx):
+                    logits, cache = fwd(params, ring_cfg, tokens, cache,
+                                        positions, seq_lens)
+                    last = jnp.take_along_axis(
+                        logits, last_idx[:, None, None], axis=1)[:, 0, :]
+                    return last, cache
+
+                self._ring_prefill_step = bind(ring_prefill_step)
+
     # ------------------------------------------------------------------
     def vocab_bytes(self) -> list[bytes]:
         if self._vocab_bytes is None:
@@ -306,6 +342,9 @@ class Executor:
         """
         n = len(prompt_ids)
         assert n > 0, "empty prompt"
+        if (self._ring_prefill_step is not None and start_pos == 0
+                and n >= self.app_cfg.inference.sp_prefill_threshold):
+            return self._ring_prefill(cache, prompt_ids)
         bucket = min(_next_bucket(n), self.capacity)
         chunk_cfg = self.app_cfg.inference.prefill_chunk_size
         chunk = min(chunk_cfg or bucket, bucket)
@@ -355,6 +394,30 @@ class Executor:
             pos += len(piece)
             idx += chunk
             self._moe_tick()
+        return last, cache
+
+    # ------------------------------------------------------------------
+    def _ring_prefill(self, cache, prompt_ids: list[int]):
+        """Whole-prompt sequence-parallel prefill: one jitted pass with the
+        sequence sharded over ``sp``, ring attention in every layer. Pads
+        (to an sp-divisible bucket) park on the cache trash slot; their
+        local indices sit after every real token, so in-chunk causal
+        masking keeps them invisible to real queries."""
+        n = len(prompt_ids)
+        step = self._sp * 16
+        bucket = -(-n // step) * step     # pads write to the trash slot
+        trash = cache.trash_position if hasattr(cache, "trash_position") else 0
+        toks = np.zeros((1, bucket), dtype=np.int32)
+        toks[0, :n] = prompt_ids
+        positions = np.full((1, bucket), trash, dtype=np.int32)
+        positions[0, :n] = np.arange(n)
+        seq_lens = np.array([n], dtype=np.int32)
+        last_idx = np.array([n - 1], dtype=np.int32)
+        last, cache = self._ring_prefill_step(
+            cache, jnp.asarray(toks), jnp.asarray(positions),
+            jnp.asarray(seq_lens), jnp.asarray(last_idx),
+        )
+        self._moe_tick()
         return last, cache
 
     # ------------------------------------------------------------------

@@ -29,6 +29,7 @@ from .layers import (
     apply_rope,
     attend,
     linear,
+    repeat_kv,
     rms_norm,
     rope_cos_sin,
     rope_frequencies,
@@ -74,17 +75,33 @@ def attention_block(
     k = apply_rope(k, cos, sin)
 
     cache = write_layer(cache, layer, k, v, positions)
-    out = attend(
-        q,
-        cache.k[layer],
-        cache.v[layer],
-        q_positions=positions,
-        kv_len=kv_len,
-        sliding_window=att.sliding_window,
-        logit_softcap=cfg.attn_logit_softcapping,
-        k_scale=cache.k_scale[layer] if cache.quantized else None,
-        v_scale=cache.v_scale[layer] if cache.quantized else None,
-    )
+
+    ring_mesh = getattr(cfg, "_sp_ring_mesh", None)
+    if ring_mesh is not None and t > 1:
+        # Sequence-parallel prefill: the whole prompt is one chunk from
+        # position 0, so attention is pure in-chunk causal — ring
+        # attention over the ``sp`` mesh axis (parallel/ring_attention.py)
+        # instead of attending against the cache. K/V were still written
+        # above for the decode steps that follow. The executor only
+        # installs _sp_ring_mesh on its dedicated ring-prefill jit
+        # (no sliding window / softcap models, start_pos == 0).
+        from ..parallel.ring_attention import ring_attention
+
+        rep = n_heads // n_kv
+        out = ring_attention(q, repeat_kv(k, rep), repeat_kv(v, rep),
+                             ring_mesh, axis_name="sp")
+    else:
+        out = attend(
+            q,
+            cache.k[layer],
+            cache.v[layer],
+            q_positions=positions,
+            kv_len=kv_len,
+            sliding_window=att.sliding_window,
+            logit_softcap=cfg.attn_logit_softcapping,
+            k_scale=cache.k_scale[layer] if cache.quantized else None,
+            v_scale=cache.v_scale[layer] if cache.quantized else None,
+        )
     out = out.reshape(b, t, n_heads * head_dim)
     return linear(out, p["o"], p.get("o_bias")), cache
 

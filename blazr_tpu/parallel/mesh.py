@@ -27,10 +27,11 @@ class MeshConfig:
     tp: int = 1
     dp: int = 1
     ep: int = 1
+    sp: int = 1          # sequence parallel (ring-attention prefill)
 
     @property
     def total(self) -> int:
-        return self.tp * self.dp * self.ep
+        return self.tp * self.dp * self.ep * self.sp
 
 
 def validate_tp_size(cfg, tp: int) -> None:
@@ -68,9 +69,9 @@ def make_mesh(mesh_cfg: Optional[MeshConfig] = None,
         raise ValueError(
             f"mesh needs {mesh_cfg.total} devices, have {len(devices)}")
     grid = np.array(devices[: mesh_cfg.total]).reshape(
-        mesh_cfg.dp, mesh_cfg.ep, mesh_cfg.tp
+        mesh_cfg.dp, mesh_cfg.ep, mesh_cfg.sp, mesh_cfg.tp
     )
-    return Mesh(grid, axis_names=("dp", "ep", "tp"))
+    return Mesh(grid, axis_names=("dp", "ep", "sp", "tp"))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

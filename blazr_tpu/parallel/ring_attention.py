@@ -91,7 +91,7 @@ def ring_attention_sharded(q, k, v, axis_name: str = "sp"):
 
 def ring_attention(q, k, v, mesh: Mesh, axis_name: str = "sp"):
     """[B, S, H, D] causal attention with S sharded over ``axis_name``."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     spec = P(None, axis_name, None, None)
     fn = shard_map(
@@ -99,7 +99,7 @@ def ring_attention(q, k, v, mesh: Mesh, axis_name: str = "sp"):
         mesh=mesh,
         in_specs=(spec, spec, spec),
         out_specs=spec,
-        check_rep=False,
+        check_vma=False,
     )
     return fn(q, k, v)
 

@@ -216,15 +216,16 @@ def maybe_serving_mesh(inference_cfg, model_cfg, params: dict | None = None):
 
     tp = inference_cfg.tensor_parallel_size
     ep = inference_cfg.expert_parallel_size
+    sp = inference_cfg.sequence_parallel_size
     # data_parallel_size is replica ROUTING (engine/data_parallel.py), the
     # reference's DP scope — not SPMD batch sharding — so it contributes
     # no mesh axis here.
-    if tp * ep <= 1:
+    if tp * ep * sp <= 1:
         return None
     validate_tp_size(model_cfg, tp)
     if params is not None:
         validate_quant_tp(params, tp)
-    return make_mesh(MeshConfig(tp=tp, dp=1, ep=ep))
+    return make_mesh(MeshConfig(tp=tp, dp=1, ep=ep, sp=sp))
 
 
 def shard_paged_cache(cache, mesh: Mesh):
