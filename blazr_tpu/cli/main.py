@@ -128,6 +128,10 @@ def build_parser() -> argparse.ArgumentParser:
                        help="serve through the paged-KV batch engine "
                             "(reference serve.rs:156-222 wiring)")
     serve.add_argument("--max-batch-size", type=int, default=8)
+    serve.add_argument("--prompt-lookup", action="store_true",
+                       help="batched speculative decoding: greedy rows "
+                            "verify n-gram drafts in one fused step")
+    serve.add_argument("--num-speculative-tokens", type=int, default=5)
     serve.add_argument("--kv-cache-dtype", choices=["auto", "int8", "int4"],
                        default="auto")
     serve.add_argument("--tp", default=None, metavar="N",
@@ -496,6 +500,11 @@ def cmd_serve(args) -> int:
         ex.app_cfg.inference.max_batch_size = args.max_batch_size
         ex.app_cfg.inference.prefix_cache = True
         ex.app_cfg.inference.kv_cache_dtype = args.kv_cache_dtype
+        if getattr(args, "prompt_lookup", False):
+            from ..config.inference import SpeculativeDecodingConfig
+
+            ex.app_cfg.inference.speculative = SpeculativeDecodingConfig(
+                num_speculative_tokens=args.num_speculative_tokens)
         batch_engine = BatchEngine(ex.model, ex.tokenizer, ex.app_cfg)
         print(f"continuous batching enabled (max_batch={args.max_batch_size})",
               file=sys.stderr)

@@ -166,6 +166,23 @@ class BatchEngine:
                     kv=shard_paged_cache(self.cache.kv, self.mesh))
             # MLA latent / SSM state have no kv-head axis — replicated.
 
+        # Batched speculative decoding (prompt-lookup / n-gram drafts,
+        # no draft model): greedy rows verify k drafts in ONE fused
+        # [B, k+1] step. With B·(k+1) rows still under the MXU output
+        # wave (128), the verify step costs the same wall time as plain
+        # [B, 1] decode (int_matmul.py PERF LOG) — accepted drafts are
+        # nearly free. Recurrent-state models are excluded: a rejected
+        # draft would leave the SSM state advanced past the rollback.
+        spec = inf.speculative
+        self._spec_k = (
+            spec.num_speculative_tokens
+            if (spec is not None and spec.draft_model is None
+                and not self._needs_state_rows
+                and spec.num_speculative_tokens > 0)
+            else 0)
+        self.spec_drafted = 0
+        self.spec_accepted = 0
+
         self._handles: dict[int, RequestHandle] = {}
         self._grammars: dict[int, GrammarState] = {}
         self._windows: dict[int, list[int]] = {}
@@ -208,6 +225,18 @@ class BatchEngine:
             lp = jnp.take_along_axis(logprobs, tok[:, None], axis=1)[:, 0]
             return tok, lp, last, cache
 
+        @partial(jax.jit, donate_argnums=(1,))
+        def verify_step(params, cache, tokens, positions, slots, block_tables,
+                        seq_lens, state_rows):
+            # Multi-token step for speculative verification: full logits
+            # [B, k+1, V]; drafts' K/V land in their real slots (accepted
+            # prefixes keep them; rejected slots are overwritten when the
+            # real token reaches that position).
+            logits, cache = fwd(params, cfg, tokens, cache,
+                                positions, slots, block_tables,
+                                seq_lens, state_rows)
+            return logits, cache
+
         @jax.jit
         def sample_from(last, window, sp, bias_ids, bias_vals, grammar_mask):
             tok, logprobs = sample_tokens(last, sp, window_tokens=window,
@@ -232,6 +261,7 @@ class BatchEngine:
 
         self._prefill_step = bind(prefill_step)
         self._decode_step = bind(decode_step)
+        self._verify_step = bind(verify_step)
         self._sample_from = bind(sample_from, with_params=False)
 
     # ------------------------------------------------------------------
@@ -459,7 +489,125 @@ class BatchEngine:
         self._emit(seq, int(tok_dev[0]), float(lp_dev[0]))
 
     # ------------------------------------------------------------------
+    def _spec_eligible(self, seq: Sequence) -> bool:
+        """Argmax verification is exact only for pure greedy rows."""
+        g = seq.gen_cfg
+        return (g.temperature == 0.0 and g.repeat_penalty == 1.0
+                and g.frequency_penalty == 0.0 and g.presence_penalty == 0.0
+                and not g.logit_bias
+                and seq.seq_id not in self._grammars
+                and seq.seq_id not in self._host_states)
+
     def _process_decode_batch(self, decodes: list[Sequence]) -> None:
+        if self._spec_k and any(self._spec_eligible(s) for s in decodes):
+            return self._process_decode_batch_spec(decodes)
+        return self._process_decode_batch_plain(decodes)
+
+    def _process_decode_batch_spec(self, decodes: list[Sequence]) -> None:
+        """Speculative batched decode: ONE fused [B, k+1] verify step.
+
+        Greedy rows carry k prompt-lookup draft tokens; each accepts the
+        longest prefix matching the model's argmax chain and emits
+        accepted+1 tokens. Non-eligible rows ride along consuming only
+        position 0 — identical numerics to the plain step (their extra
+        positions write to the trash slot)."""
+        from .speculative import prompt_lookup_draft
+
+        k = self._spec_k
+        bmax = min(_next_pow2(len(decodes), minimum=1), self.max_batch)
+        decodes = decodes[:bmax]
+        n = len(decodes)
+
+        tokens = np.zeros((bmax, k + 1), dtype=np.int32)
+        positions = np.zeros((bmax, k + 1), dtype=np.int32)
+        slots = np.full((bmax, k + 1), self._trash, dtype=np.int32)
+        bts = np.full((bmax, self.max_blocks_per_seq), 0x7FFFFFFF,
+                      dtype=np.int32)
+        seq_lens = np.zeros((bmax,), dtype=np.int32)
+        windows = np.full((bmax, 64), PAD_TOKEN, dtype=np.int32)
+        rows = np.full((bmax,), self.max_batch, dtype=np.int32)
+        cfgs = []
+        drafts: list[list[int]] = []
+        any_mask = False
+        for i, seq in enumerate(decodes):
+            pos = seq.total_len - 1
+            history = seq.all_tokens
+            draft: list[int] = []
+            if self._spec_eligible(seq):
+                budget = min(k, seq.gen_cfg.max_tokens
+                             - len(seq.output_tokens),
+                             self.max_seq_len - 1 - seq.total_len)
+                if budget > 0:
+                    draft = prompt_lookup_draft(history, budget)
+                if draft and not self.scheduler._ensure_block_for(
+                        seq, pos + len(draft)):
+                    draft = []            # allocator pressure: plain row
+            drafts.append(draft)
+            tokens[i, 0] = history[-1]
+            tokens[i, 1 : 1 + len(draft)] = draft
+            positions[i] = np.arange(pos, pos + k + 1)
+            span = 1 + len(draft)
+            slots[i, :span] = compute_slot_mapping(
+                seq.block_table, pos, span, self.block_size, self._trash)
+            bts[i] = pad_block_table(seq.block_table, self.max_blocks_per_seq)
+            seq_lens[i] = pos + span
+            windows[i] = make_window(self._windows[seq.seq_id],
+                                     seq.gen_cfg.repeat_last_n)
+            if self._needs_state_rows:
+                rows[i] = self._row_for(seq.seq_id)
+            cfgs.append(seq.gen_cfg)
+            any_mask |= seq.seq_id in self._grammars
+        for i in range(n, bmax):
+            cfgs.append(GenerationConfig())
+
+        logits_dev, self.cache = self._verify_step(
+            self.cache, jnp.asarray(tokens), jnp.asarray(positions),
+            jnp.asarray(slots), jnp.asarray(bts), jnp.asarray(seq_lens),
+            jnp.asarray(rows))
+
+        # Position-0 sampling for every row — the exact plain-step path
+        # (grammar masks, bias, windows all apply to non-greedy rows).
+        steps = [len(s.output_tokens) for s in decodes]
+        steps += [0] * (len(cfgs) - len(steps))
+        sp = SamplingParams.from_config(cfgs, step=steps)
+        mask = self._grammar_mask([s.seq_id for s in decodes], bmax)
+        bias_ids, bias_vals = make_bias_rows(cfgs)
+        tok_dev, lp_dev = self._sample_from(
+            logits_dev[:, 0, :], jnp.asarray(windows), sp,
+            jnp.asarray(bias_ids), jnp.asarray(bias_vals), jnp.asarray(mask))
+        argmax_np = np.asarray(jnp.argmax(logits_dev, axis=-1))   # [B, k+1]
+        toks = np.array(tok_dev)
+        lps = np.array(lp_dev)
+
+        host_rows = [i for i, s in enumerate(decodes)
+                     if s.seq_id in self._host_states]
+        if host_rows:
+            last_np = np.asarray(logits_dev[:, 0, :])
+            for i in host_rows:
+                toks[i] = self._host_pick(decodes[i], last_np[i])
+                lps[i] = float("nan")
+
+        for i, seq in enumerate(decodes):
+            draft = drafts[i]
+            if not draft:
+                self._emit(seq, int(toks[i]), float(lps[i]))
+                continue
+            # Greedy chain: accept drafts while they match argmax, then
+            # emit the first correction token.
+            self.spec_drafted += len(draft)
+            emitted = 0
+            for j in range(len(draft)):
+                if draft[j] != argmax_np[i, j]:
+                    break
+                self.spec_accepted += 1
+                self._emit(seq, int(draft[j]), float("nan"))
+                emitted += 1
+                if seq.state != SequenceState.RUNNING:
+                    break                 # finished (EOS / length) mid-chain
+            if seq.state == SequenceState.RUNNING:
+                self._emit(seq, int(argmax_np[i, emitted]), float("nan"))
+
+    def _process_decode_batch_plain(self, decodes: list[Sequence]) -> None:
         """ONE fused forward+sample for all running sequences
         (reference process_decode_batch, batch_decode.rs:35-209)."""
         bmax = _next_pow2(len(decodes), minimum=1)
@@ -496,7 +644,8 @@ class BatchEngine:
         for i in range(n, bmax):
             cfgs.append(GenerationConfig())
 
-        steps = max((len(s.output_tokens) for s in decodes), default=0)
+        steps = [len(s.output_tokens) for s in decodes]
+        steps += [0] * (len(cfgs) - len(steps))
         sp = SamplingParams.from_config(cfgs, step=steps)
         mask = self._grammar_mask([s.seq_id for s in decodes], bmax)
         bias_ids, bias_vals = make_bias_rows(cfgs)

@@ -44,16 +44,22 @@ class SamplingParams:
 
     @classmethod
     def from_config(cls, cfgs: list[GenerationConfig],
-                    step: int = 0) -> "SamplingParams":
-        """Build batched device params from per-request GenerationConfigs."""
+                    step: "int | list[int]" = 0) -> "SamplingParams":
+        """Build batched device params from per-request GenerationConfigs.
+
+        ``step`` may be per-row (each sequence's own emitted-token count)
+        so staggered batches — rows admitted at different times, or
+        advancing at different rates under speculative decoding — keep
+        per-sequence seeded sampling deterministic."""
         def arr(get, dtype=np.float32):
             return jnp.asarray(np.array([get(c) for c in cfgs], dtype=dtype))
 
+        steps = step if isinstance(step, (list, tuple)) else [step] * len(cfgs)
         keys = []
         for i, c in enumerate(cfgs):
             seed = c.seed if c.seed is not None else 0x5EED ^ (i * 7919)
             keys.append(np.asarray(
-                jax.random.fold_in(jax.random.PRNGKey(seed), step)))
+                jax.random.fold_in(jax.random.PRNGKey(seed), steps[i])))
         return cls(
             temperature=arr(lambda c: c.temperature),
             top_k=arr(lambda c: c.top_k, np.int32),

@@ -166,6 +166,22 @@ class SpeculativeExecutor:
             return ""
 
 
+def prompt_lookup_draft(tokens: list[int], budget: int,
+                        ngram_max: int = 3, ngram_min: int = 1) -> list[int]:
+    """Find the most recent earlier occurrence of the longest trailing
+    n-gram and copy its continuation (prompt-lookup / n-gram drafting)."""
+    t = len(tokens)
+    for n in range(min(ngram_max, t - 1), ngram_min - 1, -1):
+        tail = tokens[t - n:]
+        # scan most-recent-first, excluding the trailing match itself
+        for s in range(t - n - 1, -1, -1):
+            if tokens[s:s + n] == tail:
+                cont = tokens[s + n: s + n + budget]
+                if cont:
+                    return cont
+    return []
+
+
 class PromptLookupExecutor:
     """Draft-model-free speculation: drafts are copied from the sequence's
     own history (prompt-lookup / n-gram speculation). The longest recent
@@ -186,18 +202,8 @@ class PromptLookupExecutor:
         self.stats = SpeculativeStats()
 
     def _draft(self, tokens: list[int], budget: int) -> list[int]:
-        """Find the most recent earlier occurrence of the longest trailing
-        n-gram and copy its continuation."""
-        t = len(tokens)
-        for n in range(min(self.ngram_max, t - 1), self.ngram_min - 1, -1):
-            tail = tokens[t - n:]
-            # scan most-recent-first, excluding the trailing match itself
-            for s in range(t - n - 1, -1, -1):
-                if tokens[s:s + n] == tail:
-                    cont = tokens[s + n: s + n + budget]
-                    if cont:
-                        return cont
-        return []
+        return prompt_lookup_draft(tokens, budget, self.ngram_max,
+                                   self.ngram_min)
 
     def generate(self, prompt_ids: list[int], gen_cfg: GenerationConfig
                  ) -> Iterator[GeneratedToken]:
