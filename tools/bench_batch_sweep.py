@@ -15,13 +15,12 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 assert jax.default_backend() in ("tpu", "axon")
 print("alive:", float(jnp.sum(jnp.ones((8, 8)))), flush=True)
 
-from bench import bench_decode, _config_by_name
+from bench import _Flagship, _config_by_name
 
-cfg = _config_by_name("mistral-7b-awq-int4")
+fl = _Flagship(_config_by_name("mistral-7b-awq-int4"))
 for b in (1, 8, 16, 32):
-    r = bench_decode(cfg, steps=32, warmup=3, batch=b, ctx=1024,
-                     prompt_len=128)
+    r = fl.bench_decode(batch=b, steps=32, warmup=3, ctx=1024,
+                        prompt_len=128)
     print(f"B={b:3d}  {r['toks_per_s']:8.1f} tok/s aggregate  "
-          f"({r['toks_per_s']/b:6.1f} /seq)  prefill {r['prefill_s']:.2f}s",
-          flush=True)
+          f"({r['toks_per_s']/b:6.1f} /seq)", flush=True)
 print("done", flush=True)
