@@ -574,3 +574,8 @@ def quant_matmul_pallas(x: jax.Array, qt: QuantTensor) -> jax.Array:
 #      Optimize the continuous-batching step (paged-attention kernel,
 #      fused sampling, host-side batching overheads) instead of the
 #      matmul feed.
+# ROUND-2 CONFIRMATION (full-model decode, bench.py on the same chip):
+#   B=1: 107.2 tok/s | B=8: 694.6 | B=16: 1194.3 | B=32: 1973.6 aggregate
+#   (10.8x the B=1 HBM roofline; 62% of linear at B=32). The r1 batched
+#   anomaly (B=8 only 2.8x) was the repeat_kv materialization in
+#   attention — the grouped-GQA einsum fixed it. TTFT p50 56.5 ms warm.
