@@ -264,6 +264,23 @@ class BatchEngine:
         self._verify_step = bind(verify_step)
         self._sample_from = bind(sample_from, with_params=False)
 
+        # Host fetch across a MULTI-PROCESS mesh: a jit output that spans
+        # non-addressable devices can't be np.asarray'd directly — route
+        # it through a replicating identity jit first (tiny arrays only:
+        # tokens/logprobs/argmax). Single-process meshes fetch directly.
+        if self.mesh is not None and jax.process_count() > 1:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            rep = jax.jit(lambda a: a, out_shardings=NamedSharding(
+                self.mesh, PartitionSpec()))
+
+            def to_host(x):
+                with jax.set_mesh(self.mesh):
+                    return np.asarray(rep(x))
+            self._to_host = to_host
+        else:
+            self._to_host = np.asarray
+
     # ------------------------------------------------------------------
     # submission API (reference RequestScheduler::submit)
     # ------------------------------------------------------------------
@@ -475,7 +492,7 @@ class BatchEngine:
 
         # First sampled token.
         if seq.seq_id in self._host_states:
-            tok = self._host_pick(seq, np.asarray(last)[0])
+            tok = self._host_pick(seq, self._to_host(last)[0])
             self._emit(seq, tok, float("nan"))
             return
         sp = SamplingParams.from_config([seq.gen_cfg], step=0)
@@ -486,7 +503,8 @@ class BatchEngine:
                                             jnp.asarray(bias_ids),
                                             jnp.asarray(bias_vals),
                                             jnp.asarray(mask))
-        self._emit(seq, int(tok_dev[0]), float(lp_dev[0]))
+        self._emit(seq, int(self._to_host(tok_dev)[0]),
+                   float(self._to_host(lp_dev)[0]))
 
     # ------------------------------------------------------------------
     def _spec_eligible(self, seq: Sequence) -> bool:
@@ -575,14 +593,14 @@ class BatchEngine:
         tok_dev, lp_dev = self._sample_from(
             logits_dev[:, 0, :], jnp.asarray(windows), sp,
             jnp.asarray(bias_ids), jnp.asarray(bias_vals), jnp.asarray(mask))
-        argmax_np = np.asarray(jnp.argmax(logits_dev, axis=-1))   # [B, k+1]
-        toks = np.array(tok_dev)
-        lps = np.array(lp_dev)
+        argmax_np = self._to_host(jnp.argmax(logits_dev, axis=-1))  # [B, k+1]
+        toks = np.array(self._to_host(tok_dev))
+        lps = np.array(self._to_host(lp_dev))
 
         host_rows = [i for i, s in enumerate(decodes)
                      if s.seq_id in self._host_states]
         if host_rows:
-            last_np = np.asarray(logits_dev[:, 0, :])
+            last_np = self._to_host(logits_dev[:, 0, :])
             for i in host_rows:
                 toks[i] = self._host_pick(decodes[i], last_np[i])
                 lps[i] = float("nan")
@@ -657,14 +675,14 @@ class BatchEngine:
             jnp.asarray(bias_vals), jnp.asarray(mask), jnp.asarray(rows),
             use_mask=any_mask,
         )
-        toks = np.array(tok_dev)
-        lps = np.array(lp_dev)
+        toks = np.array(self._to_host(tok_dev))
+        lps = np.array(self._to_host(lp_dev))
         # Rows needing the host sampler chain re-sample from the raw
         # logits (one [B, V] fetch, only when such a row exists).
         host_rows = [i for i, s in enumerate(decodes)
                      if s.seq_id in self._host_states]
         if host_rows:
-            last_np = np.asarray(last_dev)
+            last_np = self._to_host(last_dev)
             for i in host_rows:
                 toks[i] = self._host_pick(decodes[i], last_np[i])
                 lps[i] = float("nan")

@@ -32,7 +32,7 @@ def tp_model(tmp_path_factory):
 
 def test_make_mesh_axes():
     mesh = make_mesh(MeshConfig(tp=4, dp=2))
-    assert mesh.axis_names == ("dp", "ep", "tp")
+    assert mesh.axis_names == ("dp", "ep", "sp", "tp")
     assert mesh.shape["tp"] == 4 and mesh.shape["dp"] == 2
 
 
