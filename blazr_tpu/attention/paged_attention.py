@@ -32,14 +32,23 @@ from ..kvcache.paged import PAD_BLOCK
 
 def _pa_kernel(bt_ref, sl_ref, q_ref, k_ref, v_ref, *rest,
                block_size: int, max_blocks: int, heads_per_group: int,
-               scale: float, quantized: bool = False):
+               num_kv_heads: int, scale: float, quantized: bool = False):
+    """Grid (B, MB): each program streams ONE KV block for ALL kv heads.
+
+    Mosaic's block-shape rule requires the last two block dims to be
+    8/128-divisible or full — so blocks carry the full [BS, H_kv, D]
+    slice (the r1 per-head (…, 1, D) blocks only lowered in interpret
+    mode) and the head axis is handled with an in-kernel batched dot.
+    """
     if quantized:
         ks_ref, vs_ref, o_ref, m_ref, l_ref, acc_ref = rest
     else:
         o_ref, m_ref, l_ref, acc_ref = rest
     b = pl.program_id(0)
-    g = pl.program_id(1)            # kv-head index
-    t = pl.program_id(2)            # block-table slot
+    t = pl.program_id(1)            # block-table slot
+    g_all = num_kv_heads
+    hpg = heads_per_group
+    h_q = g_all * hpg
 
     seq_len = sl_ref[b]
 
@@ -53,45 +62,51 @@ def _pa_kernel(bt_ref, sl_ref, q_ref, k_ref, v_ref, *rest,
 
     @pl.when(valid_block)
     def _attend():
-        q = q_ref[0, 0].astype(jnp.float32) * scale     # [Hg, D]
-        k = k_ref[0, :, 0, :].astype(jnp.float32)       # [BS, D]
-        v = v_ref[0, :, 0, :].astype(jnp.float32)
+        q = q_ref[0].astype(jnp.float32) * scale        # [G, Hg, D]
+        k = k_ref[0].astype(jnp.float32)                # [BS, G, D]
+        v = v_ref[0].astype(jnp.float32)
+        kt = jnp.transpose(k, (1, 0, 2))                # [G, BS, D]
+        vt = jnp.transpose(v, (1, 0, 2))
 
-        logits = jnp.dot(q, k.T, preferred_element_type=jnp.float32)  # [Hg, BS]
+        # [G, Hg, BS] — one batched dot over the kv-head axis.
+        logits = jax.lax.dot_general(
+            q, kt, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
         if quantized:
-            # int8 KV: per-key scales, this kv-head's column selected with
-            # an iota mask (dynamic lane indexing does not lower).
-            ks = ks_ref[0]                               # [BS, H_kv]
-            lane = jax.lax.broadcasted_iota(jnp.int32, ks.shape, 1)
-            ks_g = jnp.sum(jnp.where(lane == g, ks, 0.0), axis=1)  # [BS]
-            logits = logits * ks_g[None, :]
+            # int8 KV: per-key scales [BS, G] → [G, 1, BS].
+            ks = jnp.transpose(ks_ref[0], (1, 0))
+            logits = logits * ks[:, None, :]
         pos = t * block_size + jax.lax.broadcasted_iota(
-            jnp.int32, (1, block_size), 1)
-        mask = pos < seq_len
+            jnp.int32, (1, 1, block_size), 2)
+        mask = pos < seq_len                            # [1, 1, BS]
         logits = jnp.where(mask, logits, -1e30)
 
-        m_prev = m_ref[...]                             # [Hg, 1]
+        # Flat [H_q, *] running stats (8-divisible sublane count).
+        logits2 = logits.reshape(h_q, block_size)
+        m_prev = m_ref[...]                             # [H_q, 1]
         l_prev = l_ref[...]
-        m_new = jnp.maximum(m_prev, jnp.max(logits, axis=-1, keepdims=True))
+        m_new = jnp.maximum(m_prev,
+                            jnp.max(logits2, axis=-1, keepdims=True))
         alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(logits - m_new)
-        p = jnp.where(mask, p, 0.0)
+        p = jnp.exp(logits2 - m_new)
+        p = jnp.where(mask.reshape(1, block_size), p, 0.0)
         l_ref[...] = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
         m_ref[...] = m_new
+        p3 = p.reshape(g_all, hpg, block_size)
         if quantized:
-            vs = vs_ref[0]                               # [BS, H_kv]
-            lane_v = jax.lax.broadcasted_iota(jnp.int32, vs.shape, 1)
-            vs_g = jnp.sum(jnp.where(lane_v == g, vs, 0.0), axis=1)
-            p_sc = p * vs_g[None, :]
-        else:
-            p_sc = p
-        acc_ref[...] = acc_ref[...] * alpha + jnp.dot(
-            p_sc, v, preferred_element_type=jnp.float32)
+            vs = jnp.transpose(vs_ref[0], (1, 0))       # [G, BS]
+            p3 = p3 * vs[:, None, :]
+        # [G, Hg, D] weighted values, batched over the kv-head axis.
+        av = jax.lax.dot_general(
+            p3, vt, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        acc_ref[...] = acc_ref[...] * alpha + av.reshape(h_q, -1)
 
     @pl.when(t == max_blocks - 1)
     def _done():
         denom = jnp.maximum(l_ref[...], 1e-30)
-        o_ref[0, 0] = (acc_ref[...] / denom).astype(o_ref.dtype)
+        o_ref[0] = (acc_ref[...] / denom).reshape(
+            g_all, hpg, -1).astype(o_ref.dtype)
 
 
 @functools.partial(
@@ -130,14 +145,16 @@ def paged_attention_decode(
     bt = jnp.where(block_tables == PAD_BLOCK, 0, block_tables).astype(jnp.int32)
 
     quantized = k_scale is not None
+    # Blocks carry FULL trailing dims ([BS, H_kv, D] per KV block) — the
+    # Mosaic block-shape rule; the kernel batches the head axis in-register.
     in_specs = [
-        pl.BlockSpec((1, 1, hpg, d), lambda b, g, t, bt, sl: (b, g, 0, 0),
+        pl.BlockSpec((1, h_kv, hpg, d), lambda b, t, bt, sl: (b, 0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, block_size, 1, d),
-                     lambda b, g, t, bt, sl: (bt[b, t], 0, g, 0),
+        pl.BlockSpec((1, block_size, h_kv, d),
+                     lambda b, t, bt, sl: (bt[b, t], 0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, block_size, 1, d),
-                     lambda b, g, t, bt, sl: (bt[b, t], 0, g, 0),
+        pl.BlockSpec((1, block_size, h_kv, d),
+                     lambda b, t, bt, sl: (bt[b, t], 0, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
     operands = [qg, k4, v4]
@@ -149,30 +166,31 @@ def paged_attention_decode(
         # whole [BS, H_kv] scale tile per block (lane dim full: H_kv < 128)
         in_specs += [
             pl.BlockSpec((1, block_size, h_kv),
-                         lambda b, g, t, bt, sl: (bt[b, t], 0, 0),
+                         lambda b, t, bt, sl: (bt[b, t], 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_size, h_kv),
-                         lambda b, g, t, bt, sl: (bt[b, t], 0, 0),
+                         lambda b, t, bt, sl: (bt[b, t], 0, 0),
                          memory_space=pltpu.VMEM),
         ]
         operands += [ks3, vs3]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,          # block tables + seq lens
-        grid=(b, h_kv, mb),
+        grid=(b, mb),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 1, hpg, d),
-                               lambda b, g, t, bt, sl: (b, g, 0, 0),
+        out_specs=pl.BlockSpec((1, h_kv, hpg, d),
+                               lambda b, t, bt, sl: (b, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((hpg, 1), jnp.float32),     # running max
-            pltpu.VMEM((hpg, 1), jnp.float32),     # denominator
-            pltpu.VMEM((hpg, d), jnp.float32),     # accumulator
+            pltpu.VMEM((h_q, 1), jnp.float32),     # running max
+            pltpu.VMEM((h_q, 1), jnp.float32),     # denominator
+            pltpu.VMEM((h_q, d), jnp.float32),     # accumulator
         ],
     )
     kernel = functools.partial(
         _pa_kernel, block_size=block_size, max_blocks=mb,
-        heads_per_group=hpg, scale=scale, quantized=quantized,
+        heads_per_group=hpg, num_kv_heads=h_kv, scale=scale,
+        quantized=quantized,
     )
     out = pl.pallas_call(
         kernel,
@@ -180,7 +198,7 @@ def paged_attention_decode(
         out_shape=jax.ShapeDtypeStruct((b, h_kv, hpg, d), q.dtype),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            dimension_semantics=("parallel", "arbitrary"),
         ),
     )(bt, seq_lens.astype(jnp.int32), *operands)
     return out.reshape(b, h_q, d)

@@ -46,9 +46,12 @@ class InferenceConfig:
     #           dynamic int8 activation quant, int8 MXU
     quant_compute: str = "auto"
 
-    # Paged attention (reference defaults: block_size 16)
+    # Paged attention. The reference defaults block_size to 16 (CUDA);
+    # on TPU 64 measured 1.7x the decode throughput at B=32 — bigger KV
+    # blocks amortize the PA kernel's per-program dispatch + MXU
+    # weight-load overhead (tools/bench_paged_batch.py sweep).
     paged_attention: bool = True
-    block_size: int = 16
+    block_size: int = 64
     num_blocks: Optional[int] = None
     kv_pool_blocks: Optional[int] = None
 

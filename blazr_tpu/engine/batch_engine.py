@@ -155,6 +155,8 @@ class BatchEngine:
 
         self.mesh = maybe_serving_mesh(inf, model.cfg, model.params)
         if self.mesh is not None:
+            if self.mesh.shape.get("ep", 1) > 1 and model.cfg.moe is not None:
+                model.cfg.moe.use_ep = True      # all-to-all MoE dispatch
             model.params = shard_params(model.params, self.mesh, model.cfg)
             if isinstance(self.cache, PagedKVCache):
                 self.cache = shard_paged_cache(self.cache, self.mesh)
@@ -391,6 +393,12 @@ class BatchEngine:
         if decodes:
             with tracing_span("decode", backend="paged", batch=len(decodes)):
                 await asyncio.to_thread(self._process_decode_batch, decodes)
+        moe_rt = getattr(self.model, "moe_offload_rt", None)
+        if moe_rt is not None:
+            # Offload-transformed params (installed by the Executor that
+            # loaded this model): drive usage decay + hot-set rebalance
+            # once per engine step (reference executor_cache.rs:235-348).
+            moe_rt.tick(self.model.params)
         self.scheduler.cleanup_finished()
         return True
 

@@ -109,6 +109,9 @@ class Executor:
 
             model.params, self._moe_rt = install_offload(
                 model.params, model.cfg, self.app_cfg.inference)
+            # A BatchEngine built over the same (transformed) model drives
+            # the manager from its own step loop.
+            model.moe_offload_rt = self._moe_rt
 
         fwd = model.forward_fn
         cfg = model.cfg

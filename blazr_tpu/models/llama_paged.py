@@ -36,7 +36,7 @@ def _use_pa_kernel(head_dim: int) -> bool:
     except Exception:  # pragma: no cover
         return False
 from ..kvcache.paged import PagedKVCache, gather_pages, write_paged_layer
-from .layers import (apply_rope, layer_norm, linear, plain_mlp, repeat_kv,
+from .layers import (apply_rope, layer_norm, linear, plain_mlp,
                      rms_norm, rope_cos_sin, rope_frequencies, swiglu_mlp)
 
 
@@ -94,40 +94,26 @@ def _paged_attention_block(
         out = out.reshape(b, t, n_heads * head_dim).astype(x.dtype)
         return linear(out, p["o"], p.get("o_bias")), cache
 
-    k_all, v_all = gather_pages(cache, layer, block_tables)   # [B, S_pad, ...]
-    s_pad = k_all.shape[1]
-    n_rep = n_heads // n_kv
-    k_all = repeat_kv(k_all, n_rep)
-    v_all = repeat_kv(v_all, n_rep)
+    # Gather fallback (prefill chunks + non-kernel configs): grouped-GQA
+    # attend over the materialized pages — K/V are NEVER repeat_kv'd
+    # (n_rep× the gathered bytes was the r1 fallback's dominant cost).
+    from .layers import attend
 
-    scale = 1.0 / math.sqrt(head_dim)
-    qf = (q * scale).astype(jnp.float32)
-    logits = jnp.einsum("bthd,bshd->bhts", qf, k_all.astype(jnp.float32))
+    k_all, v_all = gather_pages(cache, layer, block_tables)   # [B, S_pad, ...]
+    ks_all = vs_all = None
     if cache.quantized:
         from ..kvcache.paged import gather_page_scales
 
         ks_all, vs_all = gather_page_scales(cache, layer, block_tables)
-        ks_rep = jnp.repeat(ks_all, n_rep, axis=2)            # [B, S, H]
-        vs_rep = jnp.repeat(vs_all, n_rep, axis=2)
-        logits = logits * jnp.transpose(ks_rep, (0, 2, 1))[:, :, None, :]
-    if cfg.attn_logit_softcapping:
-        c = cfg.attn_logit_softcapping
-        logits = jnp.tanh(logits / c) * c
-
-    kv_pos = jnp.arange(s_pad, dtype=jnp.int32)[None, :]
-    valid = kv_pos < seq_lens[:, None]
-    causal = kv_pos[:, None, :] <= positions[:, :, None]
-    mask = valid[:, None, :] & causal
-    if att.sliding_window is not None:
-        mask = mask & (kv_pos[:, None, :] > positions[:, :, None] - att.sliding_window)
-    logits = jnp.where(mask[:, None, :, :], logits, -1e30)
-    probs = jax.nn.softmax(logits, axis=-1)
-    if cache.quantized:
-        probs = probs * jnp.transpose(vs_rep, (0, 2, 1))[:, :, None, :]
-        out = jnp.einsum("bhts,bshd->bthd", probs, v_all.astype(jnp.float32))
-    else:
-        probs = probs.astype(v_all.dtype)
-        out = jnp.einsum("bhts,bshd->bthd", probs, v_all)
+    out = attend(
+        q, k_all, v_all,
+        q_positions=positions,
+        kv_len=seq_lens,
+        sliding_window=att.sliding_window,
+        logit_softcap=cfg.attn_logit_softcapping,
+        k_scale=ks_all,
+        v_scale=vs_all,
+    )
     out = out.reshape(b, t, n_heads * head_dim).astype(x.dtype)
     return linear(out, p["o"], p.get("o_bias")), cache
 

@@ -306,7 +306,14 @@ def test_batch_engine_concurrent_matches_sequential(model):
 
 def test_batch_engine_prefix_cache_hit(model):
     async def main():
-        eng = _mk_engine(model)
+        from blazr_tpu.config import AppConfig
+
+        app = AppConfig(model=model.cfg)
+        app.inference.max_seq_len = 64
+        app.inference.max_batch_size = 4
+        app.inference.prefix_cache = True
+        app.inference.block_size = 16     # small blocks: short prompts hit
+        eng = BatchEngine(model, ByteTok(), app)
         task = asyncio.create_task(eng.run())
         p = list(range(1, 40))            # > 2 full blocks
         h1 = eng.submit(p, GenerationConfig(max_tokens=2, temperature=0.0))

@@ -210,3 +210,61 @@ def test_stack_quant_roundtrip():
         np.testing.assert_allclose(
             np.asarray(dequantize_jnp(expert_slice(st, e))), dense[e],
             rtol=1e-6, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Offload + EP through the BatchEngine (continuous batching)
+# ---------------------------------------------------------------------------
+
+def _run_batch(eng, prompts, n=8):
+    import asyncio
+
+    from blazr_tpu.config import GenerationConfig
+
+    async def main():
+        task = asyncio.create_task(eng.run())
+        handles = [eng.submit(list(p),
+                              GenerationConfig(max_tokens=n, temperature=0.0))
+                   for p in prompts]
+
+        async def collect(h):
+            return [t.token_id async for t in h.tokens()]
+
+        res = await asyncio.gather(*[
+            asyncio.wait_for(collect(h), timeout=300) for h in handles])
+        eng.stop()
+        await task
+        return res
+
+    return asyncio.run(main())
+
+
+def _batch_engine(mixtral_dir, **overrides):
+    from blazr_tpu.engine.batch_engine import BatchEngine
+
+    ex = _executor(mixtral_dir, **overrides)
+    return BatchEngine(ex.model, ex.tokenizer, ex.app_cfg)
+
+
+def test_batch_engine_offload_parity(mixtral_dir):
+    """Continuous batching over offload-transformed params (resident
+    stacks + host cold compute) matches the plain engine; the engine's
+    step loop drives the rebalance manager."""
+    prompts = [[7, 21, 42], [1, 2, 3, 4]]
+    ref = _run_batch(_batch_engine(mixtral_dir), prompts)
+    eng = _batch_engine(mixtral_dir, moe_offload="hybrid",
+                        moe_device_experts=2, moe_rebalance_interval=3)
+    rt = getattr(eng.model, "moe_offload_rt", None)
+    assert rt is not None
+    out = _run_batch(eng, prompts)
+    assert out == ref
+    assert rt.manager.tracker.steps > 0
+
+
+def test_batch_engine_ep_parity(mixtral_dir):
+    prompts = [[7, 21, 42], [9, 9, 9]]
+    ref = _run_batch(_batch_engine(mixtral_dir), prompts)
+    eng = _batch_engine(mixtral_dir, expert_parallel_size=2)
+    assert eng.mesh is not None and eng.mesh.shape["ep"] == 2
+    out = _run_batch(eng, prompts)
+    assert out == ref

@@ -24,7 +24,7 @@ from blazr_tpu.utils.synthetic import synth_llama_params, mistral_7b_config
 
 cfg = mistral_7b_config()
 att = cfg.attention
-BS = 16
+BS = int(os.environ.get("PA_BS", "16"))
 CTX = 1024
 rng = np.random.default_rng(0)
 params = synth_llama_params(cfg, quant="awq", dtype=jnp.bfloat16)
