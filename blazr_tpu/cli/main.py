@@ -506,6 +506,9 @@ def cmd_serve(args) -> int:
             ex.app_cfg.inference.speculative = SpeculativeDecodingConfig(
                 num_speculative_tokens=args.num_speculative_tokens)
         batch_engine = BatchEngine(ex.model, ex.tokenizer, ex.app_cfg)
+        if not args.no_warmup:
+            dt = batch_engine.warmup()
+            print(f"batch engine warmed in {dt:.1f}s", file=sys.stderr)
         print(f"continuous batching enabled (max_batch={args.max_batch_size})",
               file=sys.stderr)
 

@@ -39,7 +39,8 @@ from ..models.registry import Model
 from .grammar import GrammarState, compile_grammar_to_dfa, make_grammar_state
 from .grammar_json import JSON_GRAMMAR, json_schema_to_gbnf
 from .sampling import (PAD_TOKEN, SamplingParams, make_bias_rows,
-                       make_window, sample_tokens)
+                       make_window, pack_sampling_host, sample_tokens,
+                       unpack_sampling)
 from .sequence_scheduler import (
     ScheduledBatch,
     SchedulerConfig,
@@ -212,9 +213,21 @@ class BatchEngine:
             return last, cache
 
         @partial(jax.jit, donate_argnums=(1,), static_argnames=("use_mask",))
-        def decode_step(params, cache, tokens, positions, slots, block_tables,
-                        seq_lens, window, sp, bias_ids, bias_vals,
-                        grammar_mask, state_rows, use_mask=False):
+        def decode_step(params, cache, itab, sp_packed, sp_keys,
+                        bias_ids, bias_vals, grammar_mask, use_mask=False):
+            # ONE packed int32 upload per step instead of seven: columns
+            # 0 token | 1 position | 2 slot | 3 seq_len | 4 state_row |
+            # 5:69 penalty window | 69: block table. Per-array H2D
+            # transfers are pure dispatch overhead (and dominate step
+            # latency on high-RTT links).
+            tokens = itab[:, 0:1]
+            positions = itab[:, 1:2]
+            slots = itab[:, 2:3]
+            seq_lens = itab[:, 3]
+            state_rows = itab[:, 4]
+            window = itab[:, 5:69]
+            block_tables = itab[:, 69:]
+            sp = unpack_sampling(sp_packed, sp_keys)
             logits, cache = fwd(params, cfg, tokens, cache,
                                 positions, slots, block_tables,
                                 seq_lens, state_rows)
@@ -282,6 +295,83 @@ class BatchEngine:
             self._to_host = to_host
         else:
             self._to_host = np.asarray
+
+    # ------------------------------------------------------------------
+    def warmup(self) -> float:
+        """Pre-compile EVERY decode bucket (pow-2 batch sizes up to
+        max_batch) plus the prefill-chunk and first-token-sample shapes.
+
+        Without this, each new batch size compiles at serve time — the
+        continuous-batching analogue of the reference's warmup.rs. On the
+        real chip a cold decode-step compile is minutes; hitting six of
+        them under live load wrecks TTFT (measured: p50 98 s on the first
+        engine-level hardware run)."""
+        t0 = time.time()
+        v = self.model.vocab_size
+        chunk = (self.app_cfg.inference.prefill_chunk_size
+                 or self.scheduler.config.max_batch_tokens)
+        chunk = min(_next_pow2(chunk), _next_pow2(self.max_seq_len))
+        mb = self.max_blocks_per_seq
+        sp1 = SamplingParams.from_config([GenerationConfig()])
+        bias1 = make_bias_rows([GenerationConfig()])
+
+        # Prefill at the chunk bucket (and the smallest bucket).
+        for t in {16, chunk}:
+            rows = np.zeros((1,), dtype=np.int32)
+            if self._needs_state_rows:
+                # SSM prefill uses exact pow-2 sub-chunks — same shapes.
+                rows[0] = self.max_batch
+            toks = np.zeros((1, t), dtype=np.int32)
+            positions = np.zeros((1, t), dtype=np.int32)
+            slots = np.full((1, t), self._trash, dtype=np.int32)
+            bt = np.full((1, mb), 0x7FFFFFFF, dtype=np.int32)
+            last, self.cache = self._prefill_step(
+                self.cache, jnp.asarray(toks), jnp.asarray(positions),
+                jnp.asarray(slots), jnp.asarray(bt),
+                jnp.asarray(np.array([t], dtype=np.int32)),
+                jnp.asarray(np.array([t - 1], dtype=np.int32)),
+                jnp.asarray(rows))
+        self._sample_from(last, jnp.asarray(
+            np.full((1, 64), PAD_TOKEN, dtype=np.int32)), sp1,
+            jnp.asarray(bias1[0]), jnp.asarray(bias1[1]),
+            jnp.asarray(np.ones((1, v), dtype=bool)))
+
+        # Decode at every pow-2 batch bucket (and spec verify if enabled).
+        b = 1
+        while b <= self.max_batch:
+            cfgs = [GenerationConfig() for _ in range(b)]
+            sp_packed, sp_keys = pack_sampling_host(cfgs)
+            bias = make_bias_rows(cfgs)
+            itab = np.zeros((b, 69 + mb), dtype=np.int32)
+            itab[:, 2] = self._trash
+            itab[:, 4] = self.max_batch
+            itab[:, 5:69] = PAD_TOKEN
+            itab[:, 69:] = 0x7FFFFFFF
+            itab[:, 3] = 1
+            mask = jnp.asarray(np.ones((1, 1), dtype=bool))
+            tok_dev, _, _, self.cache = self._decode_step(
+                self.cache, jnp.asarray(itab), jnp.asarray(sp_packed),
+                jnp.asarray(sp_keys), jnp.asarray(bias[0]),
+                jnp.asarray(bias[1]), mask, use_mask=False)
+            if self._spec_k:
+                k1 = self._spec_k + 1
+                _, self.cache = self._verify_step(
+                    self.cache,
+                    jnp.asarray(np.zeros((b, k1), dtype=np.int32)),
+                    jnp.asarray(np.tile(np.arange(k1, dtype=np.int32),
+                                        (b, 1))),
+                    jnp.asarray(np.full((b, k1), self._trash,
+                                        dtype=np.int32)),
+                    jnp.asarray(np.full((b, mb), 0x7FFFFFFF,
+                                        dtype=np.int32)),
+                    jnp.asarray(np.ones((b,), dtype=np.int32)),
+                    jnp.asarray(np.full((b,), self.max_batch,
+                                        dtype=np.int32)))
+            b *= 2
+        self._to_host(tok_dev)          # one sync: all compiles flushed
+        dt = time.time() - t0
+        logger.info("batch-engine warmup done in %.2fs", dt)
+        return dt
 
     # ------------------------------------------------------------------
     # submission API (reference RequestScheduler::submit)
@@ -641,30 +731,29 @@ class BatchEngine:
         decodes = decodes[:bmax]
         n = len(decodes)
 
-        tokens = np.zeros((bmax, 1), dtype=np.int32)
-        positions = np.zeros((bmax, 1), dtype=np.int32)
-        slots = np.full((bmax, 1), self._trash, dtype=np.int32)
-        bts = np.full((bmax, self.max_blocks_per_seq), 0x7FFFFFFF, dtype=np.int32)
-        seq_lens = np.zeros((bmax,), dtype=np.int32)
-        windows = np.full((bmax, 64), PAD_TOKEN, dtype=np.int32)
-        # Batch padding points at the state pool's trash row (last row).
-        rows = np.full((bmax,), self.max_batch, dtype=np.int32)
+        # ONE packed int table (see decode_step's column map): a single
+        # H2D upload instead of seven per step.
+        mb = self.max_blocks_per_seq
+        itab = np.zeros((bmax, 69 + mb), dtype=np.int32)
+        itab[:, 2] = self._trash
+        itab[:, 4] = self.max_batch      # pad rows → state-pool trash row
+        itab[:, 5:69] = PAD_TOKEN
+        itab[:, 69:] = 0x7FFFFFFF
         cfgs = []
         any_mask = False
         for i, seq in enumerate(decodes):
             pos = seq.total_len - 1       # position of the last token
-            last_tok = seq.all_tokens[-1]
-            tokens[i, 0] = last_tok
-            positions[i, 0] = pos
-            slots[i, 0] = compute_slot_mapping(
+            itab[i, 0] = seq.all_tokens[-1]
+            itab[i, 1] = pos
+            itab[i, 2] = compute_slot_mapping(
                 seq.block_table, pos, 1, self.block_size,
                 self._trash)[0]
-            bts[i] = pad_block_table(seq.block_table, self.max_blocks_per_seq)
-            seq_lens[i] = pos + 1
-            windows[i] = make_window(self._windows[seq.seq_id],
-                                     seq.gen_cfg.repeat_last_n)
+            itab[i, 3] = pos + 1
             if self._needs_state_rows:
-                rows[i] = self._row_for(seq.seq_id)
+                itab[i, 4] = self._row_for(seq.seq_id)
+            itab[i, 5:69] = make_window(self._windows[seq.seq_id],
+                                        seq.gen_cfg.repeat_last_n)
+            itab[i, 69:] = pad_block_table(seq.block_table, mb)
             cfgs.append(seq.gen_cfg)
             any_mask |= seq.seq_id in self._grammars
         for i in range(n, bmax):
@@ -672,15 +761,19 @@ class BatchEngine:
 
         steps = [len(s.output_tokens) for s in decodes]
         steps += [0] * (len(cfgs) - len(steps))
-        sp = SamplingParams.from_config(cfgs, step=steps)
-        mask = self._grammar_mask([s.seq_id for s in decodes], bmax)
+        sp_packed, sp_keys = pack_sampling_host(cfgs, step=steps)
+        if any_mask:
+            mask = self._grammar_mask([s.seq_id for s in decodes], bmax)
+        else:
+            # mask is unused under use_mask=False — upload one byte, not
+            # a [B, vocab] plane.
+            mask = np.ones((1, 1), dtype=bool)
         bias_ids, bias_vals = make_bias_rows(cfgs)
 
         tok_dev, lp_dev, last_dev, self.cache = self._decode_step(
-            self.cache, jnp.asarray(tokens), jnp.asarray(positions),
-            jnp.asarray(slots), jnp.asarray(bts), jnp.asarray(seq_lens),
-            jnp.asarray(windows), sp, jnp.asarray(bias_ids),
-            jnp.asarray(bias_vals), jnp.asarray(mask), jnp.asarray(rows),
+            self.cache, jnp.asarray(itab), jnp.asarray(sp_packed),
+            jnp.asarray(sp_keys), jnp.asarray(bias_ids),
+            jnp.asarray(bias_vals), jnp.asarray(mask),
             use_mask=any_mask,
         )
         toks = np.array(self._to_host(tok_dev))

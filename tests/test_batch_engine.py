@@ -459,3 +459,22 @@ def test_prefix_cache_partial_prefill_abort():
     pc.release_blocks(1)
     cached, _ = pc.get_or_allocate_blocks(2, toks)
     assert cached == 8
+
+
+def test_batch_engine_warmup_then_generate(model):
+    """warmup() pre-compiles every decode bucket and leaves the engine
+    fully functional (cache buffers cycle through donation)."""
+    async def main():
+        eng = _mk_engine(model)
+        dt = eng.warmup()
+        assert dt >= 0
+        task = asyncio.create_task(eng.run())
+        h = eng.submit([10, 20, 30], GenerationConfig(max_tokens=4,
+                                                      temperature=0.0))
+        toks = await asyncio.wait_for(_collect(h), timeout=60)
+        eng.stop()
+        await task
+        return toks
+
+    toks = asyncio.run(main())
+    assert 1 <= len(toks) <= 4

@@ -59,7 +59,7 @@ def test_generation_top_logprobs_clamp():
 
 def test_inference_defaults():
     i = InferenceConfig()
-    assert i.block_size == 16
+    assert i.block_size == 64  # TPU default; 1.7x decode at B=32 vs 16
     assert i.max_cached_blocks == 10000
     assert i.tensor_parallel_size == 1
     assert i.paged_attention

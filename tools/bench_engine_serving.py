@@ -1,0 +1,78 @@
+"""END-TO-END serving benchmark on the real chip: the actual BatchEngine
+(continuous batching, paged KV, PA kernel, fused sampling, scheduler)
+under concurrent load — includes every host-side overhead the
+model-level bench (bench.py) excludes.
+
+Usage: python tools/bench_engine_serving.py [n_requests] [max_batch]
+"""
+import asyncio, sys, time
+sys.path.insert(0, "/root/repo"); sys.path.insert(0, "/root/repo/tests")
+import jax, jax.numpy as jnp, numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+assert jax.default_backend() in ("tpu", "axon")
+print("alive:", float(jnp.sum(jnp.ones((8, 8)))), flush=True)
+
+from blazr_tpu.config import AppConfig, GenerationConfig
+from blazr_tpu.engine.batch_engine import BatchEngine
+from blazr_tpu.utils.synthetic import mistral_7b_config, synth_model
+from tests_helpers import ByteTok
+
+N_REQ = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+MAX_BATCH = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+PROMPT_LEN, GEN = 128, 64
+
+cfg = mistral_7b_config()
+t0 = time.time()
+model = synth_model(cfg, quant="awq", dtype=jnp.bfloat16)
+print(f"model synthesized {time.time()-t0:.1f}s", flush=True)
+
+app = AppConfig(model=cfg)
+app.inference.max_seq_len = 1024
+app.inference.max_batch_size = MAX_BATCH
+app.inference.prefill_chunk_size = 512
+eng = BatchEngine(model, ByteTok(), app)
+
+rng = np.random.default_rng(0)
+prompts = [[int(t) for t in rng.integers(1, 250, PROMPT_LEN)]
+           for _ in range(N_REQ)]
+
+
+wt0 = time.time()
+eng.warmup()
+print(f"warmup (all buckets) {time.time()-wt0:.1f}s", flush=True)
+
+
+async def main():
+    task = asyncio.create_task(eng.run())
+
+    ttfts = []
+    done_tokens = [0]
+
+    async def drive(p):
+        t0 = time.time()
+        h = eng.submit(p, GenerationConfig(max_tokens=GEN, temperature=0.0))
+        first = None
+        async for tok in h.tokens():
+            if first is None:
+                first = time.time() - t0
+            done_tokens[0] += 1
+        ttfts.append(first)
+
+    t0 = time.time()
+    await asyncio.gather(*[asyncio.wait_for(drive(p), timeout=1200)
+                           for p in prompts])
+    dt = time.time() - t0
+    eng.stop()
+    await task
+    agg = done_tokens[0] / dt
+    print(f"requests={N_REQ} max_batch={MAX_BATCH} prompt={PROMPT_LEN} "
+          f"gen={GEN}", flush=True)
+    print(f"wall {dt:.1f}s  decoded {done_tokens[0]} tok  "
+          f"AGG {agg:.1f} tok/s  req/s {N_REQ/dt:.2f}", flush=True)
+    print(f"TTFT p50 {np.percentile(ttfts, 50)*1e3:.0f} ms  "
+          f"p95 {np.percentile(ttfts, 95)*1e3:.0f} ms", flush=True)
+
+asyncio.run(main())
+print("done", flush=True)
