@@ -128,6 +128,10 @@ def build_parser() -> argparse.ArgumentParser:
                        help="serve through the paged-KV batch engine "
                             "(reference serve.rs:156-222 wiring)")
     serve.add_argument("--max-batch-size", type=int, default=8)
+    serve.add_argument("--decode-horizon", type=int, default=8,
+                       help="decode steps per device program (token "
+                            "feedback on device, one fetch per horizon); "
+                            "1 disables")
     serve.add_argument("--prompt-lookup", action="store_true",
                        help="batched speculative decoding: greedy rows "
                             "verify n-gram drafts in one fused step")
@@ -500,6 +504,7 @@ def cmd_serve(args) -> int:
         ex.app_cfg.inference.max_batch_size = args.max_batch_size
         ex.app_cfg.inference.prefix_cache = True
         ex.app_cfg.inference.kv_cache_dtype = args.kv_cache_dtype
+        ex.app_cfg.inference.decode_horizon = args.decode_horizon
         if getattr(args, "prompt_lookup", False):
             from ..config.inference import SpeculativeDecodingConfig
 

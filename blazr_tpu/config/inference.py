@@ -64,6 +64,15 @@ class InferenceConfig:
     # Chunked prefill (interleaves decode between chunks to protect ITL)
     prefill_chunk_size: Optional[int] = None
 
+    # Continuous-batching decode horizon: the batch engine runs up to this
+    # many decode steps in ONE device program (token feedback stays on
+    # device; one host fetch per horizon). Amortizes dispatch + fetch
+    # latency — on remote-attached TPUs the per-step host round-trip
+    # otherwise dominates (measured 31 tok/s vs 1974 tok/s model-level at
+    # B=32). 1 disables. Grammar- and host-sampler rows fall back to
+    # single-step rounds automatically.
+    decode_horizon: int = 8
+
     # Speculative decoding
     speculative: Optional[SpeculativeDecodingConfig] = None
 

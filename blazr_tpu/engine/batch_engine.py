@@ -88,6 +88,7 @@ class BatchEngine:
         inf = self.app_cfg.inference
         self.block_size = inf.block_size
         self.max_batch = inf.max_batch_size
+        self._horizon = max(1, int(getattr(inf, "decode_horizon", 1) or 1))
         self.max_seq_len = min(self.app_cfg.effective_max_seq_len() or 4096,
                                model.cfg.max_seq_len or 4096)
         self.max_blocks_per_seq = (self.max_seq_len + self.block_size - 1) // self.block_size
@@ -240,6 +241,78 @@ class BatchEngine:
             lp = jnp.take_along_axis(logprobs, tok[:, None], axis=1)[:, 0]
             return tok, lp, last, cache
 
+        horizon = self._horizon
+        block_size = self.block_size
+        mb_static = self.max_blocks_per_seq
+        trash = self._trash
+        max_pos = self.max_seq_len - 1
+
+        @partial(jax.jit, donate_argnums=(1,))
+        def horizon_step(params, cache, itab, sp_packed, sp_keys,
+                         bias_ids, bias_vals, t_steps):
+            # Multi-step decode: up to `horizon` decode iterations in ONE
+            # device program with ON-DEVICE token feedback (while_loop,
+            # dynamic trip count). The host fetches a single packed
+            # [horizon, B, 2] (token, logprob-bits) buffer per call —
+            # per-step dispatch + fetch round-trips otherwise dominate
+            # (31 tok/s engine vs 1974 tok/s model-level at B=32 through
+            # the remote TPU link before this change).
+            b = itab.shape[0]
+            pos0 = itab[:, 1]
+            state_rows = itab[:, 4]
+            window0 = itab[:, 5:69]
+            bt = itab[:, 69:]
+            rln = jnp.minimum(sp_packed[:, 7].astype(jnp.int32),
+                              window0.shape[1])
+            sp_base = unpack_sampling(sp_packed, sp_keys)
+            rows = jnp.arange(b)
+            widx = jnp.arange(window0.shape[1])[None, :]
+            out0 = jnp.zeros((horizon, b, 2), dtype=jnp.int32)
+
+            def body(carry):
+                i, cache, tok, window, out = carry
+                pos = pos0 + i
+                blk = bt[rows, jnp.minimum(pos // block_size, mb_static - 1)]
+                slot = jnp.where(
+                    (blk != 0x7FFFFFFF) & (pos < mb_static * block_size),
+                    blk * block_size + pos % block_size, trash)
+                # Overrun iterations of rows that finish mid-horizon are
+                # discarded host-side; clamp their rope positions in-range.
+                posc = jnp.minimum(pos, max_pos)
+                logits, cache = fwd(params, cfg, tok[:, None], cache,
+                                    posc[:, None], slot[:, None], bt,
+                                    pos + 1, state_rows)
+                last = logits[:, -1, :]
+                # Per-row sampling step index advances with the horizon.
+                sp_i = dataclasses.replace(
+                    sp_base,
+                    key=sp_base.key.at[:, 1].add(i.astype(jnp.uint32)))
+                newtok, logprobs = sample_tokens(
+                    last, sp_i, window_tokens=window,
+                    logit_bias_ids=bias_ids, logit_bias_vals=bias_vals)
+                lp = jnp.take_along_axis(logprobs, newtok[:, None],
+                                         axis=1)[:, 0]
+                out = out.at[i].set(jnp.stack(
+                    [newtok, jax.lax.bitcast_convert_type(lp, jnp.int32)],
+                    axis=1))
+                # In-device penalty-window update, exact make_window
+                # semantics: insert while under repeat_last_n, then
+                # shift-left within the valid region.
+                fill = jnp.sum(window >= 0, axis=1)
+                rolled = jnp.where(widx < rln[:, None] - 1,
+                                   jnp.roll(window, -1, axis=1), window)
+                rolled = rolled.at[rows, jnp.maximum(rln - 1, 0)].set(newtok)
+                inserted = window.at[
+                    rows, jnp.minimum(fill, window.shape[1] - 1)].set(newtok)
+                wnew = jnp.where((fill < rln)[:, None], inserted, rolled)
+                window = jnp.where((rln > 0)[:, None], wnew, window)
+                return i + 1, cache, newtok, window, out
+
+            _, cache, _, _, out = jax.lax.while_loop(
+                lambda c: c[0] < t_steps, body,
+                (jnp.int32(0), cache, itab[:, 0], window0, out0))
+            return out, cache
+
         @partial(jax.jit, donate_argnums=(1,))
         def verify_step(params, cache, tokens, positions, slots, block_tables,
                         seq_lens, state_rows):
@@ -276,6 +349,7 @@ class BatchEngine:
 
         self._prefill_step = bind(prefill_step)
         self._decode_step = bind(decode_step)
+        self._horizon_step = bind(horizon_step)
         self._verify_step = bind(verify_step)
         self._sample_from = bind(sample_from, with_params=False)
 
@@ -353,6 +427,12 @@ class BatchEngine:
                 self.cache, jnp.asarray(itab), jnp.asarray(sp_packed),
                 jnp.asarray(sp_keys), jnp.asarray(bias[0]),
                 jnp.asarray(bias[1]), mask, use_mask=False)
+            if self._horizon > 1:
+                out_dev, self.cache = self._horizon_step(
+                    self.cache, jnp.asarray(itab), jnp.asarray(sp_packed),
+                    jnp.asarray(sp_keys), jnp.asarray(bias[0]),
+                    jnp.asarray(bias[1]), np.int32(1))
+                tok_dev = out_dev
             if self._spec_k:
                 k1 = self._spec_k + 1
                 _, self.cache = self._verify_step(
@@ -769,6 +849,36 @@ class BatchEngine:
             # a [B, vocab] plane.
             mask = np.ones((1, 1), dtype=bool)
         bias_ids, bias_vals = make_bias_rows(cfgs)
+        host_rows = [i for i, s in enumerate(decodes)
+                     if s.seq_id in self._host_states]
+
+        # Multi-step horizon: grammar masks advance per token and host
+        # samplers need raw logits each step, so either forces T=1.
+        t_steps = 1
+        if self._horizon > 1 and not any_mask and not host_rows:
+            t_steps = min(self._horizon, max(
+                max(s.gen_cfg.max_tokens - len(s.output_tokens), 1)
+                for s in decodes))
+            if t_steps > 1:
+                for seq in decodes:
+                    if not self.scheduler._ensure_block_for(
+                            seq, seq.total_len + t_steps - 1):
+                        t_steps = 1   # allocator pressure: single step
+                        break
+        if t_steps > 1:
+            out_dev, self.cache = self._horizon_step(
+                self.cache, jnp.asarray(itab), jnp.asarray(sp_packed),
+                jnp.asarray(sp_keys), jnp.asarray(bias_ids),
+                jnp.asarray(bias_vals), np.int32(t_steps))
+            out = np.array(self._to_host(out_dev))   # [H, B, 2], ONE fetch
+            lps_h = out[:, :, 1].copy().view(np.float32)
+            for s_i in range(t_steps):
+                for i, seq in enumerate(decodes):
+                    if seq.state != SequenceState.RUNNING:
+                        continue      # finished mid-horizon: discard overrun
+                    self._emit(seq, int(out[s_i, i, 0]),
+                               float(lps_h[s_i, i]))
+            return
 
         tok_dev, lp_dev, last_dev, self.cache = self._decode_step(
             self.cache, jnp.asarray(itab), jnp.asarray(sp_packed),
@@ -780,8 +890,6 @@ class BatchEngine:
         lps = np.array(self._to_host(lp_dev))
         # Rows needing the host sampler chain re-sample from the raw
         # logits (one [B, V] fetch, only when such a row exists).
-        host_rows = [i for i, s in enumerate(decodes)
-                     if s.seq_id in self._host_states]
         if host_rows:
             last_np = self._to_host(last_dev)
             for i in host_rows:

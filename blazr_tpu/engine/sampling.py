@@ -40,7 +40,13 @@ class SamplingParams:
     repeat_penalty: jax.Array    # [B] f32; 1 → disabled
     freq_penalty: jax.Array      # [B] f32
     presence_penalty: jax.Array  # [B] f32
-    key: jax.Array               # [B, 2] u32 PRNG keys
+    key: jax.Array               # [B, 2] u32 (seed, step) pairs — folded
+                                 # into PRNG keys INSIDE sample_tokens.
+                                 # Host-side PRNGKey/fold_in would be a
+                                 # per-row device round-trip (dispatch +
+                                 # blocking fetch) on remote backends —
+                                 # measured ~1 s/step at B=32 through the
+                                 # TPU tunnel.
 
     @classmethod
     def from_config(cls, cfgs: list[GenerationConfig],
@@ -55,11 +61,10 @@ class SamplingParams:
             return jnp.asarray(np.array([get(c) for c in cfgs], dtype=dtype))
 
         steps = step if isinstance(step, (list, tuple)) else [step] * len(cfgs)
-        keys = []
+        keys = np.empty((len(cfgs), 2), dtype=np.uint32)
         for i, c in enumerate(cfgs):
             seed = c.seed if c.seed is not None else 0x5EED ^ (i * 7919)
-            keys.append(np.asarray(
-                jax.random.fold_in(jax.random.PRNGKey(seed), steps[i])))
+            keys[i] = (np.uint32(seed & 0xFFFFFFFF), np.uint32(steps[i]))
         return cls(
             temperature=arr(lambda c: c.temperature),
             top_k=arr(lambda c: c.top_k, np.int32),
@@ -68,26 +73,28 @@ class SamplingParams:
             repeat_penalty=arr(lambda c: c.repeat_penalty),
             freq_penalty=arr(lambda c: c.frequency_penalty),
             presence_penalty=arr(lambda c: c.presence_penalty),
-            key=jnp.asarray(np.stack(keys)),
+            key=jnp.asarray(keys),
         )
 
 
 def pack_sampling_host(cfgs: list[GenerationConfig],
                        step: "int | list[int]" = 0
                        ) -> tuple[np.ndarray, np.ndarray]:
-    """Host-side pack of SamplingParams into TWO arrays ([B, 7] f32 +
-    [B, 2] u32 keys) so a decode step uploads 2 buffers instead of 8 —
-    per-array host→device transfers dominate step latency on high-RTT
-    links and are pure dispatch overhead locally."""
+    """Host-side pack of SamplingParams into TWO arrays ([B, 8] f32 +
+    [B, 2] u32 (seed, step) pairs) so a decode step uploads 2 buffers
+    instead of 8 — per-array host→device transfers dominate step latency
+    on high-RTT links and are pure dispatch overhead locally. Column 7
+    (repeat_last_n) is not a SamplingParams field; the horizon decode
+    loop reads it for in-device penalty-window updates."""
     steps = step if isinstance(step, (list, tuple)) else [step] * len(cfgs)
-    f = np.empty((len(cfgs), 7), dtype=np.float32)
+    f = np.empty((len(cfgs), 8), dtype=np.float32)
     keys = np.empty((len(cfgs), 2), dtype=np.uint32)
     for i, c in enumerate(cfgs):
         f[i] = (c.temperature, float(c.top_k), c.top_p, c.min_p,
-                c.repeat_penalty, c.frequency_penalty, c.presence_penalty)
+                c.repeat_penalty, c.frequency_penalty, c.presence_penalty,
+                float(c.repeat_last_n))
         seed = c.seed if c.seed is not None else 0x5EED ^ (i * 7919)
-        keys[i] = np.asarray(
-            jax.random.fold_in(jax.random.PRNGKey(seed), steps[i]))
+        keys[i] = (np.uint32(seed & 0xFFFFFFFF), np.uint32(steps[i]))
     return f, keys
 
 
@@ -204,8 +211,12 @@ def sample_tokens(
     scaled = apply_top_p(scaled, params.top_p)
     scaled = apply_min_p(scaled, params.min_p)
 
-    # Gumbel-max seeded sampling, one key per row.
-    def row_sample(key, row_logits):
+    # Gumbel-max seeded sampling, one key per row. The key is derived
+    # in-trace from the (seed, step) pair — identical threefry ops to a
+    # host-side fold_in, but zero per-row host↔device round-trips.
+    def row_sample(seed_step, row_logits):
+        key = jax.random.fold_in(jax.random.PRNGKey(seed_step[0]),
+                                 seed_step[1])
         g = jax.random.gumbel(key, row_logits.shape, dtype=jnp.float32)
         safe = jnp.where(jnp.isfinite(row_logits), row_logits + g, -jnp.inf)
         return jnp.argmax(safe).astype(jnp.int32)

@@ -461,6 +461,72 @@ def test_prefix_cache_partial_prefill_abort():
     assert cached == 8
 
 
+def _mk_engine_h(model, horizon):
+    from blazr_tpu.config import AppConfig
+
+    app = AppConfig(model=model.cfg)
+    app.inference.max_seq_len = 64
+    app.inference.max_batch_size = 4
+    app.inference.prefix_cache = True
+    app.inference.decode_horizon = horizon
+    return BatchEngine(model, ByteTok(), app)
+
+
+def _run_requests(model, horizon, prompts, cfgs):
+    async def main():
+        eng = _mk_engine_h(model, horizon)
+        task = asyncio.create_task(eng.run())
+        handles = [eng.submit(p, c) for p, c in zip(prompts, cfgs)]
+        res = await asyncio.gather(*[
+            asyncio.wait_for(_collect(h), timeout=120) for h in handles])
+        eng.stop()
+        await task
+        return res
+
+    return asyncio.run(main())
+
+
+def test_horizon_matches_single_step(model):
+    """Multi-step horizon decode must be token-exact vs single-step
+    rounds across greedy, seeded-sampled, penalty and logit_bias rows
+    (in-device window updates + per-step key folding must reproduce the
+    host-side path bit-for-bit)."""
+    cfgs = [
+        GenerationConfig(max_tokens=9, temperature=0.0),
+        GenerationConfig(max_tokens=7, temperature=0.9, seed=7, top_k=20),
+        GenerationConfig(max_tokens=9, temperature=0.0, repeat_penalty=1.4,
+                         repeat_last_n=4),
+        GenerationConfig(max_tokens=5, temperature=0.0,
+                         logit_bias={42: 8.0}),
+    ]
+    prompts = [[1, 2, 3], [9, 8, 7, 6], [5, 5, 5], [100, 101]]
+    single = _run_requests(model, 1, prompts, cfgs)
+    multi = _run_requests(model, 4, prompts, cfgs)
+    assert single == multi
+
+
+def test_horizon_respects_max_tokens(model):
+    """max_tokens not divisible by the horizon must still emit exactly
+    max_tokens (mid-horizon overrun is discarded)."""
+    cfgs = [GenerationConfig(max_tokens=5, temperature=0.0),
+            GenerationConfig(max_tokens=2, temperature=0.0)]
+    res = _run_requests(model, 4, [[7, 7, 7], [3, 4, 5]], cfgs)
+    eos = ByteTok().eos_token_id
+    assert len(res[0]) == 5 or eos in res[0]
+    assert len(res[1]) == 2 or eos in res[1]
+
+
+def test_horizon_grammar_row_falls_back(model):
+    """A grammar-masked row forces single-step rounds; output must match
+    the horizon=1 engine exactly."""
+    cfgs = [GenerationConfig(max_tokens=6, temperature=0.0,
+                             json_mode=True),
+            GenerationConfig(max_tokens=8, temperature=0.0)]
+    prompts = [[11, 12, 13], [1, 2]]
+    assert (_run_requests(model, 1, prompts, cfgs)
+            == _run_requests(model, 4, prompts, cfgs))
+
+
 def test_batch_engine_warmup_then_generate(model):
     """warmup() pre-compiles every decode bucket and leaves the engine
     fully functional (cache buffers cycle through donation)."""
