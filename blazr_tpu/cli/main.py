@@ -135,6 +135,10 @@ def build_parser() -> argparse.ArgumentParser:
     serve.add_argument("--prompt-lookup", action="store_true",
                        help="batched speculative decoding: greedy rows "
                             "verify n-gram drafts in one fused step")
+    serve.add_argument("--draft-model", default=None, metavar="PATH",
+                       help="batched draft-model speculation: an on-device "
+                            "greedy chain on this (smaller) model proposes "
+                            "tokens; the target verifies in one fused step")
     serve.add_argument("--num-speculative-tokens", type=int, default=5)
     serve.add_argument("--kv-cache-dtype", choices=["auto", "int8", "int4"],
                        default="auto")
@@ -505,12 +509,22 @@ def cmd_serve(args) -> int:
         ex.app_cfg.inference.prefix_cache = True
         ex.app_cfg.inference.kv_cache_dtype = args.kv_cache_dtype
         ex.app_cfg.inference.decode_horizon = args.decode_horizon
-        if getattr(args, "prompt_lookup", False):
+        draft = None
+        if getattr(args, "draft_model", None):
+            from ..config.inference import SpeculativeDecodingConfig
+            from ..loader import load_model
+
+            draft, _ = load_model(args.draft_model, dtype=args.dtype)
+            ex.app_cfg.inference.speculative = SpeculativeDecodingConfig(
+                draft_model=args.draft_model,
+                num_speculative_tokens=args.num_speculative_tokens)
+        elif getattr(args, "prompt_lookup", False):
             from ..config.inference import SpeculativeDecodingConfig
 
             ex.app_cfg.inference.speculative = SpeculativeDecodingConfig(
                 num_speculative_tokens=args.num_speculative_tokens)
-        batch_engine = BatchEngine(ex.model, ex.tokenizer, ex.app_cfg)
+        batch_engine = BatchEngine(ex.model, ex.tokenizer, ex.app_cfg,
+                                   draft_model=draft)
         if not args.no_warmup:
             dt = batch_engine.warmup()
             print(f"batch engine warmed in {dt:.1f}s", file=sys.stderr)

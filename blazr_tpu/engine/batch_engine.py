@@ -54,6 +54,11 @@ from ..utils.tracing import span as tracing_span
 logger = logging.getLogger(__name__)
 
 
+# Max sequences per batched-prefill step: pow-2 padded, so the compiled
+# shape set stays bounded while bursts amortize the per-step weight stream.
+_PREFILL_GROUP = 8
+
+
 def _next_pow2(n: int, minimum: int = 16) -> int:
     b = minimum
     while b < n:
@@ -81,7 +86,9 @@ class RequestHandle:
 class BatchEngine:
     """Paged-KV continuous-batching executor + scheduler loop."""
 
-    def __init__(self, model: Model, tokenizer, app_cfg: Optional[AppConfig] = None):
+    def __init__(self, model: Model, tokenizer,
+                 app_cfg: Optional[AppConfig] = None,
+                 draft_model: Optional[Model] = None):
         self.model = model
         self.tokenizer = tokenizer
         self.app_cfg = app_cfg or AppConfig(model=model.cfg)
@@ -180,12 +187,54 @@ class BatchEngine:
         spec = inf.speculative
         self._spec_k = (
             spec.num_speculative_tokens
-            if (spec is not None and spec.draft_model is None
+            if (spec is not None
                 and not self._needs_state_rows
                 and spec.num_speculative_tokens > 0)
             else 0)
         self.spec_drafted = 0
         self.spec_accepted = 0
+
+        # Draft-MODEL speculation under continuous batching (reference
+        # speculative.rs driven from the batch engine): the draft keeps
+        # its own paged KV cache over the SAME block tables (same block
+        # ids, draft-sized planes), and proposes k tokens per row with an
+        # ON-DEVICE greedy chain — one dispatch, no per-token host
+        # round-trips. Verification is the existing fused [B, k+1] step,
+        # so output is exactly the target's greedy chain regardless of
+        # draft quality. Without a draft model, spec falls back to
+        # prompt-lookup (n-gram) drafting.
+        self._draft: Optional[Model] = None
+        if self._spec_k and draft_model is not None:
+            d_cache, d_state_rows = init_engine_cache(
+                draft_model.cfg, num_blocks, self.block_size,
+                self.max_batch, dtype=draft_model.dtype,
+                quantized=inf.kv_cache_dtype in ("int8", "int4"))
+            if d_state_rows:
+                logger.warning("draft model has recurrent state; "
+                               "speculation disabled")
+                self._spec_k = 0
+            elif draft_model.vocab_size != model.vocab_size:
+                raise ValueError(
+                    "draft model vocab (%d) != target vocab (%d)"
+                    % (draft_model.vocab_size, model.vocab_size))
+            else:
+                self._draft = draft_model
+                self._draft_cache = d_cache
+                self._dfwd = make_paged_forward(draft_model.cfg)
+                self._d_trash = getattr(d_cache, "trash_slot", 0)
+                if self.mesh is not None:
+                    try:
+                        draft_model.params = shard_params(
+                            draft_model.params, self.mesh, draft_model.cfg)
+                        self._draft_cache = shard_paged_cache(
+                            self._draft_cache, self.mesh)
+                    except Exception as e:  # kv-heads not divisible etc.
+                        logger.warning("draft model left replicated over "
+                                       "the mesh: %s", e)
+        elif self._spec_k and spec is not None and spec.draft_model:
+            # Config names a draft checkpoint but none was loaded/passed.
+            logger.warning("speculative.draft_model set but no draft "
+                           "model provided; using prompt-lookup drafts")
 
         self._handles: dict[int, RequestHandle] = {}
         self._grammars: dict[int, GrammarState] = {}
@@ -313,6 +362,65 @@ class BatchEngine:
                 (jnp.int32(0), cache, itab[:, 0], window0, out0))
             return out, cache
 
+        if self._draft is not None:
+            d_cfg = self._draft.cfg
+            dfwd = self._dfwd
+            d_trash = self._d_trash
+            spec_k = self._spec_k
+
+            @partial(jax.jit, donate_argnums=(1,))
+            def draft_chain(d_params, d_cache, tok0, pos0, bt):
+                # k greedy draft steps with ON-DEVICE token feedback —
+                # the whole chain is one dispatch; the host fetches only
+                # the [B, k] proposals. Slots derive from the target's
+                # block tables (the draft cache shares block geometry).
+                b = tok0.shape[0]
+                rows = jnp.arange(b)
+                zero_rows = jnp.zeros((b,), dtype=jnp.int32)
+                tok = tok0
+                cache = d_cache
+                drafts = []
+                for j in range(spec_k):
+                    pos = pos0 + j
+                    blk = bt[rows,
+                             jnp.minimum(pos // block_size, mb_static - 1)]
+                    slot = jnp.where(
+                        (blk != 0x7FFFFFFF) & (pos < mb_static * block_size),
+                        blk * block_size + pos % block_size, d_trash)
+                    posc = jnp.minimum(pos, max_pos)
+                    logits, cache = dfwd(d_params, d_cfg, tok[:, None],
+                                         cache, posc[:, None],
+                                         slot[:, None], bt, pos + 1,
+                                         zero_rows)
+                    tok = jnp.argmax(logits[:, -1, :],
+                                     axis=-1).astype(jnp.int32)
+                    drafts.append(tok)
+                return jnp.stack(drafts, axis=1), cache
+
+            @partial(jax.jit, donate_argnums=(1,))
+            def draft_prefill(d_params, d_cache, tokens, positions, slots,
+                              block_tables, seq_lens):
+                # Mirror of the target prefill: keeps the draft cache in
+                # sync over the same blocks. Logits are discarded.
+                b = tokens.shape[0]
+                zero_rows = jnp.zeros((b,), dtype=jnp.int32)
+                _, d_cache = dfwd(d_params, d_cfg, tokens, d_cache,
+                                  positions, slots, block_tables,
+                                  seq_lens, zero_rows)
+                return d_cache
+
+            def bind_draft(fn):
+                if self.mesh is None:
+                    return lambda *a: fn(self._draft.params, *a)
+
+                def call(*a):
+                    with jax.set_mesh(self.mesh):
+                        return fn(self._draft.params, *a)
+                return call
+
+            self._draft_chain = bind_draft(draft_chain)
+            self._draft_prefill = bind_draft(draft_prefill)
+
         @partial(jax.jit, donate_argnums=(1,))
         def verify_step(params, cache, tokens, positions, slots, block_tables,
                         seq_lens, state_rows):
@@ -389,23 +497,32 @@ class BatchEngine:
         sp1 = SamplingParams.from_config([GenerationConfig()])
         bias1 = make_bias_rows([GenerationConfig()])
 
-        # Prefill at the chunk bucket (and the smallest bucket).
+        # Prefill at the chunk bucket and the smallest bucket, single-row
+        # and burst-group-row variants (SSM prefill is per-sequence).
+        p_values = (1,) if self._needs_state_rows else (1, _PREFILL_GROUP)
         for t in {16, chunk}:
-            rows = np.zeros((1,), dtype=np.int32)
-            if self._needs_state_rows:
-                # SSM prefill uses exact pow-2 sub-chunks — same shapes.
-                rows[0] = self.max_batch
-            toks = np.zeros((1, t), dtype=np.int32)
-            positions = np.zeros((1, t), dtype=np.int32)
-            slots = np.full((1, t), self._trash, dtype=np.int32)
-            bt = np.full((1, mb), 0x7FFFFFFF, dtype=np.int32)
-            last, self.cache = self._prefill_step(
-                self.cache, jnp.asarray(toks), jnp.asarray(positions),
-                jnp.asarray(slots), jnp.asarray(bt),
-                jnp.asarray(np.array([t], dtype=np.int32)),
-                jnp.asarray(np.array([t - 1], dtype=np.int32)),
-                jnp.asarray(rows))
-        self._sample_from(last, jnp.asarray(
+            for p in p_values:
+                rows = np.zeros((p,), dtype=np.int32)
+                if self._needs_state_rows:
+                    # SSM prefill uses exact pow-2 sub-chunks — same shapes.
+                    rows[:] = self.max_batch
+                toks = np.zeros((p, t), dtype=np.int32)
+                positions = np.zeros((p, t), dtype=np.int32)
+                slots = np.full((p, t), self._trash, dtype=np.int32)
+                bt = np.full((p, mb), 0x7FFFFFFF, dtype=np.int32)
+                seq_lens = np.full((p,), t, dtype=np.int32)
+                last, self.cache = self._prefill_step(
+                    self.cache, jnp.asarray(toks), jnp.asarray(positions),
+                    jnp.asarray(slots), jnp.asarray(bt),
+                    jnp.asarray(seq_lens),
+                    jnp.asarray(np.full((p,), t - 1, dtype=np.int32)),
+                    jnp.asarray(rows))
+                if self._draft is not None:
+                    self._draft_cache = self._draft_prefill(
+                        self._draft_cache, jnp.asarray(toks),
+                        jnp.asarray(positions), jnp.asarray(slots),
+                        jnp.asarray(bt), jnp.asarray(seq_lens))
+        self._sample_from(last[:1], jnp.asarray(
             np.full((1, 64), PAD_TOKEN, dtype=np.int32)), sp1,
             jnp.asarray(bias1[0]), jnp.asarray(bias1[1]),
             jnp.asarray(np.ones((1, v), dtype=bool)))
@@ -433,6 +550,13 @@ class BatchEngine:
                     jnp.asarray(sp_keys), jnp.asarray(bias[0]),
                     jnp.asarray(bias[1]), np.int32(1))
                 tok_dev = out_dev
+            if self._draft is not None:
+                _, self._draft_cache = self._draft_chain(
+                    self._draft_cache,
+                    jnp.asarray(np.zeros((b,), dtype=np.int32)),
+                    jnp.asarray(np.zeros((b,), dtype=np.int32)),
+                    jnp.asarray(np.full((b, mb), 0x7FFFFFFF,
+                                        dtype=np.int32)))
             if self._spec_k:
                 k1 = self._spec_k + 1
                 _, self.cache = self._verify_step(
@@ -555,9 +679,11 @@ class BatchEngine:
         batch = self.scheduler.schedule()
         if batch.is_empty:
             return False
-        for seq in batch.prefill_sequences:
-            with tracing_span("prefill", backend="paged", seq=seq.seq_id):
-                await asyncio.to_thread(self._process_prefill, seq)
+        if batch.prefill_sequences:
+            with tracing_span("prefill", backend="paged",
+                              batch=len(batch.prefill_sequences)):
+                await asyncio.to_thread(self._process_prefills,
+                                        batch.prefill_sequences)
         decodes = [s for s in batch.decode_sequences
                    if s.state == SequenceState.RUNNING]
         if decodes:
@@ -597,9 +723,122 @@ class BatchEngine:
         return row
 
     # ------------------------------------------------------------------
-    def _process_prefill(self, seq: Sequence) -> None:
-        """Prefill the uncached/unprefilled prompt suffix (chunked), then
-        sample the first token (reference process_prefill)."""
+    def _process_prefills(self, seqs: list[Sequence]) -> None:
+        """Run this step's prefill chunks, batching same-bucket chunks
+        into ONE [P ≤ 8, T] step, then sample every finishing sequence's
+        first token in ONE fused call with a single fetch.
+
+        Per-sequence prefill was a dispatch plus two blocking fetches
+        each; with 64 concurrent 128-token prompts that serialized to a
+        measured 11.9 s p50 TTFT on the remote-attached chip. Batched
+        rows also amortize the quantized weight stream (each prefill
+        step reads the full model from HBM regardless of row count)."""
+        pending: list[tuple[Sequence, object, int]] = []  # (seq, last, row)
+        if self._needs_state_rows:
+            for seq in seqs:
+                self._process_prefill_ssm(seq)
+            return
+        chunk_cfg = (self.app_cfg.inference.prefill_chunk_size
+                     or self.scheduler.config.max_batch_tokens)
+        groups: dict[int, list[Sequence]] = {}
+        for seq in seqs:
+            remaining = len(seq.prompt_tokens) - seq.prefilled_tokens
+            bucket = _next_pow2(min(chunk_cfg, remaining))
+            groups.setdefault(bucket, []).append(seq)
+        for bucket in sorted(groups):
+            group = groups[bucket]
+            for off in range(0, len(group), _PREFILL_GROUP):
+                pending.extend(self._prefill_group(
+                    group[off:off + _PREFILL_GROUP], bucket, chunk_cfg))
+        if pending:
+            self._sample_first_tokens(pending)
+
+    def _prefill_group(self, group: list[Sequence], bucket: int,
+                       chunk_cfg: int) -> list[tuple[Sequence, object, int]]:
+        """One [P, T] prefill step over same-bucket chunks. Returns the
+        finishing (seq, last_logits, row) triples — sampling is deferred
+        so the whole prefill phase fetches once."""
+        p2 = _next_pow2(len(group), minimum=1)
+        mb = self.max_blocks_per_seq
+        toks = np.zeros((p2, bucket), dtype=np.int32)
+        positions = np.zeros((p2, bucket), dtype=np.int32)
+        slots = np.full((p2, bucket), self._trash, dtype=np.int32)
+        bts = np.full((p2, mb), 0x7FFFFFFF, dtype=np.int32)
+        seq_lens = np.ones((p2,), dtype=np.int32)
+        last_idx = np.zeros((p2,), dtype=np.int32)
+        rows = np.zeros((p2,), dtype=np.int32)
+        finishing: list[tuple[Sequence, int]] = []
+        chunks: list[int] = []
+        for i, seq in enumerate(group):
+            prompt = seq.prompt_tokens
+            start = seq.prefilled_tokens
+            chunk = min(chunk_cfg, len(prompt) - start)
+            piece = prompt[start : start + chunk]
+            chunks.append(len(piece))
+            toks[i, : len(piece)] = piece
+            positions[i, : len(piece)] = np.arange(start, start + len(piece))
+            slots[i, : len(piece)] = compute_slot_mapping(
+                seq.block_table, start, len(piece), self.block_size,
+                self._trash)
+            bts[i] = pad_block_table(seq.block_table, mb)
+            seq_lens[i] = start + len(piece)
+            last_idx[i] = len(piece) - 1
+            if start + chunk >= len(prompt):
+                finishing.append((seq, i))
+        last, self.cache = self._prefill_step(
+            self.cache, jnp.asarray(toks), jnp.asarray(positions),
+            jnp.asarray(slots), jnp.asarray(bts), jnp.asarray(seq_lens),
+            jnp.asarray(last_idx), jnp.asarray(rows),
+        )
+        if self._draft is not None:
+            # Keep the draft cache in sync over the same blocks (its
+            # chain attends the full history when proposing tokens).
+            self._draft_cache = self._draft_prefill(
+                self._draft_cache, jnp.asarray(toks), jnp.asarray(positions),
+                jnp.asarray(slots), jnp.asarray(bts), jnp.asarray(seq_lens))
+        for i, seq in enumerate(group):
+            self.scheduler.prefill_complete(seq.seq_id, chunks[i])
+        return [(seq, last, i) for seq, i in finishing]
+
+    def _sample_first_tokens(
+            self, pending: list[tuple[Sequence, object, int]]) -> None:
+        """ONE fused sample over every finishing prefill's last-position
+        logits (stacked on device), then a single fetch."""
+        f2 = _next_pow2(len(pending), minimum=1)
+        lasts = [last[row : row + 1] for _, last, row in pending]
+        if len(lasts) < f2:
+            lasts.extend([lasts[0]] * (f2 - len(lasts)))
+        stacked = jnp.concatenate(lasts, axis=0)
+        cfgs, windows, ids = [], [], []
+        for seq, _, _ in pending:
+            cfgs.append(seq.gen_cfg)
+            windows.append(make_window(self._windows[seq.seq_id]))
+            ids.append(seq.seq_id)
+        for _ in range(len(pending), f2):
+            cfgs.append(GenerationConfig())
+            windows.append(make_window([]))
+            ids.append(-1)
+        sp = SamplingParams.from_config(cfgs, step=0)
+        bias_ids, bias_vals = make_bias_rows(cfgs)
+        mask = self._grammar_mask(ids, f2)
+        tok_dev, lp_dev = self._sample_from(
+            stacked, jnp.asarray(np.stack(windows)), sp,
+            jnp.asarray(bias_ids), jnp.asarray(bias_vals),
+            jnp.asarray(mask))
+        toks = np.array(self._to_host(tok_dev))
+        lps = np.array(self._to_host(lp_dev))
+        for j, (seq, last, row) in enumerate(pending):
+            if seq.seq_id in self._host_states:
+                tok = self._host_pick(seq, self._to_host(last)[row])
+                self._emit(seq, tok, float("nan"))
+            else:
+                self._emit(seq, int(toks[j]), float(lps[j]))
+
+    def _process_prefill_ssm(self, seq: Sequence) -> None:
+        """Recurrent-state prefill: PAD TOKENS MUST NEVER ENTER THE SCAN
+        (they would shift the conv window / update the SSM state), so run
+        exact-shaped sub-chunks of power-of-two length per sequence — a
+        bounded set of compiled shapes with zero padding."""
         chunk_cfg = (self.app_cfg.inference.prefill_chunk_size
                      or self.scheduler.config.max_batch_tokens)
         prompt = seq.prompt_tokens
@@ -610,79 +849,40 @@ class BatchEngine:
         is_last = start + chunk >= len(prompt)
 
         rows = np.zeros((1,), dtype=np.int32)
-        if self._needs_state_rows:
-            rows[0] = self._row_for(seq.seq_id)
-            if start == 0:
-                # Fresh admission or preemption restart: recurrent state
-                # must start from zero.
-                self.cache = zero_state_rows(self.cache, int(rows[0]))
+        rows[0] = self._row_for(seq.seq_id)
+        if start == 0:
+            # Fresh admission or preemption restart: recurrent state
+            # must start from zero.
+            self.cache = zero_state_rows(self.cache, int(rows[0]))
 
         bt = pad_block_table(seq.block_table, self.max_blocks_per_seq)[None, :]
-
-        if self._needs_state_rows:
-            # Recurrent state: PAD TOKENS MUST NEVER ENTER THE SCAN (they
-            # would shift the conv window / update the SSM state), so run
-            # exact-shaped sub-chunks of power-of-two length — a bounded
-            # set of compiled shapes with zero padding.
-            sub_start = start
-            while sub_start < start + len(piece):
-                rem = start + len(piece) - sub_start
-                sub = 1
-                while sub * 2 <= rem:
-                    sub *= 2
-                sp_ = prompt[sub_start : sub_start + sub]
-                toks = np.asarray(sp_, dtype=np.int32)[None, :]
-                positions = np.arange(sub_start, sub_start + sub,
-                                      dtype=np.int32)[None, :]
-                slots = compute_slot_mapping(
-                    seq.block_table, sub_start, sub, self.block_size,
-                    self._trash)[None, :]
-                seq_lens = np.array([sub_start + sub], dtype=np.int32)
-                last_idx = np.array([sub - 1], dtype=np.int32)
-                last, self.cache = self._prefill_step(
-                    self.cache, jnp.asarray(toks), jnp.asarray(positions),
-                    jnp.asarray(slots), jnp.asarray(bt),
-                    jnp.asarray(seq_lens), jnp.asarray(last_idx),
-                    jnp.asarray(rows),
-                )
-                sub_start += sub
-        else:
-            padded = _next_pow2(len(piece))
-            toks = np.zeros((1, padded), dtype=np.int32)
-            toks[0, : len(piece)] = piece
-            positions = np.full((1, padded), 0, dtype=np.int32)
-            positions[0, : len(piece)] = np.arange(start, start + len(piece))
-            slots = np.full((1, padded), self._trash, dtype=np.int32)
-            slots[0, : len(piece)] = compute_slot_mapping(
-                seq.block_table, start, len(piece), self.block_size,
-                self._trash)
-            seq_lens = np.array([start + len(piece)], dtype=np.int32)
-            last_idx = np.array([len(piece) - 1], dtype=np.int32)
-
+        sub_start = start
+        last = None
+        while sub_start < start + len(piece):
+            rem = start + len(piece) - sub_start
+            sub = 1
+            while sub * 2 <= rem:
+                sub *= 2
+            sp_ = prompt[sub_start : sub_start + sub]
+            toks = np.asarray(sp_, dtype=np.int32)[None, :]
+            positions = np.arange(sub_start, sub_start + sub,
+                                  dtype=np.int32)[None, :]
+            slots = compute_slot_mapping(
+                seq.block_table, sub_start, sub, self.block_size,
+                self._trash)[None, :]
+            seq_lens = np.array([sub_start + sub], dtype=np.int32)
+            last_idx = np.array([sub - 1], dtype=np.int32)
             last, self.cache = self._prefill_step(
                 self.cache, jnp.asarray(toks), jnp.asarray(positions),
-                jnp.asarray(slots), jnp.asarray(bt), jnp.asarray(seq_lens),
-                jnp.asarray(last_idx), jnp.asarray(rows),
+                jnp.asarray(slots), jnp.asarray(bt),
+                jnp.asarray(seq_lens), jnp.asarray(last_idx),
+                jnp.asarray(rows),
             )
+            sub_start += sub
         self.scheduler.prefill_complete(seq.seq_id, len(piece))
         if not is_last:
             return
-
-        # First sampled token.
-        if seq.seq_id in self._host_states:
-            tok = self._host_pick(seq, self._to_host(last)[0])
-            self._emit(seq, tok, float("nan"))
-            return
-        sp = SamplingParams.from_config([seq.gen_cfg], step=0)
-        window = jnp.asarray(make_window(self._windows[seq.seq_id])[None, :])
-        bias_ids, bias_vals = make_bias_rows([seq.gen_cfg])
-        mask = self._grammar_mask([seq.seq_id])
-        tok_dev, lp_dev = self._sample_from(last, window, sp,
-                                            jnp.asarray(bias_ids),
-                                            jnp.asarray(bias_vals),
-                                            jnp.asarray(mask))
-        self._emit(seq, int(self._to_host(tok_dev)[0]),
-                   float(self._to_host(lp_dev)[0]))
+        self._sample_first_tokens([(seq, last, 0)])
 
     # ------------------------------------------------------------------
     def _spec_eligible(self, seq: Sequence) -> bool:
@@ -695,6 +895,11 @@ class BatchEngine:
                 and seq.seq_id not in self._host_states)
 
     def _process_decode_batch(self, decodes: list[Sequence]) -> None:
+        if self._draft is not None and self._spec_k:
+            # Draft-model mode runs the spec path EVERY round — the
+            # chain's first step is what writes each row's latest token
+            # into the draft cache, eligible or not.
+            return self._process_decode_batch_spec(decodes)
         if self._spec_k and any(self._spec_eligible(s) for s in decodes):
             return self._process_decode_batch_spec(decodes)
         return self._process_decode_batch_plain(decodes)
@@ -713,6 +918,28 @@ class BatchEngine:
         bmax = min(_next_pow2(len(decodes), minimum=1), self.max_batch)
         decodes = decodes[:bmax]
         n = len(decodes)
+
+        device_drafts = None
+        if self._draft is not None:
+            # One on-device greedy chain proposes k tokens for every row.
+            tok0 = np.zeros((bmax,), dtype=np.int32)
+            pos0 = np.zeros((bmax,), dtype=np.int32)
+            bts0 = np.full((bmax, self.max_blocks_per_seq), 0x7FFFFFFF,
+                           dtype=np.int32)
+            for i, seq in enumerate(decodes):
+                tok0[i] = seq.all_tokens[-1]
+                pos0[i] = seq.total_len - 1
+                # Blocks for chain writes (pos..pos+k-1) and verify
+                # writes (pos..pos+k); on failure the in-jit clamp sends
+                # overflow writes to the trash slot (drafts degrade,
+                # verification stays exact).
+                self.scheduler._ensure_block_for(seq, seq.total_len - 1 + k)
+                bts0[i] = pad_block_table(seq.block_table,
+                                          self.max_blocks_per_seq)
+            d_dev, self._draft_cache = self._draft_chain(
+                self._draft_cache, jnp.asarray(tok0), jnp.asarray(pos0),
+                jnp.asarray(bts0))
+            device_drafts = np.array(self._to_host(d_dev))
 
         tokens = np.zeros((bmax, k + 1), dtype=np.int32)
         positions = np.zeros((bmax, k + 1), dtype=np.int32)
@@ -734,7 +961,10 @@ class BatchEngine:
                              - len(seq.output_tokens),
                              self.max_seq_len - 1 - seq.total_len)
                 if budget > 0:
-                    draft = prompt_lookup_draft(history, budget)
+                    if device_drafts is not None:
+                        draft = [int(t) for t in device_drafts[i, :budget]]
+                    else:
+                        draft = prompt_lookup_draft(history, budget)
                 if draft and not self.scheduler._ensure_block_for(
                         seq, pos + len(draft)):
                     draft = []            # allocator pressure: plain row

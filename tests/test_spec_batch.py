@@ -100,6 +100,81 @@ def test_spec_respects_max_tokens(ckpt):
     assert out == _run(_engine(ckpt), jobs)
 
 
+# ---------------------------------------------------------------------------
+# draft-MODEL speculation (on-device greedy chain + fused verify)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def other_ckpt(tmp_path_factory):
+    path = tmp_path_factory.mktemp("spec_draft_model")
+    write_tiny_llama_checkpoint(path, np.random.default_rng(99))
+    return path
+
+
+def _engine_draft(ckpt, draft_ckpt, spec_k=4):
+    model, _ = load_model(ckpt, dtype="f32")
+    draft, _ = load_model(draft_ckpt, dtype="f32")
+    app = AppConfig(model=model.cfg)
+    app.inference.max_seq_len = 96
+    app.inference.max_batch_size = 4
+    app.inference.speculative = SpeculativeDecodingConfig(
+        draft_model=str(draft_ckpt), num_speculative_tokens=spec_k)
+    return BatchEngine(model, ByteTok(), app, draft_model=draft)
+
+
+def test_draft_model_identical_weights_full_acceptance(ckpt):
+    """Draft == target ⇒ the greedy chain always matches argmax; every
+    draft is accepted and output is exactly the plain engine's."""
+    jobs = [(_REPEAT, _greedy()), ([10, 20, 30, 40], _greedy())]
+    ref = _run(_engine(ckpt), jobs)
+    eng = _engine_draft(ckpt, ckpt)
+    out = _run(eng, jobs)
+    assert out == ref
+    assert eng.spec_drafted > 0
+    assert eng.spec_accepted == eng.spec_drafted
+
+
+def test_draft_model_divergent_weights_exact_output(ckpt, other_ckpt):
+    """A BAD draft model (different random weights) must still produce
+    the target's exact greedy output — verification is exact; drafts
+    only change speed."""
+    jobs = [(_REPEAT, _greedy()), ([1, 2, 3, 4, 5], _greedy(n=9))]
+    ref = _run(_engine(ckpt), jobs)
+    eng = _engine_draft(ckpt, other_ckpt)
+    out = _run(eng, jobs)
+    assert out == ref
+    assert eng.spec_drafted > 0
+
+
+def test_draft_model_mixed_batch_parity(ckpt, other_ckpt):
+    """Sampled + grammar rows ride along every draft round untouched."""
+    jobs = [
+        (_REPEAT, _greedy()),
+        ([9, 8, 7, 6], GenerationConfig(max_tokens=8, temperature=0.8,
+                                        seed=7)),
+        ([40, 41, 42], GenerationConfig(max_tokens=8, temperature=0.0,
+                                        json_mode=True)),
+    ]
+    ref = _run(_engine(ckpt), jobs)
+    out = _run(_engine_draft(ckpt, other_ckpt), jobs)
+    assert out == ref
+
+
+def test_draft_model_respects_max_tokens(ckpt):
+    jobs = [(_REPEAT, _greedy(n=3))]
+    out = _run(_engine_draft(ckpt, ckpt, spec_k=6), jobs)
+    assert len(out[0]) <= 3
+    assert out == _run(_engine(ckpt), jobs)
+
+
+def test_draft_model_warmup(ckpt, other_ckpt):
+    """warmup() compiles chain+verify buckets and leaves a working engine."""
+    eng = _engine_draft(ckpt, other_ckpt)
+    eng.warmup()
+    out = _run(eng, [(_REPEAT, _greedy(n=5))])
+    assert out == _run(_engine(ckpt), [(_REPEAT, _greedy(n=5))])
+
+
 def test_spec_default_penalty_rows_stay_plain(ckpt):
     """Default GenerationConfig has repeat_penalty=1.1 → not spec-eligible;
     output must match the plain engine exactly."""
