@@ -174,6 +174,11 @@ def _child(name: str) -> None:
     """Run one bench attempt and print its JSON line (invoked by main() in
     a timeboxed subprocess: a dying tunnel HANGS in the data fetch rather
     than raising, and a hung bench would leave the driver with no output)."""
+    if os.environ.get("BLAZR_BENCH_CPU"):
+        # HARD platform pin: JAX_PLATFORM_NAME only sets a preference and
+        # still initializes the remote TPU backend — which hangs forever
+        # when the tunnel is down (the exact case the CPU fallback serves).
+        jax.config.update("jax_platforms", "cpu")
     on_tpu = jax.default_backend() == "tpu"
     fl = _Flagship(_config_by_name(name))
 
@@ -257,7 +262,7 @@ def main() -> None:
         # device fetch; a hang here must fall through, not stall the driver.
         env = dict(os.environ)
         if platform != "tpu":
-            env["JAX_PLATFORM_NAME"] = "cpu"   # child must pin CPU itself
+            env["BLAZR_BENCH_CPU"] = "1"       # child must hard-pin CPU
         try:
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--child", name],

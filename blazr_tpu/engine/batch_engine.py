@@ -252,15 +252,30 @@ class BatchEngine:
         fwd = self._fwd
 
         # Params as explicit jit args (avoid constant-embedding the weights).
-        @partial(jax.jit, donate_argnums=(1,))
+        @partial(jax.jit, donate_argnums=(1,), static_argnames=("use_mask",))
         def prefill_step(params, cache, tokens, positions, slots, block_tables,
-                         seq_lens, last_idx, state_rows):
+                         seq_lens, last_idx, state_rows, window, sp_packed,
+                         sp_keys, bias_ids, bias_vals, grammar_mask,
+                         use_mask=False):
+            # First-token sampling is FUSED into the prefill program: one
+            # dispatch and one packed [P, 2] fetch cover a whole prefill
+            # group (a separate sample call was an extra dispatch plus
+            # two blocking fetches per sequence).
             logits, cache = fwd(params, cfg, tokens, cache,
                                 positions, slots, block_tables,
                                 seq_lens, state_rows)
             last = jnp.take_along_axis(logits, last_idx[:, None, None],
                                        axis=1)[:, 0, :]
-            return last, cache
+            sp = unpack_sampling(sp_packed, sp_keys)
+            tok, logprobs = sample_tokens(
+                last, sp, window_tokens=window,
+                logit_bias_ids=bias_ids, logit_bias_vals=bias_vals,
+                grammar_mask=grammar_mask if use_mask else None,
+            )
+            lp = jnp.take_along_axis(logprobs, tok[:, None], axis=1)[:, 0]
+            packed = jnp.stack(
+                [tok, jax.lax.bitcast_convert_type(lp, jnp.int32)], axis=1)
+            return packed, last, cache
 
         @partial(jax.jit, donate_argnums=(1,), static_argnames=("use_mask",))
         def decode_step(params, cache, itab, sp_packed, sp_keys,
@@ -442,6 +457,27 @@ class BatchEngine:
             lp = jnp.take_along_axis(logprobs, tok[:, None], axis=1)[:, 0]
             return tok, lp
 
+        @partial(jax.jit, static_argnames=("use_mask",))
+        def spec_finish(logits, window, sp_packed, sp_keys, bias_ids,
+                        bias_vals, grammar_mask, use_mask=False):
+            # Post-verify fusion: position-0 sampling + the full argmax
+            # chain in one program, packed [B, k+3] (argmax…, tok,
+            # lp-bits) so the accept loop costs ONE fetch (it was three
+            # plus two eager device ops).
+            sp = unpack_sampling(sp_packed, sp_keys)
+            last0 = logits[:, 0, :]
+            tok, logprobs = sample_tokens(
+                last0, sp, window_tokens=window,
+                logit_bias_ids=bias_ids, logit_bias_vals=bias_vals,
+                grammar_mask=grammar_mask if use_mask else None)
+            lp = jnp.take_along_axis(logprobs, tok[:, None], axis=1)[:, 0]
+            am = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            packed = jnp.concatenate(
+                [am, tok[:, None],
+                 jax.lax.bitcast_convert_type(lp, jnp.int32)[:, None]],
+                axis=1)
+            return packed, last0
+
         def bind(fn, with_params=True):
             if self.mesh is None:
                 if with_params:
@@ -460,6 +496,7 @@ class BatchEngine:
         self._horizon_step = bind(horizon_step)
         self._verify_step = bind(verify_step)
         self._sample_from = bind(sample_from, with_params=False)
+        self._spec_finish = bind(spec_finish, with_params=False)
 
         # Host fetch across a MULTI-PROCESS mesh: a jit output that spans
         # non-addressable devices can't be np.asarray'd directly — route
@@ -511,12 +548,20 @@ class BatchEngine:
                 slots = np.full((p, t), self._trash, dtype=np.int32)
                 bt = np.full((p, mb), 0x7FFFFFFF, dtype=np.int32)
                 seq_lens = np.full((p,), t, dtype=np.int32)
-                last, self.cache = self._prefill_step(
+                cfgs_p = [GenerationConfig() for _ in range(p)]
+                sp_p, keys_p = pack_sampling_host(cfgs_p, step=0)
+                bias_p = make_bias_rows(cfgs_p)
+                win_p = np.full((p, 64), PAD_TOKEN, dtype=np.int32)
+                _, last, self.cache = self._prefill_step(
                     self.cache, jnp.asarray(toks), jnp.asarray(positions),
                     jnp.asarray(slots), jnp.asarray(bt),
                     jnp.asarray(seq_lens),
                     jnp.asarray(np.full((p,), t - 1, dtype=np.int32)),
-                    jnp.asarray(rows))
+                    jnp.asarray(rows), jnp.asarray(win_p),
+                    jnp.asarray(sp_p), jnp.asarray(keys_p),
+                    jnp.asarray(bias_p[0]), jnp.asarray(bias_p[1]),
+                    jnp.asarray(np.ones((1, 1), dtype=bool)),
+                    use_mask=False)
                 if self._draft is not None:
                     self._draft_cache = self._draft_prefill(
                         self._draft_cache, jnp.asarray(toks),
@@ -559,7 +604,7 @@ class BatchEngine:
                                         dtype=np.int32)))
             if self._spec_k:
                 k1 = self._spec_k + 1
-                _, self.cache = self._verify_step(
+                lg, self.cache = self._verify_step(
                     self.cache,
                     jnp.asarray(np.zeros((b, k1), dtype=np.int32)),
                     jnp.asarray(np.tile(np.arange(k1, dtype=np.int32),
@@ -571,6 +616,12 @@ class BatchEngine:
                     jnp.asarray(np.ones((b,), dtype=np.int32)),
                     jnp.asarray(np.full((b,), self.max_batch,
                                         dtype=np.int32)))
+                tok_dev, _ = self._spec_finish(
+                    lg, jnp.asarray(itab[:, 5:69]),
+                    jnp.asarray(sp_packed), jnp.asarray(sp_keys),
+                    jnp.asarray(bias[0]), jnp.asarray(bias[1]),
+                    jnp.asarray(np.ones((1, 1), dtype=bool)),
+                    use_mask=False)
             b *= 2
         self._to_host(tok_dev)          # one sync: all compiles flushed
         dt = time.time() - t0
@@ -733,7 +784,6 @@ class BatchEngine:
         measured 11.9 s p50 TTFT on the remote-attached chip. Batched
         rows also amortize the quantized weight stream (each prefill
         step reads the full model from HBM regardless of row count)."""
-        pending: list[tuple[Sequence, object, int]] = []  # (seq, last, row)
         if self._needs_state_rows:
             for seq in seqs:
                 self._process_prefill_ssm(seq)
@@ -748,16 +798,13 @@ class BatchEngine:
         for bucket in sorted(groups):
             group = groups[bucket]
             for off in range(0, len(group), _PREFILL_GROUP):
-                pending.extend(self._prefill_group(
-                    group[off:off + _PREFILL_GROUP], bucket, chunk_cfg))
-        if pending:
-            self._sample_first_tokens(pending)
+                self._prefill_group(group[off:off + _PREFILL_GROUP],
+                                    bucket, chunk_cfg)
 
     def _prefill_group(self, group: list[Sequence], bucket: int,
-                       chunk_cfg: int) -> list[tuple[Sequence, object, int]]:
-        """One [P, T] prefill step over same-bucket chunks. Returns the
-        finishing (seq, last_logits, row) triples — sampling is deferred
-        so the whole prefill phase fetches once."""
+                       chunk_cfg: int) -> None:
+        """One [P, T] prefill step over same-bucket chunks, first-token
+        sampling fused in: one dispatch + one packed [P, 2] fetch."""
         p2 = _next_pow2(len(group), minimum=1)
         mb = self.max_blocks_per_seq
         toks = np.zeros((p2, bucket), dtype=np.int32)
@@ -767,8 +814,12 @@ class BatchEngine:
         seq_lens = np.ones((p2,), dtype=np.int32)
         last_idx = np.zeros((p2,), dtype=np.int32)
         rows = np.zeros((p2,), dtype=np.int32)
+        windows = np.full((p2, 64), PAD_TOKEN, dtype=np.int32)
         finishing: list[tuple[Sequence, int]] = []
         chunks: list[int] = []
+        cfgs: list[GenerationConfig] = []
+        ids: list[int] = []
+        any_mask = False
         for i, seq in enumerate(group):
             prompt = seq.prompt_tokens
             start = seq.prefilled_tokens
@@ -783,12 +834,29 @@ class BatchEngine:
             bts[i] = pad_block_table(seq.block_table, mb)
             seq_lens[i] = start + len(piece)
             last_idx[i] = len(piece) - 1
+            windows[i] = make_window(self._windows[seq.seq_id],
+                                     seq.gen_cfg.repeat_last_n)
+            cfgs.append(seq.gen_cfg)
             if start + chunk >= len(prompt):
                 finishing.append((seq, i))
-        last, self.cache = self._prefill_step(
+                ids.append(seq.seq_id)
+                any_mask |= seq.seq_id in self._grammars
+            else:
+                ids.append(-1)
+        for _ in range(len(group), p2):
+            cfgs.append(GenerationConfig())
+            ids.append(-1)
+        sp_packed, sp_keys = pack_sampling_host(cfgs, step=0)
+        bias_ids, bias_vals = make_bias_rows(cfgs)
+        mask = (self._grammar_mask(ids, p2) if any_mask
+                else np.ones((1, 1), dtype=bool))
+        packed, last, self.cache = self._prefill_step(
             self.cache, jnp.asarray(toks), jnp.asarray(positions),
             jnp.asarray(slots), jnp.asarray(bts), jnp.asarray(seq_lens),
             jnp.asarray(last_idx), jnp.asarray(rows),
+            jnp.asarray(windows), jnp.asarray(sp_packed),
+            jnp.asarray(sp_keys), jnp.asarray(bias_ids),
+            jnp.asarray(bias_vals), jnp.asarray(mask), use_mask=any_mask,
         )
         if self._draft is not None:
             # Keep the draft cache in sync over the same blocks (its
@@ -798,41 +866,19 @@ class BatchEngine:
                 jnp.asarray(slots), jnp.asarray(bts), jnp.asarray(seq_lens))
         for i, seq in enumerate(group):
             self.scheduler.prefill_complete(seq.seq_id, chunks[i])
-        return [(seq, last, i) for seq, i in finishing]
-
-    def _sample_first_tokens(
-            self, pending: list[tuple[Sequence, object, int]]) -> None:
-        """ONE fused sample over every finishing prefill's last-position
-        logits (stacked on device), then a single fetch."""
-        f2 = _next_pow2(len(pending), minimum=1)
-        lasts = [last[row : row + 1] for _, last, row in pending]
-        if len(lasts) < f2:
-            lasts.extend([lasts[0]] * (f2 - len(lasts)))
-        stacked = jnp.concatenate(lasts, axis=0)
-        cfgs, windows, ids = [], [], []
-        for seq, _, _ in pending:
-            cfgs.append(seq.gen_cfg)
-            windows.append(make_window(self._windows[seq.seq_id]))
-            ids.append(seq.seq_id)
-        for _ in range(len(pending), f2):
-            cfgs.append(GenerationConfig())
-            windows.append(make_window([]))
-            ids.append(-1)
-        sp = SamplingParams.from_config(cfgs, step=0)
-        bias_ids, bias_vals = make_bias_rows(cfgs)
-        mask = self._grammar_mask(ids, f2)
-        tok_dev, lp_dev = self._sample_from(
-            stacked, jnp.asarray(np.stack(windows)), sp,
-            jnp.asarray(bias_ids), jnp.asarray(bias_vals),
-            jnp.asarray(mask))
-        toks = np.array(self._to_host(tok_dev))
-        lps = np.array(self._to_host(lp_dev))
-        for j, (seq, last, row) in enumerate(pending):
+        if not finishing:
+            return
+        out = np.array(self._to_host(packed))          # ONE fetch
+        lps = out[:, 1].copy().view(np.float32)
+        host_rows = [i for seq, i in finishing
+                     if seq.seq_id in self._host_states]
+        last_np = self._to_host(last) if host_rows else None
+        for seq, i in finishing:
             if seq.seq_id in self._host_states:
-                tok = self._host_pick(seq, self._to_host(last)[row])
-                self._emit(seq, tok, float("nan"))
+                self._emit(seq, self._host_pick(seq, last_np[i]),
+                           float("nan"))
             else:
-                self._emit(seq, int(toks[j]), float(lps[j]))
+                self._emit(seq, int(out[i, 0]), float(lps[i]))
 
     def _process_prefill_ssm(self, seq: Sequence) -> None:
         """Recurrent-state prefill: PAD TOKENS MUST NEVER ENTER THE SCAN
@@ -856,8 +902,15 @@ class BatchEngine:
             self.cache = zero_state_rows(self.cache, int(rows[0]))
 
         bt = pad_block_table(seq.block_table, self.max_blocks_per_seq)[None, :]
+        window = make_window(self._windows[seq.seq_id],
+                             seq.gen_cfg.repeat_last_n)[None, :]
+        sp_packed, sp_keys = pack_sampling_host([seq.gen_cfg], step=0)
+        bias_ids, bias_vals = make_bias_rows([seq.gen_cfg])
+        any_mask = seq.seq_id in self._grammars
+        mask = (self._grammar_mask([seq.seq_id]) if any_mask
+                else np.ones((1, 1), dtype=bool))
         sub_start = start
-        last = None
+        packed = last = None
         while sub_start < start + len(piece):
             rem = start + len(piece) - sub_start
             sub = 1
@@ -872,17 +925,26 @@ class BatchEngine:
                 self._trash)[None, :]
             seq_lens = np.array([sub_start + sub], dtype=np.int32)
             last_idx = np.array([sub - 1], dtype=np.int32)
-            last, self.cache = self._prefill_step(
+            packed, last, self.cache = self._prefill_step(
                 self.cache, jnp.asarray(toks), jnp.asarray(positions),
                 jnp.asarray(slots), jnp.asarray(bt),
                 jnp.asarray(seq_lens), jnp.asarray(last_idx),
-                jnp.asarray(rows),
+                jnp.asarray(rows), jnp.asarray(window),
+                jnp.asarray(sp_packed), jnp.asarray(sp_keys),
+                jnp.asarray(bias_ids), jnp.asarray(bias_vals),
+                jnp.asarray(mask), use_mask=any_mask,
             )
             sub_start += sub
         self.scheduler.prefill_complete(seq.seq_id, len(piece))
         if not is_last:
             return
-        self._sample_first_tokens([(seq, last, 0)])
+        if seq.seq_id in self._host_states:
+            self._emit(seq, self._host_pick(seq, self._to_host(last)[0]),
+                       float("nan"))
+            return
+        out = np.array(self._to_host(packed))
+        self._emit(seq, int(out[0, 0]),
+                   float(out[0, 1:2].copy().view(np.float32)[0]))
 
     # ------------------------------------------------------------------
     def _spec_eligible(self, seq: Sequence) -> bool:
@@ -992,23 +1054,27 @@ class BatchEngine:
             jnp.asarray(rows))
 
         # Position-0 sampling for every row — the exact plain-step path
-        # (grammar masks, bias, windows all apply to non-greedy rows).
+        # (grammar masks, bias, windows all apply to non-greedy rows) —
+        # fused with the argmax chain into ONE packed fetch.
         steps = [len(s.output_tokens) for s in decodes]
         steps += [0] * (len(cfgs) - len(steps))
-        sp = SamplingParams.from_config(cfgs, step=steps)
-        mask = self._grammar_mask([s.seq_id for s in decodes], bmax)
+        sp_packed, sp_keys = pack_sampling_host(cfgs, step=steps)
+        mask = (self._grammar_mask([s.seq_id for s in decodes], bmax)
+                if any_mask else np.ones((1, 1), dtype=bool))
         bias_ids, bias_vals = make_bias_rows(cfgs)
-        tok_dev, lp_dev = self._sample_from(
-            logits_dev[:, 0, :], jnp.asarray(windows), sp,
-            jnp.asarray(bias_ids), jnp.asarray(bias_vals), jnp.asarray(mask))
-        argmax_np = self._to_host(jnp.argmax(logits_dev, axis=-1))  # [B, k+1]
-        toks = np.array(self._to_host(tok_dev))
-        lps = np.array(self._to_host(lp_dev))
+        packed_dev, last0_dev = self._spec_finish(
+            logits_dev, jnp.asarray(windows), jnp.asarray(sp_packed),
+            jnp.asarray(sp_keys), jnp.asarray(bias_ids),
+            jnp.asarray(bias_vals), jnp.asarray(mask), use_mask=any_mask)
+        out = np.array(self._to_host(packed_dev))     # [B, k+3], ONE fetch
+        argmax_np = out[:, : k + 1]
+        toks = out[:, k + 1].copy()
+        lps = out[:, k + 2 : k + 3].copy().view(np.float32)[:, 0]
 
         host_rows = [i for i, s in enumerate(decodes)
                      if s.seq_id in self._host_states]
         if host_rows:
-            last_np = self._to_host(logits_dev[:, 0, :])
+            last_np = self._to_host(last0_dev)
             for i in host_rows:
                 toks[i] = self._host_pick(decodes[i], last_np[i])
                 lps[i] = float("nan")

@@ -20,7 +20,10 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
-jax.config.update("jax_platform_name", "cpu")
+# jax_platforms (not jax_platform_name): the latter only sets a PREFERENCE
+# and still initializes every discovered backend — when the remote TPU
+# tunnel is down, that init hangs forever and the whole suite stalls.
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

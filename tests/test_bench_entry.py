@@ -15,7 +15,7 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def test_bench_child_tiny_cpu_emits_json():
     """The last-ditch tiny CPU fallback must emit a well-formed line
     (regression: hidden=64 < group_size=128 made zero quant groups)."""
-    env = dict(os.environ, JAX_PLATFORM_NAME="cpu")
+    env = dict(os.environ, BLAZR_BENCH_CPU="1")
     r = subprocess.run(
         [sys.executable, os.path.join(ROOT, "bench.py"),
          "--child", "tiny-cpu-fallback"],
