@@ -219,6 +219,31 @@ def _child(name: str) -> None:
     }))
 
 
+def _serving_probe() -> dict:
+    """Engine-level serving aggregate + TTFT via the real BatchEngine
+    (tools/bench_engine_serving.py) in a timeboxed subprocess — the chip
+    is held by one process at a time, so this runs after the flagship
+    child has exited. Returns {} on any failure."""
+    import re
+    import subprocess
+
+    tool = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "tools", "bench_engine_serving.py")
+    try:
+        r = subprocess.run([sys.executable, tool, "32", "32"],
+                           capture_output=True, text=True, timeout=900)
+    except subprocess.TimeoutExpired:
+        return {}
+    agg = re.search(r"AGG ([\d.]+) tok/s", r.stdout)
+    ttft = re.search(r"TTFT p50 (\d+) ms", r.stdout)
+    out: dict = {}
+    if agg:
+        out["serving_agg_tok_s"] = float(agg.group(1))
+    if ttft:
+        out["serving_ttft_p50_ms"] = float(ttft.group(1))
+    return out
+
+
 def main() -> None:
     # Probe TPU health in a SUBPROCESS: a half-dead axon tunnel makes
     # jax.default_backend() hang rather than raise.
@@ -273,7 +298,14 @@ def main() -> None:
         line = next((ln for ln in reversed(r.stdout.splitlines())
                      if ln.startswith("{")), None)
         if r.returncode == 0 and line:
-            print(line)
+            d = json.loads(line)
+            if platform == "tpu":
+                # END-TO-END serving numbers through the real BatchEngine
+                # (continuous batching, scheduler, every host overhead) —
+                # best-effort extra fields; the flagship line stands alone
+                # if the serving probe fails or times out.
+                d.update(_serving_probe())
+            print(json.dumps(d))
             return
         err = (r.stderr or r.stdout)[-200:] or f"attempt {name} failed"
     print(json.dumps({

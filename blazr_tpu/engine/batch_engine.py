@@ -38,9 +38,8 @@ from ..models.paged_multi import (
 from ..models.registry import Model
 from .grammar import GrammarState, compile_grammar_to_dfa, make_grammar_state
 from .grammar_json import JSON_GRAMMAR, json_schema_to_gbnf
-from .sampling import (PAD_TOKEN, SamplingParams, make_bias_rows,
-                       make_window, pack_sampling_host, sample_tokens,
-                       unpack_sampling)
+from .sampling import (PAD_TOKEN, make_bias_rows, make_window,
+                       pack_sampling_host, sample_tokens, unpack_sampling)
 from .sequence_scheduler import (
     ScheduledBatch,
     SchedulerConfig,
@@ -57,6 +56,14 @@ logger = logging.getLogger(__name__)
 # Max sequences per batched-prefill step: pow-2 padded, so the compiled
 # shape set stays bounded while bursts amortize the per-step weight stream.
 _PREFILL_GROUP = 8
+
+# Packed decode-table (itab) column layout — shared by decode_step,
+# horizon_step, warmup, and the host-side batch builders:
+#   0 token | 1 position | 2 slot | 3 seq_len | 4 state_row |
+#   _ITAB_WIN penalty window | _ITAB_BT.. block table
+_ITAB_WIN_START = 5
+_ITAB_BT = _ITAB_WIN_START + 64          # == 5 + PENALTY_WINDOW
+_ITAB_WIN = slice(_ITAB_WIN_START, _ITAB_BT)
 
 
 def _next_pow2(n: int, minimum: int = 16) -> int:
@@ -282,7 +289,7 @@ class BatchEngine:
                         bias_ids, bias_vals, grammar_mask, use_mask=False):
             # ONE packed int32 upload per step instead of seven: columns
             # 0 token | 1 position | 2 slot | 3 seq_len | 4 state_row |
-            # 5:69 penalty window | 69: block table. Per-array H2D
+            # _ITAB_WIN penalty window | _ITAB_BT: block table. Per-array H2D
             # transfers are pure dispatch overhead (and dominate step
             # latency on high-RTT links).
             tokens = itab[:, 0:1]
@@ -290,8 +297,8 @@ class BatchEngine:
             slots = itab[:, 2:3]
             seq_lens = itab[:, 3]
             state_rows = itab[:, 4]
-            window = itab[:, 5:69]
-            block_tables = itab[:, 69:]
+            window = itab[:, _ITAB_WIN]
+            block_tables = itab[:, _ITAB_BT:]
             sp = unpack_sampling(sp_packed, sp_keys)
             logits, cache = fwd(params, cfg, tokens, cache,
                                 positions, slots, block_tables,
@@ -324,8 +331,8 @@ class BatchEngine:
             b = itab.shape[0]
             pos0 = itab[:, 1]
             state_rows = itab[:, 4]
-            window0 = itab[:, 5:69]
-            bt = itab[:, 69:]
+            window0 = itab[:, _ITAB_WIN]
+            bt = itab[:, _ITAB_BT:]
             rln = jnp.minimum(sp_packed[:, 7].astype(jnp.int32),
                               window0.shape[1])
             sp_base = unpack_sampling(sp_packed, sp_keys)
@@ -448,15 +455,6 @@ class BatchEngine:
                                 seq_lens, state_rows)
             return logits, cache
 
-        @jax.jit
-        def sample_from(last, window, sp, bias_ids, bias_vals, grammar_mask):
-            tok, logprobs = sample_tokens(last, sp, window_tokens=window,
-                                          logit_bias_ids=bias_ids,
-                                          logit_bias_vals=bias_vals,
-                                          grammar_mask=grammar_mask)
-            lp = jnp.take_along_axis(logprobs, tok[:, None], axis=1)[:, 0]
-            return tok, lp
-
         @partial(jax.jit, static_argnames=("use_mask",))
         def spec_finish(logits, window, sp_packed, sp_keys, bias_ids,
                         bias_vals, grammar_mask, use_mask=False):
@@ -495,7 +493,6 @@ class BatchEngine:
         self._decode_step = bind(decode_step)
         self._horizon_step = bind(horizon_step)
         self._verify_step = bind(verify_step)
-        self._sample_from = bind(sample_from, with_params=False)
         self._spec_finish = bind(spec_finish, with_params=False)
 
         # Host fetch across a MULTI-PROCESS mesh: a jit output that spans
@@ -517,27 +514,39 @@ class BatchEngine:
 
     # ------------------------------------------------------------------
     def warmup(self) -> float:
-        """Pre-compile EVERY decode bucket (pow-2 batch sizes up to
-        max_batch) plus the prefill-chunk and first-token-sample shapes.
+        """Pre-compile EVERY serve-time shape: the full prefill grid
+        (pow-2 group sizes × pow-2 token buckets up to the chunk), every
+        pow-2 decode bucket, the horizon program, and speculative
+        chain/verify shapes.
 
-        Without this, each new batch size compiles at serve time — the
-        continuous-batching analogue of the reference's warmup.rs. On the
-        real chip a cold decode-step compile is minutes; hitting six of
-        them under live load wrecks TTFT (measured: p50 98 s on the first
-        engine-level hardware run)."""
+        Without this, shapes compile at serve time — the continuous-
+        batching analogue of the reference's warmup.rs. On the real chip
+        a cold compile is minutes through the remote link; one mid-burst
+        prefill compile measured a 23 s TTFT p50 where warm steady-state
+        is ~100 ms. The persistent compilation cache makes this a
+        once-per-machine cost."""
         t0 = time.time()
-        v = self.model.vocab_size
         chunk = (self.app_cfg.inference.prefill_chunk_size
                  or self.scheduler.config.max_batch_tokens)
         chunk = min(_next_pow2(chunk), _next_pow2(self.max_seq_len))
         mb = self.max_blocks_per_seq
-        sp1 = SamplingParams.from_config([GenerationConfig()])
-        bias1 = make_bias_rows([GenerationConfig()])
 
-        # Prefill at the chunk bucket and the smallest bucket, single-row
-        # and burst-group-row variants (SSM prefill is per-sequence).
-        p_values = (1,) if self._needs_state_rows else (1, _PREFILL_GROUP)
-        for t in {16, chunk}:
+        # Full prefill grid: every (group, bucket) shape _prefill_group
+        # can produce (SSM prefill is per-sequence, group 1).
+        if self._needs_state_rows:
+            p_values = [1]
+        else:
+            p_values = []
+            p = 1
+            while p <= _PREFILL_GROUP:
+                p_values.append(p)
+                p *= 2
+        t_buckets = []
+        t = 16
+        while t <= chunk:
+            t_buckets.append(t)
+            t *= 2
+        for t in t_buckets:
             for p in p_values:
                 rows = np.zeros((p,), dtype=np.int32)
                 if self._needs_state_rows:
@@ -552,7 +561,7 @@ class BatchEngine:
                 sp_p, keys_p = pack_sampling_host(cfgs_p, step=0)
                 bias_p = make_bias_rows(cfgs_p)
                 win_p = np.full((p, 64), PAD_TOKEN, dtype=np.int32)
-                _, last, self.cache = self._prefill_step(
+                _, _, self.cache = self._prefill_step(
                     self.cache, jnp.asarray(toks), jnp.asarray(positions),
                     jnp.asarray(slots), jnp.asarray(bt),
                     jnp.asarray(seq_lens),
@@ -567,10 +576,6 @@ class BatchEngine:
                         self._draft_cache, jnp.asarray(toks),
                         jnp.asarray(positions), jnp.asarray(slots),
                         jnp.asarray(bt), jnp.asarray(seq_lens))
-        self._sample_from(last[:1], jnp.asarray(
-            np.full((1, 64), PAD_TOKEN, dtype=np.int32)), sp1,
-            jnp.asarray(bias1[0]), jnp.asarray(bias1[1]),
-            jnp.asarray(np.ones((1, v), dtype=bool)))
 
         # Decode at every pow-2 batch bucket (and spec verify if enabled).
         b = 1
@@ -578,11 +583,11 @@ class BatchEngine:
             cfgs = [GenerationConfig() for _ in range(b)]
             sp_packed, sp_keys = pack_sampling_host(cfgs)
             bias = make_bias_rows(cfgs)
-            itab = np.zeros((b, 69 + mb), dtype=np.int32)
+            itab = np.zeros((b, _ITAB_BT + mb), dtype=np.int32)
             itab[:, 2] = self._trash
             itab[:, 4] = self.max_batch
-            itab[:, 5:69] = PAD_TOKEN
-            itab[:, 69:] = 0x7FFFFFFF
+            itab[:, _ITAB_WIN] = PAD_TOKEN
+            itab[:, _ITAB_BT:] = 0x7FFFFFFF
             itab[:, 3] = 1
             mask = jnp.asarray(np.ones((1, 1), dtype=bool))
             tok_dev, _, _, self.cache = self._decode_step(
@@ -617,7 +622,7 @@ class BatchEngine:
                     jnp.asarray(np.full((b,), self.max_batch,
                                         dtype=np.int32)))
                 tok_dev, _ = self._spec_finish(
-                    lg, jnp.asarray(itab[:, 5:69]),
+                    lg, jnp.asarray(itab[:, _ITAB_WIN]),
                     jnp.asarray(sp_packed), jnp.asarray(sp_keys),
                     jnp.asarray(bias[0]), jnp.asarray(bias[1]),
                     jnp.asarray(np.ones((1, 1), dtype=bool)),
@@ -992,10 +997,13 @@ class BatchEngine:
                 tok0[i] = seq.all_tokens[-1]
                 pos0[i] = seq.total_len - 1
                 # Blocks for chain writes (pos..pos+k-1) and verify
-                # writes (pos..pos+k); on failure the in-jit clamp sends
-                # overflow writes to the trash slot (drafts degrade,
-                # verification stays exact).
-                self.scheduler._ensure_block_for(seq, seq.total_len - 1 + k)
+                # writes (pos..pos+k); clamped to the context limit so the
+                # table never outgrows max_blocks_per_seq (pad_block_table
+                # would raise and abort the whole batch). On failure the
+                # in-jit clamp sends overflow writes to the trash slot
+                # (drafts degrade, verification stays exact).
+                self.scheduler._ensure_block_for(
+                    seq, min(seq.total_len - 1 + k, self.max_seq_len - 1))
                 bts0[i] = pad_block_table(seq.block_table,
                                           self.max_blocks_per_seq)
             d_dev, self._draft_cache = self._draft_chain(
@@ -1107,16 +1115,41 @@ class BatchEngine:
         decodes = decodes[:bmax]
         n = len(decodes)
 
+        mb = self.max_blocks_per_seq
+        any_mask = any(s.seq_id in self._grammars for s in decodes)
+        host_rows = [i for i, s in enumerate(decodes)
+                     if s.seq_id in self._host_states]
+
+        # Multi-step horizon: grammar masks advance per token and host
+        # samplers need raw logits each step, so either forces T=1.
+        # Block tables MUST be extended for the whole horizon BEFORE the
+        # itab snapshot below — the device derives write slots from the
+        # snapshot, and a write into a block it can't see clamps to the
+        # trash slot, silently losing that token's KV.
+        t_steps = 1
+        if self._horizon > 1 and not any_mask and not host_rows:
+            t_steps = min(self._horizon, max(
+                max(s.gen_cfg.max_tokens - len(s.output_tokens), 1)
+                for s in decodes))
+            if t_steps > 1:
+                for seq in decodes:
+                    # Clamp to the context limit: positions beyond it are
+                    # overrun (discarded host-side) and must not grow the
+                    # block table past max_blocks_per_seq.
+                    target = min(seq.total_len + t_steps - 1,
+                                 self.max_seq_len - 1)
+                    if not self.scheduler._ensure_block_for(seq, target):
+                        t_steps = 1   # allocator pressure: single step
+                        break
+
         # ONE packed int table (see decode_step's column map): a single
         # H2D upload instead of seven per step.
-        mb = self.max_blocks_per_seq
-        itab = np.zeros((bmax, 69 + mb), dtype=np.int32)
+        itab = np.zeros((bmax, _ITAB_BT + mb), dtype=np.int32)
         itab[:, 2] = self._trash
         itab[:, 4] = self.max_batch      # pad rows → state-pool trash row
-        itab[:, 5:69] = PAD_TOKEN
-        itab[:, 69:] = 0x7FFFFFFF
+        itab[:, _ITAB_WIN] = PAD_TOKEN
+        itab[:, _ITAB_BT:] = 0x7FFFFFFF
         cfgs = []
-        any_mask = False
         for i, seq in enumerate(decodes):
             pos = seq.total_len - 1       # position of the last token
             itab[i, 0] = seq.all_tokens[-1]
@@ -1127,11 +1160,10 @@ class BatchEngine:
             itab[i, 3] = pos + 1
             if self._needs_state_rows:
                 itab[i, 4] = self._row_for(seq.seq_id)
-            itab[i, 5:69] = make_window(self._windows[seq.seq_id],
+            itab[i, _ITAB_WIN] = make_window(self._windows[seq.seq_id],
                                         seq.gen_cfg.repeat_last_n)
-            itab[i, 69:] = pad_block_table(seq.block_table, mb)
+            itab[i, _ITAB_BT:] = pad_block_table(seq.block_table, mb)
             cfgs.append(seq.gen_cfg)
-            any_mask |= seq.seq_id in self._grammars
         for i in range(n, bmax):
             cfgs.append(GenerationConfig())
 
@@ -1145,22 +1177,6 @@ class BatchEngine:
             # a [B, vocab] plane.
             mask = np.ones((1, 1), dtype=bool)
         bias_ids, bias_vals = make_bias_rows(cfgs)
-        host_rows = [i for i, s in enumerate(decodes)
-                     if s.seq_id in self._host_states]
-
-        # Multi-step horizon: grammar masks advance per token and host
-        # samplers need raw logits each step, so either forces T=1.
-        t_steps = 1
-        if self._horizon > 1 and not any_mask and not host_rows:
-            t_steps = min(self._horizon, max(
-                max(s.gen_cfg.max_tokens - len(s.output_tokens), 1)
-                for s in decodes))
-            if t_steps > 1:
-                for seq in decodes:
-                    if not self.scheduler._ensure_block_for(
-                            seq, seq.total_len + t_steps - 1):
-                        t_steps = 1   # allocator pressure: single step
-                        break
         if t_steps > 1:
             out_dev, self.cache = self._horizon_step(
                 self.cache, jnp.asarray(itab), jnp.asarray(sp_packed),

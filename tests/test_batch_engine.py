@@ -527,6 +527,74 @@ def test_horizon_grammar_row_falls_back(model):
             == _run_requests(model, 4, prompts, cfgs))
 
 
+def test_horizon_block_boundary_crossing(model):
+    """A horizon burst that crosses KV-block boundaries must write every
+    token's KV into the newly-allocated blocks (regression: the device
+    block-table snapshot was taken BEFORE the tables were extended, so
+    crossing writes clamped to the trash slot and the KV was silently
+    lost — later steps then attended garbage)."""
+    from blazr_tpu.config import AppConfig
+
+    def mk(horizon):
+        app = AppConfig(model=model.cfg)
+        app.inference.max_seq_len = 64
+        app.inference.max_batch_size = 2
+        app.inference.block_size = 4      # many boundaries inside a burst
+        app.inference.decode_horizon = horizon
+        return BatchEngine(model, ByteTok(), app)
+
+    async def run(horizon):
+        eng = mk(horizon)
+        task = asyncio.create_task(eng.run())
+        h = eng.submit([7, 8, 9], GenerationConfig(max_tokens=30,
+                                                   temperature=0.0))
+        toks = await asyncio.wait_for(_collect(h, limit=64), timeout=120)
+        eng.stop()
+        await task
+        return toks
+
+    assert asyncio.run(run(8)) == asyncio.run(run(1))
+
+
+def test_draft_spec_near_context_limit(model):
+    """Draft-chain block ensure near max_seq_len must not overgrow the
+    block table (regression: pad_block_table raised and the whole batch
+    aborted once any sequence approached the context limit)."""
+    from blazr_tpu.config import AppConfig
+    from blazr_tpu.config.inference import SpeculativeDecodingConfig
+
+    app = AppConfig(model=model.cfg)
+    app.inference.max_seq_len = 16
+    app.inference.max_batch_size = 2
+    app.inference.block_size = 4          # max_blocks_per_seq = 4 exactly
+    app.inference.speculative = SpeculativeDecodingConfig(
+        draft_model="self", num_speculative_tokens=5)
+    eng = BatchEngine(model, ByteTok(), app, draft_model=model)
+
+    async def main():
+        task = asyncio.create_task(eng.run())
+        h = eng.submit([1, 2, 3, 4, 5, 6],
+                       GenerationConfig(max_tokens=32, temperature=0.0,
+                                        repeat_penalty=1.0))
+        toks, fin = [], None
+        while True:
+            gt, f = await asyncio.wait_for(h.queue.get(), timeout=120)
+            if gt is not None:
+                toks.append(gt.token_id)
+            if f is not None:
+                fin = f
+                break
+        eng.stop()
+        await task
+        return toks, fin
+
+    toks, fin = asyncio.run(main())
+    # Runs to the hard length cap (or EOS) — NOT a batch abort (which
+    # surfaces as FinishReason.STOP with no reason from _finish(None)).
+    assert fin in (FinishReason.LENGTH, FinishReason.EOS)
+    assert len(eng.scheduler.running) == 0
+
+
 def test_batch_engine_warmup_then_generate(model):
     """warmup() pre-compiles every decode bucket and leaves the engine
     fully functional (cache buffers cycle through donation)."""
