@@ -245,6 +245,9 @@ class BatchEngine:
 
         self._handles: dict[int, RequestHandle] = {}
         self._grammars: dict[int, GrammarState] = {}
+        # Device-resident grammar tables keyed by DFA identity (mask +
+        # token-transition planes for in-device grammar stepping).
+        self._dev_gram: dict[int, tuple] = {}
         self._windows: dict[int, list[int]] = {}
         # Host-sampler path (mirostat/DRY/typical/dynatemp): per-sequence
         # state, applied per batch row on the raw decode logits
@@ -318,16 +321,24 @@ class BatchEngine:
         trash = self._trash
         max_pos = self.max_seq_len - 1
 
-        @partial(jax.jit, donate_argnums=(1,))
+        @partial(jax.jit, donate_argnums=(1,),
+                 static_argnames=("use_grammar",))
         def horizon_step(params, cache, itab, sp_packed, sp_keys,
-                         bias_ids, bias_vals, t_steps):
+                         bias_ids, bias_vals, t_steps, gmask, gnext,
+                         gstate0, has_g, use_grammar=False):
             # Multi-step decode: up to `horizon` decode iterations in ONE
             # device program with ON-DEVICE token feedback (while_loop,
             # dynamic trip count). The host fetches a single packed
-            # [horizon, B, 2] (token, logprob-bits) buffer per call —
+            # [horizon, b, 2] (token, logprob-bits) buffer per call —
             # per-step dispatch + fetch round-trips otherwise dominate
             # (31 tok/s engine vs 1974 tok/s model-level at B=32 through
             # the remote TPU link before this change).
+            #
+            # use_grammar: DFA-tier grammars advance ON DEVICE — gmask
+            # [S, V] gates sampling per row state, gnext [S, V] is the
+            # token-level transition table (grammar.py token_tables), so
+            # constrained (JSON-mode) rows no longer force single-step
+            # rounds. One compile per padded table height S.
             b = itab.shape[0]
             pos0 = itab[:, 1]
             state_rows = itab[:, 4]
@@ -341,7 +352,7 @@ class BatchEngine:
             out0 = jnp.zeros((horizon, b, 2), dtype=jnp.int32)
 
             def body(carry):
-                i, cache, tok, window, out = carry
+                i, cache, tok, window, gstate, out = carry
                 pos = pos0 + i
                 blk = bt[rows, jnp.minimum(pos // block_size, mb_static - 1)]
                 slot = jnp.where(
@@ -358,14 +369,26 @@ class BatchEngine:
                 sp_i = dataclasses.replace(
                     sp_base,
                     key=sp_base.key.at[:, 1].add(i.astype(jnp.uint32)))
+                if use_grammar:
+                    srow = jnp.clip(gstate, 0, gmask.shape[0] - 1)
+                    mask_b = jnp.where(has_g[:, None], gmask[srow], True)
+                else:
+                    mask_b = None
                 newtok, logprobs = sample_tokens(
                     last, sp_i, window_tokens=window,
-                    logit_bias_ids=bias_ids, logit_bias_vals=bias_vals)
+                    logit_bias_ids=bias_ids, logit_bias_vals=bias_vals,
+                    grammar_mask=mask_b)
                 lp = jnp.take_along_axis(logprobs, newtok[:, None],
                                          axis=1)[:, 0]
                 out = out.at[i].set(jnp.stack(
                     [newtok, jax.lax.bitcast_convert_type(lp, jnp.int32)],
                     axis=1))
+                if use_grammar:
+                    ns = gnext[srow, newtok]
+                    # Dead transition (stuck grammar): keep the old state —
+                    # identical to the host path, whose accept_token also
+                    # refuses to advance.
+                    gstate = jnp.where(has_g & (ns >= 0), ns, gstate)
                 # In-device penalty-window update, exact make_window
                 # semantics: insert while under repeat_last_n, then
                 # shift-left within the valid region.
@@ -377,11 +400,11 @@ class BatchEngine:
                     rows, jnp.minimum(fill, window.shape[1] - 1)].set(newtok)
                 wnew = jnp.where((fill < rln)[:, None], inserted, rolled)
                 window = jnp.where((rln > 0)[:, None], wnew, window)
-                return i + 1, cache, newtok, window, out
+                return i + 1, cache, newtok, window, gstate, out
 
-            _, cache, _, _, out = jax.lax.while_loop(
+            _, cache, _, _, _, out = jax.lax.while_loop(
                 lambda c: c[0] < t_steps, body,
-                (jnp.int32(0), cache, itab[:, 0], window0, out0))
+                (jnp.int32(0), cache, itab[:, 0], window0, gstate0, out0))
             return out, cache
 
         if self._draft is not None:
@@ -598,7 +621,12 @@ class BatchEngine:
                 out_dev, self.cache = self._horizon_step(
                     self.cache, jnp.asarray(itab), jnp.asarray(sp_packed),
                     jnp.asarray(sp_keys), jnp.asarray(bias[0]),
-                    jnp.asarray(bias[1]), np.int32(1))
+                    jnp.asarray(bias[1]), np.int32(1),
+                    np.ones((1, 1), dtype=bool),
+                    np.zeros((1, 1), dtype=np.int32),
+                    jnp.asarray(np.zeros((b,), dtype=np.int32)),
+                    jnp.asarray(np.zeros((b,), dtype=bool)),
+                    use_grammar=False)
                 tok_dev = out_dev
             if self._draft is not None:
                 _, self._draft_cache = self._draft_chain(
@@ -1120,17 +1148,24 @@ class BatchEngine:
         host_rows = [i for i, s in enumerate(decodes)
                      if s.seq_id in self._host_states]
 
-        # Multi-step horizon: grammar masks advance per token and host
-        # samplers need raw logits each step, so either forces T=1.
+        # Multi-step horizon. Host samplers need raw logits each step →
+        # T=1. Grammar rows ride the horizon when their DFAs advance on
+        # device (token_tables); otherwise they also force T=1.
         # Block tables MUST be extended for the whole horizon BEFORE the
         # itab snapshot below — the device derives write slots from the
         # snapshot, and a write into a block it can't see clamps to the
         # trash slot, silently losing that token's KV.
         t_steps = 1
-        if self._horizon > 1 and not any_mask and not host_rows:
-            t_steps = min(self._horizon, max(
-                max(s.gen_cfg.max_tokens - len(s.output_tokens), 1)
-                for s in decodes))
+        g_args = None
+        if self._horizon > 1 and not host_rows:
+            ok = True
+            if any_mask:
+                g_args = self._device_grammar_args(decodes, bmax)
+                ok = g_args is not None
+            if ok:
+                t_steps = min(self._horizon, max(
+                    max(s.gen_cfg.max_tokens - len(s.output_tokens), 1)
+                    for s in decodes))
             if t_steps > 1:
                 for seq in decodes:
                     # Clamp to the context limit: positions beyond it are
@@ -1178,10 +1213,19 @@ class BatchEngine:
             mask = np.ones((1, 1), dtype=bool)
         bias_ids, bias_vals = make_bias_rows(cfgs)
         if t_steps > 1:
+            if g_args is not None:
+                gmask_dev, gnext_dev, gstate0, has_g = g_args
+            else:
+                gmask_dev = np.ones((1, 1), dtype=bool)
+                gnext_dev = np.zeros((1, 1), dtype=np.int32)
+                gstate0 = np.zeros((bmax,), dtype=np.int32)
+                has_g = np.zeros((bmax,), dtype=bool)
             out_dev, self.cache = self._horizon_step(
                 self.cache, jnp.asarray(itab), jnp.asarray(sp_packed),
                 jnp.asarray(sp_keys), jnp.asarray(bias_ids),
-                jnp.asarray(bias_vals), np.int32(t_steps))
+                jnp.asarray(bias_vals), np.int32(t_steps), gmask_dev,
+                gnext_dev, jnp.asarray(gstate0), jnp.asarray(has_g),
+                use_grammar=g_args is not None)
             out = np.array(self._to_host(out_dev))   # [H, B, 2], ONE fetch
             lps_h = out[:, :, 1].copy().view(np.float32)
             for s_i in range(t_steps):
@@ -1209,6 +1253,54 @@ class BatchEngine:
                 lps[i] = float("nan")
         for i, seq in enumerate(decodes):
             self._emit(seq, int(toks[i]), float(lps[i]))
+
+    # ------------------------------------------------------------------
+    def _device_grammar_args(self, decodes: list[Sequence], bmax: int):
+        """Device-side grammar stepping args for a horizon round, or None
+        when it can't apply (PDA-tier grammar, mixed DFAs, automaton too
+        large). Tables upload once per DFA and live on device."""
+        dfa = None
+        for s in decodes:
+            g = self._grammars.get(s.seq_id)
+            if g is None:
+                continue
+            if not isinstance(g, GrammarState):
+                return None                     # exact-PDA tier: host-only
+            if dfa is not None and g.dfa is not dfa:
+                return None                     # mixed grammars in batch
+            dfa = g.dfa
+        if dfa is None:
+            return None
+        cached = self._dev_gram.get(id(dfa))
+        if cached is None:
+            if self._vocab_bytes is None:
+                self._vocab_bytes = self.tokenizer.vocab_bytes()
+            tables = dfa.token_tables(
+                self._vocab_bytes,
+                eos_token_id=self.tokenizer.eos_token_id)
+            if tables is None:
+                return None                     # too many states
+            masks, nxt = tables
+            v = self.model.vocab_size
+            s2 = _next_pow2(masks.shape[0])     # bucket compile count by S
+            gm = np.zeros((s2, v), dtype=bool)
+            gn = np.full((s2, v), -1, dtype=np.int32)
+            tv = min(masks.shape[1], v)
+            gm[: masks.shape[0], :tv] = masks[:, :tv]
+            gn[: masks.shape[0], :tv] = nxt[:, :tv]
+            # Token ids past the tokenizer vocab stay ALLOWED with a dead
+            # transition — exactly the host _grammar_mask semantics.
+            gm[: masks.shape[0], tv:] = True
+            cached = (jnp.asarray(gm), jnp.asarray(gn))
+            self._dev_gram[id(dfa)] = cached
+        gstate0 = np.zeros((bmax,), dtype=np.int32)
+        has_g = np.zeros((bmax,), dtype=bool)
+        for i, s in enumerate(decodes):
+            g = self._grammars.get(s.seq_id)
+            if g is not None:
+                gstate0[i] = g.state
+                has_g[i] = True
+        return cached[0], cached[1], gstate0, has_g
 
     # ------------------------------------------------------------------
     def _grammar_mask(self, seq_ids: list[int], bmax: Optional[int] = None

@@ -258,6 +258,60 @@ class GrammarDfa:
         return mask
 
 
+    # -- full token tables (device-side grammar stepping) -------------------
+    def token_tables(self, token_bytes: list[bytes],
+                     eos_token_id: Optional[int] = None,
+                     max_states: int = 512
+                     ) -> Optional[tuple[np.ndarray, np.ndarray]]:
+        """(mask [S, V] bool, next_state [S, V] i32) over EVERY state —
+        the tables a device decode loop needs to advance the grammar
+        without a host round-trip per token: ``mask[s]`` gates sampling,
+        ``next[s, tok]`` is the state after consuming ``tok``'s bytes
+        (INVALID_STATE if illegal; EOS self-loops). Returns None when the
+        automaton is too large to materialize (caller falls back to
+        per-step host masks). Cached on the DFA (one tokenizer per
+        process assumed, as with the per-state mask cache)."""
+        if self.num_states > max_states:
+            return None
+        cached = self._mask_cache.get("__tables__")
+        if cached is not None:
+            return cached
+
+        v = len(token_bytes)
+        s_count = self.num_states
+        masks = np.zeros((s_count, v), dtype=bool)
+        nxt = np.full((s_count, v), INVALID_STATE, dtype=np.int32)
+        max_len = max((len(t) for t in token_bytes), default=1)
+        arr = np.full((v, max_len), -2, dtype=np.int32)   # -2 = past end
+        empty = np.zeros(v, dtype=bool)
+        for i, t in enumerate(token_bytes):
+            if t:
+                arr[i, : len(t)] = np.frombuffer(t, dtype=np.uint8)
+            else:
+                empty[i] = True
+        for s in range(s_count):
+            states = np.full(v, s, dtype=np.int32)
+            alive = np.ones(v, dtype=bool)
+            for pos in range(max_len):
+                byte = arr[:, pos]
+                active = alive & (byte >= 0)
+                if not active.any():
+                    break
+                nx = self.table[states[active], byte[active]]
+                states[active] = nx
+                dead = np.zeros(v, dtype=bool)
+                dead[active] = nx == INVALID_STATE
+                alive &= ~dead
+            alive &= ~empty                   # zero-length tokens never legal
+            masks[s] = alive
+            nxt[s] = np.where(alive, states, INVALID_STATE)
+            if eos_token_id is not None and 0 <= eos_token_id < v:
+                masks[s, eos_token_id] = bool(self.accepting[s])
+                nxt[s, eos_token_id] = s      # EOS ends generation anyway
+        self._mask_cache["__tables__"] = (masks, nxt)
+        return masks, nxt
+
+
 _DFA_CACHE: dict[str, GrammarDfa] = {}
 
 

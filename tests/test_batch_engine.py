@@ -516,15 +516,77 @@ def test_horizon_respects_max_tokens(model):
     assert len(res[1]) == 2 or eos in res[1]
 
 
-def test_horizon_grammar_row_falls_back(model):
-    """A grammar-masked row forces single-step rounds; output must match
-    the horizon=1 engine exactly."""
+# Exact-tier GBNF (small DFA): digit runs separated by commas.
+_DIGITS_GRAMMAR = 'root ::= [0-9]+ ("," [0-9]+)*'
+
+
+def test_horizon_pda_grammar_falls_back(model):
+    """JSON mode uses the exact-PDA tier (no device tables); grammar
+    rounds fall back to single-step and must stay token-exact."""
     cfgs = [GenerationConfig(max_tokens=6, temperature=0.0,
                              json_mode=True),
             GenerationConfig(max_tokens=8, temperature=0.0)]
     prompts = [[11, 12, 13], [1, 2]]
     assert (_run_requests(model, 1, prompts, cfgs)
             == _run_requests(model, 4, prompts, cfgs))
+
+
+def test_horizon_grammar_rows_step_in_device(model):
+    """Exact-DFA grammar rows advance ON DEVICE inside the horizon
+    (gmask/gnext token tables); output must match the horizon=1 engine
+    token-for-token, including the non-grammar rows riding along."""
+    cfgs = [GenerationConfig(max_tokens=6, temperature=0.0,
+                             grammar=_DIGITS_GRAMMAR),
+            GenerationConfig(max_tokens=8, temperature=0.0),
+            GenerationConfig(max_tokens=7, temperature=0.9, seed=3)]
+    prompts = [[11, 12, 13], [1, 2], [40, 41]]
+    single = _run_requests(model, 1, prompts, cfgs)
+    multi = _run_requests(model, 4, prompts, cfgs)
+    assert single == multi
+    # Every grammar-row token must actually satisfy the grammar.
+    legal = set(b"0123456789,")
+    assert all(t in legal or t == 0 for t in multi[0])
+
+
+def test_horizon_grammar_uses_device_tables(model):
+    """The in-device grammar path must actually engage for exact DFAs
+    (dev-table cache populated), not silently fall back."""
+    async def main():
+        eng = _mk_engine_h(model, 4)
+        task = asyncio.create_task(eng.run())
+        h = eng.submit([5, 6, 7], GenerationConfig(
+            max_tokens=6, temperature=0.0, grammar=_DIGITS_GRAMMAR))
+        await asyncio.wait_for(_collect(h), timeout=120)
+        eng.stop()
+        await task
+        return len(eng._dev_gram)
+
+    assert asyncio.run(main()) == 1
+
+
+def test_grammar_token_tables_match_host_walk(model):
+    """token_tables must agree with the per-state token_mask /
+    advance_bytes host walk on every reachable state."""
+    from blazr_tpu.engine.grammar import (INVALID_STATE,
+                                          compile_grammar_to_dfa)
+
+    tok_bytes = ByteTok().vocab_bytes()
+    dfa = compile_grammar_to_dfa(_DIGITS_GRAMMAR)
+    assert dfa.exact
+    masks, nxt = dfa.token_tables(tok_bytes, eos_token_id=0)
+    assert masks.shape[0] == dfa.num_states
+    for s in range(dfa.num_states):
+        ref_mask = dfa.token_mask(s, tok_bytes, eos_token_id=0)
+        np.testing.assert_array_equal(masks[s], ref_mask)
+        for tok in np.flatnonzero(ref_mask)[:8]:
+            if tok == 0:          # EOS self-loops in the table
+                assert nxt[s, tok] == s
+                continue
+            assert nxt[s, tok] == dfa.advance_bytes(s, tok_bytes[tok])
+        for tok in np.flatnonzero(~ref_mask)[:8]:
+            if tok == 0:          # EOS self-loops even where illegal
+                continue
+            assert nxt[s, tok] == INVALID_STATE
 
 
 def test_horizon_block_boundary_crossing(model):

@@ -48,15 +48,21 @@ async def main():
     task = asyncio.create_task(eng.run())
 
     ttfts = []
+    itls = []
     done_tokens = [0]
 
     async def drive(p):
         t0 = time.time()
         h = eng.submit(p, GenerationConfig(max_tokens=GEN, temperature=0.0))
         first = None
+        prev = None
         async for tok in h.tokens():
+            now = time.time()
             if first is None:
-                first = time.time() - t0
+                first = now - t0
+            else:
+                itls.append(now - prev)
+            prev = now
             done_tokens[0] += 1
         ttfts.append(first)
 
@@ -73,6 +79,13 @@ async def main():
           f"AGG {agg:.1f} tok/s  req/s {N_REQ/dt:.2f}", flush=True)
     print(f"TTFT p50 {np.percentile(ttfts, 50)*1e3:.0f} ms  "
           f"p95 {np.percentile(ttfts, 95)*1e3:.0f} ms", flush=True)
+    if itls:
+        # NOTE: horizon batching delivers tokens in bursts of up to
+        # decode_horizon, so p50 ITL reads near-zero; p95+ shows the
+        # inter-burst cadence.
+        print(f"ITL p50 {np.percentile(itls, 50)*1e3:.1f} ms  "
+              f"p95 {np.percentile(itls, 95)*1e3:.1f} ms  "
+              f"p99 {np.percentile(itls, 99)*1e3:.1f} ms", flush=True)
 
 asyncio.run(main())
 print("done", flush=True)
