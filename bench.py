@@ -186,7 +186,9 @@ def _child(name: str) -> None:
     best = dict(single)
     per_batch = {"1": round(single["toks_per_s"], 2)}
     if on_tpu:
-        for b in (8, 16, 32):
+        # B=64 is the HBM ceiling at ctx 1024 (KV ~8.6 GB + 3.8 GB params);
+        # the try/except below degrades gracefully if it doesn't fit.
+        for b in (8, 16, 32, 64):
             try:
                 r = fl.bench_decode(batch=b)
             except Exception:

@@ -466,16 +466,35 @@ class BatchEngine:
             self._draft_chain = bind_draft(draft_chain)
             self._draft_prefill = bind_draft(draft_prefill)
 
+        spec_k1 = self._spec_k + 1
+
         @partial(jax.jit, donate_argnums=(1,))
-        def verify_step(params, cache, tokens, positions, slots, block_tables,
-                        seq_lens, state_rows):
+        def verify_step(params, cache, vtab):
             # Multi-token step for speculative verification: full logits
             # [B, k+1, V]; drafts' K/V land in their real slots (accepted
             # prefixes keep them; rejected slots are overwritten when the
-            # real token reaches that position).
+            # real token reaches that position). ONE packed upload —
+            # columns: 0 pos0 | 1 span | 2 state_row | 3:3+k1 tokens |
+            # 3+k1: block table. Positions, slots and seq_lens derive
+            # in-jit (slots clamp to trash outside the row's span).
+            b = vtab.shape[0]
+            pos0 = vtab[:, 0:1]
+            span = vtab[:, 1:2]
+            state_rows = vtab[:, 2]
+            tokens = vtab[:, 3 : 3 + spec_k1]
+            bt = vtab[:, 3 + spec_k1 :]
+            rows = jnp.arange(b)[:, None]
+            j = jnp.arange(spec_k1)[None, :]
+            pos = pos0 + j                                    # [B, k+1]
+            blk = bt[rows, jnp.minimum(pos // block_size, mb_static - 1)]
+            slot = jnp.where(
+                (j < span) & (blk != 0x7FFFFFFF)
+                & (pos < mb_static * block_size),
+                blk * block_size + pos % block_size, trash)
+            posc = jnp.minimum(pos, max_pos)
+            seq_lens = (pos0 + span)[:, 0]
             logits, cache = fwd(params, cfg, tokens, cache,
-                                positions, slots, block_tables,
-                                seq_lens, state_rows)
+                                posc, slot, bt, seq_lens, state_rows)
             return logits, cache
 
         @partial(jax.jit, static_argnames=("use_mask",))
@@ -637,18 +656,12 @@ class BatchEngine:
                                         dtype=np.int32)))
             if self._spec_k:
                 k1 = self._spec_k + 1
+                vtab = np.zeros((b, 3 + k1 + mb), dtype=np.int32)
+                vtab[:, 1] = 1
+                vtab[:, 2] = self.max_batch
+                vtab[:, 3 + k1:] = 0x7FFFFFFF
                 lg, self.cache = self._verify_step(
-                    self.cache,
-                    jnp.asarray(np.zeros((b, k1), dtype=np.int32)),
-                    jnp.asarray(np.tile(np.arange(k1, dtype=np.int32),
-                                        (b, 1))),
-                    jnp.asarray(np.full((b, k1), self._trash,
-                                        dtype=np.int32)),
-                    jnp.asarray(np.full((b, mb), 0x7FFFFFFF,
-                                        dtype=np.int32)),
-                    jnp.asarray(np.ones((b,), dtype=np.int32)),
-                    jnp.asarray(np.full((b,), self.max_batch,
-                                        dtype=np.int32)))
+                    self.cache, jnp.asarray(vtab))
                 tok_dev, _ = self._spec_finish(
                     lg, jnp.asarray(itab[:, _ITAB_WIN]),
                     jnp.asarray(sp_packed), jnp.asarray(sp_keys),
@@ -990,11 +1003,14 @@ class BatchEngine:
                 and seq.seq_id not in self._host_states)
 
     def _process_decode_batch(self, decodes: list[Sequence]) -> None:
-        if self._draft is not None and self._spec_k:
-            # Draft-model mode runs the spec path EVERY round — the
-            # chain's first step is what writes each row's latest token
-            # into the draft cache, eligible or not.
-            return self._process_decode_batch_spec(decodes)
+        # Spec rounds run whenever an eligible (greedy) row is present.
+        # Eligibility is STATIC per sequence (gen_cfg, grammar and host-
+        # sampler membership are fixed at submit), so eligible rows hit
+        # the spec path on every one of their rounds — which is what
+        # keeps the draft cache continuous for them (the chain's first
+        # step writes each row's latest token). Batches with no eligible
+        # row take the plain path and its multi-step horizon; their
+        # draft-cache staleness is harmless because they never draft.
         if self._spec_k and any(self._spec_eligible(s) for s in decodes):
             return self._process_decode_batch_spec(decodes)
         return self._process_decode_batch_plain(decodes)
@@ -1039,14 +1055,14 @@ class BatchEngine:
                 jnp.asarray(bts0))
             device_drafts = np.array(self._to_host(d_dev))
 
-        tokens = np.zeros((bmax, k + 1), dtype=np.int32)
-        positions = np.zeros((bmax, k + 1), dtype=np.int32)
-        slots = np.full((bmax, k + 1), self._trash, dtype=np.int32)
-        bts = np.full((bmax, self.max_blocks_per_seq), 0x7FFFFFFF,
-                      dtype=np.int32)
-        seq_lens = np.zeros((bmax,), dtype=np.int32)
+        # ONE packed upload (see verify_step's column map): 0 pos0 |
+        # 1 span | 2 state_row | 3:3+k1 tokens | 3+k1: block table.
+        mb = self.max_blocks_per_seq
+        vtab = np.zeros((bmax, 3 + (k + 1) + mb), dtype=np.int32)
+        vtab[:, 1] = 1
+        vtab[:, 2] = self.max_batch      # pad rows → state-pool trash row
+        vtab[:, 3 + (k + 1):] = 0x7FFFFFFF
         windows = np.full((bmax, 64), PAD_TOKEN, dtype=np.int32)
-        rows = np.full((bmax,), self.max_batch, dtype=np.int32)
         cfgs = []
         drafts: list[list[int]] = []
         any_mask = False
@@ -1067,27 +1083,22 @@ class BatchEngine:
                         seq, pos + len(draft)):
                     draft = []            # allocator pressure: plain row
             drafts.append(draft)
-            tokens[i, 0] = history[-1]
-            tokens[i, 1 : 1 + len(draft)] = draft
-            positions[i] = np.arange(pos, pos + k + 1)
-            span = 1 + len(draft)
-            slots[i, :span] = compute_slot_mapping(
-                seq.block_table, pos, span, self.block_size, self._trash)
-            bts[i] = pad_block_table(seq.block_table, self.max_blocks_per_seq)
-            seq_lens[i] = pos + span
+            vtab[i, 0] = pos
+            vtab[i, 1] = 1 + len(draft)
+            if self._needs_state_rows:
+                vtab[i, 2] = self._row_for(seq.seq_id)
+            vtab[i, 3] = history[-1]
+            vtab[i, 4 : 4 + len(draft)] = draft
+            vtab[i, 3 + (k + 1):] = pad_block_table(seq.block_table, mb)
             windows[i] = make_window(self._windows[seq.seq_id],
                                      seq.gen_cfg.repeat_last_n)
-            if self._needs_state_rows:
-                rows[i] = self._row_for(seq.seq_id)
             cfgs.append(seq.gen_cfg)
             any_mask |= seq.seq_id in self._grammars
         for i in range(n, bmax):
             cfgs.append(GenerationConfig())
 
         logits_dev, self.cache = self._verify_step(
-            self.cache, jnp.asarray(tokens), jnp.asarray(positions),
-            jnp.asarray(slots), jnp.asarray(bts), jnp.asarray(seq_lens),
-            jnp.asarray(rows))
+            self.cache, jnp.asarray(vtab))
 
         # Position-0 sampling for every row — the exact plain-step path
         # (grammar masks, bias, windows all apply to non-greedy rows) —

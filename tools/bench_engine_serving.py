@@ -4,6 +4,9 @@ under concurrent load — includes every host-side overhead the
 model-level bench (bench.py) excludes.
 
 Usage: python tools/bench_engine_serving.py [n_requests] [max_batch]
+           [--horizon N] [--draft] [--spec K]
+  --draft: batched draft-MODEL speculation with a small synthetic draft
+  --spec K: speculative depth (with --draft) or prompt-lookup otherwise
 """
 import asyncio, sys, time
 sys.path.insert(0, "/root/repo"); sys.path.insert(0, "/root/repo/tests")
@@ -15,13 +18,25 @@ assert jax.default_backend() in ("tpu", "axon")
 print("alive:", float(jnp.sum(jnp.ones((8, 8)))), flush=True)
 
 from blazr_tpu.config import AppConfig, GenerationConfig
+from blazr_tpu.config.inference import SpeculativeDecodingConfig
 from blazr_tpu.engine.batch_engine import BatchEngine
 from blazr_tpu.utils.synthetic import mistral_7b_config, synth_model
 from tests_helpers import ByteTok
 
-N_REQ = int(sys.argv[1]) if len(sys.argv) > 1 else 64
-MAX_BATCH = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+args = [a for a in sys.argv[1:] if not a.startswith("--")]
+N_REQ = int(args[0]) if len(args) > 0 else 64
+MAX_BATCH = int(args[1]) if len(args) > 1 else 32
 PROMPT_LEN, GEN = 128, 64
+
+
+def _flag(name, default=None, cast=int):
+    if f"--{name}" in sys.argv:
+        i = sys.argv.index(f"--{name}")
+        if i + 1 < len(sys.argv) and not sys.argv[i + 1].startswith("--"):
+            return cast(sys.argv[i + 1])
+        return True
+    return default
+
 
 cfg = mistral_7b_config()
 t0 = time.time()
@@ -32,7 +47,21 @@ app = AppConfig(model=cfg)
 app.inference.max_seq_len = 1024
 app.inference.max_batch_size = MAX_BATCH
 app.inference.prefill_chunk_size = 512
-eng = BatchEngine(model, ByteTok(), app)
+horizon = _flag("horizon")
+if horizon:
+    app.inference.decode_horizon = int(horizon)
+spec_k = _flag("spec")
+draft = None
+if _flag("draft") or spec_k:
+    app.inference.speculative = SpeculativeDecodingConfig(
+        draft_model="synthetic" if _flag("draft") else None,
+        num_speculative_tokens=int(spec_k or 5))
+    if _flag("draft"):
+        dcfg = mistral_7b_config()
+        dcfg.num_layers = 4              # ~8x smaller draft
+        draft = synth_model(dcfg, quant="awq", dtype=jnp.bfloat16)
+        print("draft model synthesized (4 layers)", flush=True)
+eng = BatchEngine(model, ByteTok(), app, draft_model=draft)
 
 rng = np.random.default_rng(0)
 prompts = [[int(t) for t in rng.integers(1, 250, PROMPT_LEN)]
@@ -51,9 +80,14 @@ async def main():
     itls = []
     done_tokens = [0]
 
+    # Spec eligibility needs pure greedy (repeat_penalty 1.0).
+    gen_kw = dict(max_tokens=GEN, temperature=0.0)
+    if spec_k or _flag("draft"):
+        gen_kw["repeat_penalty"] = 1.0
+
     async def drive(p):
         t0 = time.time()
-        h = eng.submit(p, GenerationConfig(max_tokens=GEN, temperature=0.0))
+        h = eng.submit(p, GenerationConfig(**gen_kw))
         first = None
         prev = None
         async for tok in h.tokens():
@@ -86,6 +120,10 @@ async def main():
         print(f"ITL p50 {np.percentile(itls, 50)*1e3:.1f} ms  "
               f"p95 {np.percentile(itls, 95)*1e3:.1f} ms  "
               f"p99 {np.percentile(itls, 99)*1e3:.1f} ms", flush=True)
+    if eng.spec_drafted:
+        print(f"spec drafted {eng.spec_drafted} accepted "
+              f"{eng.spec_accepted} "
+              f"({100*eng.spec_accepted/eng.spec_drafted:.0f}%)", flush=True)
 
 asyncio.run(main())
 print("done", flush=True)
