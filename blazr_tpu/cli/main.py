@@ -215,12 +215,21 @@ def main(argv=None) -> int:
         level=logging.DEBUG if args.verbose else logging.INFO,
         format="%(asctime)s %(levelname).1s %(name)s: %(message)s",
     )
-    _pin_backend(args.device)
     if args.coordinator or args.num_processes:
+        # jax.distributed.initialize() must run BEFORE any backend is
+        # initialized — _pin_backend's jax.devices() probe would make
+        # every multi-host run with a healthy accelerator crash with
+        # "initialize() must be called before ...". Pin config flags
+        # (they don't touch backends) after rendezvous.
         from ..parallel.multihost import init_distributed, is_primary
 
+        if args.device == "cpu":
+            import jax
+
+            jax.config.update("jax_platforms", "cpu")
         multi = init_distributed(args.coordinator, args.num_processes,
                                  args.process_id)
+        _pin_backend(args.device)
         if multi and args.command == "serve":
             # Multi-NODE SPMD serving: HTTP binds on process 0 only; every
             # process (0 included) drives the engine through the lockstep
@@ -233,6 +242,8 @@ def main(argv=None) -> int:
             if not is_primary():
                 print("serve: lockstep follower (HTTP on process 0 only)",
                       file=sys.stderr)
+    else:
+        _pin_backend(args.device)
     return {
         "run": cmd_run, "generate": cmd_generate, "chat": cmd_chat,
         "serve": cmd_serve, "bench": cmd_bench, "info": cmd_info,
@@ -360,24 +371,13 @@ def cmd_run(args) -> int:
         g = Path(args.grammar)
         cfg.grammar = g.read_text() if g.exists() else args.grammar
     if args.prompt:
+        spec = None
         if getattr(args, "prompt_lookup", False):
             from ..engine.speculative import PromptLookupExecutor
 
             spec = PromptLookupExecutor(
                 ex, num_speculative_tokens=args.num_speculative_tokens)
-            import time as _t
-
-            t0 = _t.time()
-            n = 0
-            for gt in spec.generate(ex.tokenizer.encode(args.prompt), cfg):
-                print(gt.text, end="", flush=True)
-                n += 1
-            dt = _t.time() - t0
-            print(f"\n[{n} tokens, {n/max(dt,1e-9):.1f} tok/s, "
-                  f"acceptance {spec.stats.acceptance_rate:.0%}]",
-                  file=sys.stderr)
-            return 0
-        if getattr(args, "draft_model", None):
+        elif getattr(args, "draft_model", None):
             from ..config.inference import SpeculativeDecodingConfig
             from ..engine.speculative import SpeculativeExecutor
 
@@ -385,14 +385,13 @@ def cmd_run(args) -> int:
             spec = SpeculativeExecutor(
                 draft, ex, SpeculativeDecodingConfig(
                     num_speculative_tokens=args.num_speculative_tokens))
-            import time as _t
-
-            t0 = _t.time()
+        if spec is not None:
+            t0 = time.time()
             n = 0
             for gt in spec.generate(ex.tokenizer.encode(args.prompt), cfg):
                 print(gt.text, end="", flush=True)
                 n += 1
-            dt = _t.time() - t0
+            dt = time.time() - t0
             print(f"\n[{n} tokens, {n/max(dt,1e-9):.1f} tok/s, "
                   f"acceptance {spec.stats.acceptance_rate:.0%}]",
                   file=sys.stderr)
@@ -492,7 +491,11 @@ def cmd_serve(args) -> int:
                                tp=_resolve_tp(getattr(args, "tp", None)),
                                quant_compute=getattr(args, "quant_compute",
                                                      None))
-    if not args.no_warmup:
+    if not args.no_warmup and not args.continuous_batching:
+        # Under continuous batching the serving path is the batch engine
+        # (warmed below, after its config overrides are applied); the
+        # executor only backs force_direct/multimodal requests, which can
+        # compile lazily. Warming both would double the cold-compile bill.
         try:
             ex = scheduler.get_executor("default")
             ex.warmup()
@@ -504,7 +507,12 @@ def cmd_serve(args) -> int:
     if args.continuous_batching:
         from ..engine.batch_engine import BatchEngine
 
-        ex = scheduler.get_executor("default")
+        try:
+            ex = scheduler.get_executor("default")
+        except FileNotFoundError:
+            print("error: --continuous-batching requires a resolvable "
+                  "default model (none found at startup)", file=sys.stderr)
+            return 2
         ex.app_cfg.inference.max_batch_size = args.max_batch_size
         ex.app_cfg.inference.prefix_cache = True
         ex.app_cfg.inference.kv_cache_dtype = args.kv_cache_dtype
@@ -753,7 +761,10 @@ complete -F _blazr_tpu "python -m blazr_tpu.cli"
 
 def cmd_completions(args) -> int:
     """Shell completion script (reference clap_complete dispatch,
-    main.rs:177-184)."""
+    main.rs:177-184). zsh consumes the bash script through its
+    bash-compatibility layer."""
+    if getattr(args, "shell", "bash") == "zsh":
+        print("autoload -U +X bashcompinit && bashcompinit")
     print(_COMPLETION_BASH)
     return 0
 

@@ -589,7 +589,11 @@ class BatchEngine:
             t_buckets.append(t)
             t *= 2
         for t in t_buckets:
-            for p in p_values:
+            # Grouped bursts of very long chunks are rare; warming every
+            # p at t > 1024 would dominate warmup wall time (a [8, 4096]
+            # prefill executes 32k tokens). One runtime compile for that
+            # corner beats minutes of warmup for everyone.
+            for p in (p_values if t <= 1024 else p_values[:1]):
                 rows = np.zeros((p,), dtype=np.int32)
                 if self._needs_state_rows:
                     # SSM prefill uses exact pow-2 sub-chunks — same shapes.

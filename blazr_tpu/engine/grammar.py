@@ -221,9 +221,10 @@ class GrammarDfa:
 
         A token is legal if consuming all its bytes never hits the dead
         state. EOS is legal iff the state is accepting. Rows are cached per
-        state (vectorized walk over the whole vocab).
+        (state, vocab size, eos) — DFAs are shared process-wide by grammar
+        source, and two loaded models may use different tokenizers.
         """
-        key = state
+        key = (state, len(token_bytes), eos_token_id)
         cached = self._mask_cache.get(key)
         if cached is not None:
             return cached
@@ -269,11 +270,12 @@ class GrammarDfa:
         ``next[s, tok]`` is the state after consuming ``tok``'s bytes
         (INVALID_STATE if illegal; EOS self-loops). Returns None when the
         automaton is too large to materialize (caller falls back to
-        per-step host masks). Cached on the DFA (one tokenizer per
-        process assumed, as with the per-state mask cache)."""
+        per-step host masks). Cached on the DFA per (vocab size, eos) —
+        DFAs are shared process-wide and tokenizers may differ."""
         if self.num_states > max_states:
             return None
-        cached = self._mask_cache.get("__tables__")
+        tkey = ("__tables__", len(token_bytes), eos_token_id)
+        cached = self._mask_cache.get(tkey)
         if cached is not None:
             return cached
 
@@ -308,7 +310,7 @@ class GrammarDfa:
             if eos_token_id is not None and 0 <= eos_token_id < v:
                 masks[s, eos_token_id] = bool(self.accepting[s])
                 nxt[s, eos_token_id] = s      # EOS ends generation anyway
-        self._mask_cache["__tables__"] = (masks, nxt)
+        self._mask_cache[tkey] = (masks, nxt)
         return masks, nxt
 
 

@@ -148,16 +148,42 @@ def apply_top_k(logits: jax.Array, top_k: jax.Array) -> jax.Array:
 
 def apply_top_p(logits: jax.Array, top_p: jax.Array) -> jax.Array:
     """Nucleus filtering: keep the smallest prefix of sorted probs whose sum
-    exceeds p (always keeps the argmax)."""
+    exceeds p (always keeps the argmax, including at top_p == 0)."""
     sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
     probs = jax.nn.softmax(sorted_logits, axis=-1)
     cum = jnp.cumsum(probs, axis=-1)
     # Token i is kept if the cumulative mass BEFORE it is < p.
     keep_sorted = (cum - probs) < top_p[:, None]
+    keep_sorted = keep_sorted.at[:, 0].set(True)       # argmax always kept
     # Threshold = smallest kept logit.
     threshold = jnp.min(
         jnp.where(keep_sorted, sorted_logits, jnp.inf), axis=-1, keepdims=True
     )
+    return jnp.where(logits >= threshold, logits, -jnp.inf)
+
+
+def apply_top_k_top_p(logits: jax.Array, top_k: jax.Array,
+                      top_p: jax.Array) -> jax.Array:
+    """Fused top-k → nucleus filtering over ONE [B, V] sort.
+
+    Matches apply_top_p(apply_top_k(logits, k), p) exactly: the top-k
+    cut keeps sorted ranks < k; nucleus mass is computed over the
+    k-filtered distribution in the same sorted space. Sorting the vocab
+    is the sampler's dominant cost — the split implementation paid it
+    twice per decode step (top_p == 0 keeps the argmax, as above)."""
+    v = logits.shape[-1]
+    sorted_desc = jnp.sort(logits, axis=-1)[:, ::-1]
+    ranks = jnp.arange(v)[None, :]
+    k = jnp.where(top_k <= 0, v, jnp.minimum(top_k, v))
+    keep_k = ranks < k[:, None]
+    kept = jnp.where(keep_k, sorted_desc, -jnp.inf)
+    probs = jax.nn.softmax(kept, axis=-1)              # mass over kept set
+    cum = jnp.cumsum(probs, axis=-1)
+    keep_p = (cum - probs) < top_p[:, None]
+    keep = keep_k & keep_p
+    keep = keep.at[:, 0].set(True)                     # argmax always kept
+    threshold = jnp.min(
+        jnp.where(keep, sorted_desc, jnp.inf), axis=-1, keepdims=True)
     return jnp.where(logits >= threshold, logits, -jnp.inf)
 
 
@@ -207,8 +233,7 @@ def sample_tokens(
 
     temp = jnp.maximum(params.temperature, 1e-6)[:, None]
     scaled = logits / temp
-    scaled = apply_top_k(scaled, params.top_k)
-    scaled = apply_top_p(scaled, params.top_p)
+    scaled = apply_top_k_top_p(scaled, params.top_k, params.top_p)
     scaled = apply_min_p(scaled, params.min_p)
 
     # Gumbel-max seeded sampling, one key per row. The key is derived

@@ -76,6 +76,33 @@ def test_top_p_one_disabled():
     assert np.isfinite(out).all()
 
 
+def test_top_p_zero_keeps_argmax():
+    """top_p=0 (a common near-greedy idiom, allowed by validation) must
+    keep exactly the argmax — not mask every token and emit id 0."""
+    from blazr_tpu.engine.sampling import apply_top_k_top_p
+
+    logits = jnp.asarray([[1.0, 5.0, 3.0, 0.5]])
+    out = np.asarray(apply_top_p(logits, jnp.asarray([0.0])))
+    assert out[0, 1] == 5.0 and np.isneginf(out[0, [0, 2, 3]]).all()
+    out = np.asarray(apply_top_k_top_p(logits, jnp.asarray([0]),
+                                       jnp.asarray([0.0])))
+    assert out[0, 1] == 5.0 and np.isneginf(out[0, [0, 2, 3]]).all()
+
+
+def test_fused_top_k_top_p_matches_split():
+    """The single-sort fused path must reproduce
+    apply_top_p(apply_top_k(x)) on random rows across k/p settings."""
+    from blazr_tpu.engine.sampling import apply_top_k_top_p
+
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(rng.normal(size=(6, 64)).astype(np.float32))
+    ks = jnp.asarray([0, 1, 5, 64, 16, 3])
+    ps = jnp.asarray([1.0, 0.9, 0.5, 0.3, 1.0, 0.7])
+    split = np.asarray(apply_top_p(apply_top_k(logits, ks), ps))
+    fused = np.asarray(apply_top_k_top_p(logits, ks, ps))
+    np.testing.assert_allclose(fused, split, rtol=1e-6)
+
+
 def test_min_p():
     logits = jnp.log(jnp.asarray([[0.5, 0.3, 0.15, 0.05]]))
     out = np.asarray(apply_min_p(logits, jnp.asarray([0.5])))
