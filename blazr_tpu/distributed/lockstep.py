@@ -165,6 +165,12 @@ class LockstepEngine:
             else:
                 self._steps += 1
         self.engine.stop()
+        # Submits queued after the final snapshot would otherwise hang
+        # their awaiting handlers forever.
+        for _, fut in self._pending:
+            if fut is not None and not fut.done():
+                fut.set_exception(RuntimeError("lockstep engine stopped"))
+        self._pending.clear()
         logger.info("lockstep engine stopped after %d steps", self._steps)
 
     # -- op application (identical on every process) ---------------------
@@ -180,10 +186,26 @@ class LockstepEngine:
                     fut = futs[fi]
                 fi += 1
             if kind == "submit":
-                handle = self.engine.submit(
-                    op["tokens"], GenerationConfig.from_dict(op["gen"]))
+                # Per-request failures (bad grammar, invalid gen config)
+                # must fail THAT request, not the world — the op raises
+                # identically on every process (pure function of the op
+                # payload), so all hosts stay in lockstep either way.
+                try:
+                    handle = self.engine.submit(
+                        op["tokens"], GenerationConfig.from_dict(op["gen"]))
+                except Exception as e:
+                    logger.warning("lockstep submit rejected: %s", e)
+                    if fut is not None and not fut.done():
+                        fut.set_exception(e)
+                    continue
                 if self.is_primary and fut is not None:
-                    fut.set_result(handle)
+                    # The client may have disconnected (future cancelled)
+                    # between queueing and broadcast; the sequence still
+                    # runs on every process — detach its stream.
+                    if not fut.done():
+                        fut.set_result(handle)
+                    else:
+                        self.engine.detach_handle(handle.seq_id)
                 elif not self.is_primary:
                     # Followers decode every sequence but stream to no one.
                     self.engine.detach_handle(handle.seq_id)

@@ -685,11 +685,14 @@ class BatchEngine:
                gen_cfg: Optional[GenerationConfig] = None) -> RequestHandle:
         gen_cfg = gen_cfg or GenerationConfig()
         gen_cfg.validate()
+        # Everything that can REJECT the request (grammar compile) runs
+        # before the scheduler mutation — a failure after add_request
+        # would leave an orphaned sequence queued for decode.
+        g = self._grammar_for(gen_cfg)
         seq_id = self.scheduler.add_request(prompt_tokens, gen_cfg)
         handle = RequestHandle(seq_id=seq_id, queue=asyncio.Queue(),
                                prompt_tokens=len(prompt_tokens))
         self._handles[seq_id] = handle
-        g = self._grammar_for(gen_cfg)
         if g is not None:
             self._grammars[seq_id] = g
         self._windows[seq_id] = list(prompt_tokens)
@@ -722,8 +725,11 @@ class BatchEngine:
         logits_row = np.asarray(logits_row, dtype=np.float32)
         g = self._grammars.get(seq.seq_id)
         if g is not None:
+            # Pad-vocab models: ids past the tokenizer vocab never legal.
             m = g.mask()
-            logits_row = np.where(m[: len(logits_row)], logits_row, -np.inf)
+            mfull = np.zeros(len(logits_row), dtype=bool)
+            mfull[: min(len(m), len(logits_row))] = m[: len(logits_row)]
+            logits_row = np.where(mfull, logits_row, -np.inf)
         return host_sample(logits_row, seq.gen_cfg,
                            self._windows[seq.seq_id],
                            st["mirostat"], st["breakers"], st["rng"])
@@ -1303,9 +1309,8 @@ class BatchEngine:
             tv = min(masks.shape[1], v)
             gm[: masks.shape[0], :tv] = masks[:, :tv]
             gn[: masks.shape[0], :tv] = nxt[:, :tv]
-            # Token ids past the tokenizer vocab stay ALLOWED with a dead
-            # transition — exactly the host _grammar_mask semantics.
-            gm[: masks.shape[0], tv:] = True
+            # Token ids past the tokenizer vocab stay ILLEGAL (gm zeros)
+            # — same as the host _grammar_mask padding.
             cached = (jnp.asarray(gm), jnp.asarray(gn))
             self._dev_gram[id(dfa)] = cached
         gstate0 = np.zeros((bmax,), dtype=np.int32)
@@ -1327,7 +1332,10 @@ class BatchEngine:
             g = self._grammars.get(sid)
             if g is not None:
                 m = g.mask()
-                mask[i, : len(m)] = m[:v]
+                # Pad-vocab models: ids past the tokenizer vocab are
+                # never legal for a constrained row.
+                mask[i, :] = False
+                mask[i, : min(len(m), v)] = m[:v]
         return mask
 
     # ------------------------------------------------------------------

@@ -468,10 +468,13 @@ class Executor:
 
         emitted = 0
         pos = len(prompt_ids)
+        # Unused under use_mask=False — one byte, not a [1, vocab] fill
+        # per decode step (hot-loop allocation + dispatch).
+        dummy_mask = jnp.ones((1, 1), dtype=bool)
 
         def grammar_mask_dev():
             if grammar is None:
-                return jnp.ones((1, self.model.vocab_size), dtype=bool)
+                return dummy_mask
             m = grammar.mask()
             v = self.model.vocab_size
             if len(m) < v:
@@ -484,8 +487,13 @@ class Executor:
             if host_path:
                 logits_np = np.asarray(last_logits_dev)[0]
                 if grammar is not None:
+                    # Pad-vocab models: logits may be longer than the
+                    # tokenizer mask — padded ids are never legal.
                     m = grammar.mask()
-                    logits_np = np.where(m[: len(logits_np)], logits_np, -np.inf)
+                    mfull = np.zeros(len(logits_np), dtype=bool)
+                    mfull[: min(len(m), len(logits_np))] = \
+                        m[: len(logits_np)]
+                    logits_np = np.where(mfull, logits_np, -np.inf)
                 tok = host_sample(logits_np, cfg, history, mirostat,
                                   breaker_ids, host_rng)
                 return tok, float("nan"), None, None
@@ -541,8 +549,7 @@ class Executor:
                     tok_dev, cache, lp_dev, top_lp, top_ids = self._decode_step(
                         cache, jnp.asarray([[tok]], dtype=jnp.int32), window,
                         positions, seq_lens, sp, bias_ids, bias_vals,
-                        grammar_mask_dev() if use_mask else
-                        jnp.ones((1, self.model.vocab_size), dtype=bool),
+                        grammar_mask_dev() if use_mask else dummy_mask,
                         use_mask=use_mask,
                     )
                     kv_tokens.append(tok)
@@ -593,7 +600,11 @@ class Executor:
         out: set[int] = set()
         for s in cfg.dry_sequence_breakers:
             ids = self.tokenizer.encode(s) if hasattr(self.tokenizer, "encode") else []
-            out.update(ids[-1:])    # last token of each breaker string
+            # ALL tokens of each breaker string reset the DRY match window
+            # (same semantics as BatchEngine._dry_breaker_ids — keeping
+            # only the last token made the two engines sample differently
+            # for identical requests).
+            out.update(ids)
         return out
 
     # ------------------------------------------------------------------

@@ -197,8 +197,32 @@ def host_sample(
     breaker_ids: Optional[set[int]] = None,
     rng: Optional[np.random.Generator] = None,
 ) -> int:
-    """Full host-side chain for exotic samplers."""
+    """Full host-side chain for exotic samplers.
+
+    Mirrors the fused device chain's standard stages (repeat/frequency/
+    presence penalties, logit bias, temperature, top-k/top-p/min-p) so a
+    request that ALSO uses a host-only sampler doesn't silently lose
+    them (reference applies its full stack CPU-side the same way)."""
     logits = np.asarray(logits, dtype=np.float32).copy()
+    v = len(logits)
+
+    # Repetition / frequency / presence penalties over the recent window.
+    if (cfg.repeat_penalty != 1.0 or cfg.frequency_penalty
+            or cfg.presence_penalty):
+        n = min(cfg.repeat_last_n, 64)
+        recent = [t for t in history[-n:] if 0 <= t < v] if n > 0 else []
+        if recent:
+            ids, counts = np.unique(recent, return_counts=True)
+            rp = cfg.repeat_penalty
+            logits[ids] = np.where(logits[ids] > 0, logits[ids] / rp,
+                                   logits[ids] * rp)
+            logits[ids] -= counts.astype(np.float32) * cfg.frequency_penalty
+            logits[ids] -= cfg.presence_penalty
+    if cfg.logit_bias:
+        for tid, val in cfg.logit_bias.items():
+            tid = int(tid)
+            if 0 <= tid < v:
+                logits[tid] += float(val)
 
     if cfg.dry_multiplier > 0.0:
         logits = apply_dry_penalty(
@@ -219,6 +243,23 @@ def host_sample(
 
     if temp <= 0.0:
         return int(np.argmax(logits))
-    probs = _softmax((logits / temp).astype(np.float64))
+    scaled = logits / temp
+    # top-k → top-p → min-p, matching the device chain's order.
+    if cfg.top_k and cfg.top_k > 0 and cfg.top_k < v:
+        kth = np.partition(scaled, -cfg.top_k)[-cfg.top_k]
+        scaled = np.where(scaled >= kth, scaled, -np.inf)
+    if cfg.top_p < 1.0:
+        order = np.argsort(scaled)[::-1]
+        probs = _softmax(scaled[order].astype(np.float64))
+        cum = np.cumsum(probs)
+        keep_sorted = (cum - probs) < cfg.top_p
+        keep_sorted[0] = True                    # argmax always kept
+        thresh = np.min(np.where(keep_sorted, scaled[order], np.inf))
+        scaled = np.where(scaled >= thresh, scaled, -np.inf)
+    if cfg.min_p > 0.0:
+        probs = _softmax(scaled.astype(np.float64))
+        keep = probs >= cfg.min_p * probs.max()
+        scaled = np.where(keep, scaled, -np.inf)
+    probs = _softmax(scaled.astype(np.float64))
     rng = rng or np.random.default_rng(cfg.seed or 0)
     return int(rng.choice(len(probs), p=probs))

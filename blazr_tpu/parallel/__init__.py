@@ -1,6 +1,5 @@
 from .mesh import MeshConfig, make_mesh, replicated, validate_tp_size
 from .tp import (
-    cache_shardings,
     data_spec,
     kv_cache_spec,
     llama_param_specs,

@@ -145,6 +145,10 @@ def shard_params(params: dict, mesh: Mesh, model_cfg=None) -> dict:
     """Place params on the mesh according to the TP rules."""
     if model_cfg is not None and mesh.shape.get("tp", 1) > 1:
         params = unfuse_projections(params, model_cfg)
+        # Post-unfuse pass: per-role q/k/v/gate/up widths (and nested
+        # expert stacks) get the clean divisibility error here rather
+        # than an obscure GSPMD failure inside device_put.
+        validate_quant_tp(params, mesh.shape["tp"])
     specs = llama_param_specs(params)
 
     def place(p, spec):
@@ -157,10 +161,16 @@ def shard_params(params: dict, mesh: Mesh, model_cfg=None) -> dict:
 
 
 def _iter_named_quant(params: dict):
-    for layer in params.get("layers", []):
-        for key, val in layer.items():
+    def walk(d):
+        for key, val in d.items():
             if isinstance(val, QuantTensor):
                 yield key, val
+            elif isinstance(val, dict):
+                # Nested groups (the "moe" subtree with expert stacks).
+                yield from walk(val)
+
+    for layer in params.get("layers", []):
+        yield from walk(layer)
     for key in ("lm_head",):
         if isinstance(params.get(key), QuantTensor):
             yield key, params[key]
@@ -179,6 +189,16 @@ def validate_quant_tp(params: dict, tp: int) -> None:
     if tp <= 1:
         return
     for key, qt in _iter_named_quant(params):
+        if key in ("qkv", "gateup"):
+            # Fused projections are validated on total width here (a
+            # necessary condition); shard_params re-validates per-role
+            # widths after unfuse_projections.
+            if qt.out_features % tp:
+                raise ValueError(
+                    f"cannot tensor-parallel fused weight {key!r}: "
+                    f"out_features {qt.out_features} not divisible by "
+                    f"tp={tp}")
+            continue
         if key in _COL_KEYS or key in _EXPERT_COL:
             if qt.out_features % tp:
                 raise ValueError(
@@ -191,10 +211,12 @@ def validate_quant_tp(params: dict, tp: int) -> None:
                     f"cannot tensor-parallel quantized weight {key!r}: "
                     f"in_features {k} / tp={tp} must be a multiple of "
                     f"group_size {qt.group_size}")
-            if qt.qweight.shape[0] % tp:
+            # shape[-2] is the packed-K axis for both plain [rows, N] and
+            # stacked-expert [E, rows, N] layouts.
+            if qt.qweight.shape[-2] % tp:
                 raise ValueError(
                     f"cannot tensor-parallel quantized weight {key!r}: "
-                    f"{qt.qweight.shape[0]} packed rows not divisible by "
+                    f"{qt.qweight.shape[-2]} packed rows not divisible by "
                     f"tp={tp}")
             if qt.perm is not None:
                 # desc-act permutation mixes K rows across shards.
@@ -264,17 +286,6 @@ def kv_cache_spec() -> P:
 def data_spec() -> P:
     """[B, T] token/position arrays: batch over dp."""
     return P("dp", None)
-
-
-def cache_shardings(mesh: Mesh, cache) -> Any:
-    """NamedSharding pytree for a KVCache."""
-    from ..kvcache.contiguous import KVCache
-
-    return KVCache(
-        k=NamedSharding(mesh, kv_cache_spec()),
-        v=NamedSharding(mesh, kv_cache_spec()),
-        length=NamedSharding(mesh, P("dp")),
-    )
 
 
 def shard_cache(cache, mesh: Mesh):
