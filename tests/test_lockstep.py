@@ -117,6 +117,58 @@ def test_lockstep_cancel_and_stop(model):
     assert len(toks) < 500
 
 
+def test_lockstep_bad_request_fails_only_that_request(model):
+    """A rejected submit (unparseable grammar) must fail ITS caller, not
+    the lockstep loop; later requests keep serving."""
+    async def main():
+        eng = _mk_engine(model)
+        ls = LockstepEngine(eng, heartbeat_s=0.2)
+        task = asyncio.create_task(ls.run())
+        bad = GenerationConfig(max_tokens=4, temperature=0.0,
+                               grammar="::= not a grammar (((")
+        failed = False
+        try:
+            await asyncio.wait_for(ls.submit([1, 2], bad), timeout=30)
+        except Exception:
+            failed = True
+        h = await asyncio.wait_for(
+            ls.submit([5, 6, 7], GenerationConfig(max_tokens=4,
+                                                  temperature=0.0)),
+            timeout=30)
+        toks = await asyncio.wait_for(_collect(h, limit=8), timeout=60)
+        ls.stop()
+        await asyncio.wait_for(task, timeout=60)
+        return failed, toks
+
+    failed, toks = asyncio.run(main())
+    assert failed
+    assert 1 <= len(toks) <= 4
+
+
+def test_lockstep_cancelled_future_detaches(model):
+    """A client that disconnects between queueing and broadcast (future
+    cancelled) must not crash the loop; its sequence is detached."""
+    async def main():
+        eng = _mk_engine(model)
+        ls = LockstepEngine(eng, heartbeat_s=0.2)
+        sub = asyncio.create_task(ls.submit(
+            [9, 9, 9], GenerationConfig(max_tokens=3, temperature=0.0)))
+        await asyncio.sleep(0)       # queue the op, then abandon it
+        sub.cancel()
+        task = asyncio.create_task(ls.run())
+        h = await asyncio.wait_for(
+            ls.submit([5, 6], GenerationConfig(max_tokens=3,
+                                               temperature=0.0)),
+            timeout=30)
+        toks = await asyncio.wait_for(_collect(h, limit=8), timeout=60)
+        ls.stop()
+        await asyncio.wait_for(task, timeout=60)
+        return toks
+
+    toks = asyncio.run(main())
+    assert 1 <= len(toks) <= 3
+
+
 # ---------------------------------------------------------------------------
 # real 2-process lockstep
 # ---------------------------------------------------------------------------
