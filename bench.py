@@ -252,7 +252,7 @@ def main() -> None:
     import subprocess
 
     healthy = False
-    for _attempt in range(6):         # the tunnel flakes; give it ~5 min
+    for _attempt in range(10):        # the tunnel flakes; give it ~10 min
         try:
             # A real computation + fetch: device ENUMERATION can succeed
             # while the compute path is dead.
@@ -267,7 +267,7 @@ def main() -> None:
             healthy = False
         if healthy:
             break
-        time.sleep(45)
+        time.sleep(50)
     if not healthy:
         jax.config.update("jax_platforms", "cpu")
     platform = jax.default_backend()
