@@ -1082,7 +1082,7 @@ class BatchEngine:
             draft: list[int] = []
             if self._spec_eligible(seq):
                 budget = min(k, seq.gen_cfg.max_tokens
-                             - len(seq.output_tokens),
+                             - seq.emitted,
                              self.max_seq_len - 1 - seq.total_len)
                 if budget > 0:
                     if device_drafts is not None:
@@ -1113,7 +1113,7 @@ class BatchEngine:
         # Position-0 sampling for every row — the exact plain-step path
         # (grammar masks, bias, windows all apply to non-greedy rows) —
         # fused with the argmax chain into ONE packed fetch.
-        steps = [len(s.output_tokens) for s in decodes]
+        steps = [s.emitted for s in decodes]
         steps += [0] * (len(cfgs) - len(steps))
         sp_packed, sp_keys = pack_sampling_host(cfgs, step=steps)
         mask = (self._grammar_mask([s.seq_id for s in decodes], bmax)
@@ -1185,7 +1185,7 @@ class BatchEngine:
                 ok = g_args is not None
             if ok:
                 t_steps = min(self._horizon, max(
-                    max(s.gen_cfg.max_tokens - len(s.output_tokens), 1)
+                    max(s.gen_cfg.max_tokens - s.emitted, 1)
                     for s in decodes))
             if t_steps > 1:
                 for seq in decodes:
@@ -1223,7 +1223,7 @@ class BatchEngine:
         for i in range(n, bmax):
             cfgs.append(GenerationConfig())
 
-        steps = [len(s.output_tokens) for s in decodes]
+        steps = [s.emitted for s in decodes]
         steps += [0] * (len(cfgs) - len(steps))
         sp_packed, sp_keys = pack_sampling_host(cfgs, step=steps)
         if any_mask:
@@ -1348,7 +1348,7 @@ class BatchEngine:
             g.accept_token(token)
 
         is_eos = self.tokenizer.is_eos(token)
-        hit_len = len(seq.output_tokens) >= seq.gen_cfg.max_tokens or \
+        hit_len = seq.emitted >= seq.gen_cfg.max_tokens or \
             seq.total_len >= self.max_seq_len - 1
         text = "" if is_eos else self._token_text(token)
         gt = GeneratedToken(token_id=token, text=text,

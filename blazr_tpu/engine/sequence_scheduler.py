@@ -34,16 +34,20 @@ class SchedulerConfig:
     max_seq_len: int = 4096
 
 
-@dataclass
-class Sequence:
-    seq_id: int
-    prompt_tokens: list[int]
+@dataclass(eq=False)                  # identity equality: sequences are
+class Sequence:                       # unique objects, and list-membership
+    seq_id: int                       # checks must not deep-compare 32k-
+    prompt_tokens: list[int]          # token prompt lists on the hot path
     gen_cfg: GenerationConfig
     state: SequenceState = SequenceState.WAITING
     output_tokens: list[int] = field(default_factory=list)
     block_table: list[int] = field(default_factory=list)
     cached_tokens: int = 0            # prefix-cache hit length
     prefilled_tokens: int = 0         # how much of the prompt is prefilled
+    # Tokens EMITTED to the client — survives preemption (which folds
+    # outputs into the prompt and clears output_tokens; counting those
+    # would reset the max_tokens budget and over-generate).
+    emitted: int = 0
 
     @property
     def total_len(self) -> int:
@@ -106,9 +110,17 @@ class SequenceScheduler:
 
         # Ensure every running decode sequence has a slot for its next token.
         for seq in list(self.running.values()):
-            if not self._ensure_block_for(seq, seq.total_len):
-                # Pool exhausted: preempt the newest sequence back to waiting.
-                self._preempt(seq)
+            if seq.seq_id not in self.running:
+                continue                 # preempted as a victim below
+            while not self._ensure_block_for(seq, seq.total_len):
+                # Pool exhausted: preempt the NEWEST running sequence
+                # (least progress lost — reference policy), retrying the
+                # current one until it fits or becomes the victim itself.
+                victim = max(self.running.values(), key=lambda s: s.seq_id)
+                self._preempt(victim)
+                if victim is seq:
+                    break
+            if seq.seq_id not in self.running:
                 continue
             if not seq.needs_prefill:
                 batch.decode_sequences.append(seq)
@@ -164,6 +176,13 @@ class SequenceScheduler:
                     seq.block_table.extend(
                         self.prefix_cache.extend(seq.seq_id, missing))
                 except MemoryError:
+                    # Release everything: a WAITING sequence must not
+                    # hoard blocks, or admission livelocks while running
+                    # decodes can't extend either.
+                    self._release_blocks(seq)
+                    seq.block_table = []
+                    seq.cached_tokens = 0
+                    seq.prefilled_tokens = 0
                     return False
             return True
         if not self.allocator.can_allocate(n):
@@ -209,7 +228,9 @@ class SequenceScheduler:
             self.prefix_cache.mark_computed(seq_id, seq.prefilled_tokens)
 
     def append_token(self, seq_id: int, token: int) -> None:
-        self.sequences[seq_id].output_tokens.append(token)
+        seq = self.sequences[seq_id]
+        seq.output_tokens.append(token)
+        seq.emitted += 1
 
     def finish_sequence(self, seq_id: int) -> None:
         seq = self.sequences.get(seq_id)

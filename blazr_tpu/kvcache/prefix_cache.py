@@ -82,33 +82,53 @@ class PrefixCache:
         reused = True
         self._clock += 1
         pending = self._pending.setdefault(seq_id, [])
-        for i in range(n_blocks):
-            chunk = tuple(tokens[i * bs : (i + 1) * bs])
-            full = len(chunk) == bs
-            if full and self.config.enabled:
-                h = _chain_hash(prev, chunk)
-                hit = self._by_hash.get(h)
-                if reused and hit is not None and hit in self._computed:
-                    self.allocator.inc_ref(hit)
-                    blocks.append(hit)
-                    cached_tokens += bs
-                    self._lru[h] = self._clock
-                    self.stats.hits += 1
+        pending_start = len(pending)
+        try:
+            for i in range(n_blocks):
+                chunk = tuple(tokens[i * bs : (i + 1) * bs])
+                full = len(chunk) == bs
+                if full and self.config.enabled:
+                    h = _chain_hash(prev, chunk)
+                    hit = self._by_hash.get(h)
+                    if reused and hit is not None and hit in self._computed:
+                        self.allocator.inc_ref(hit)
+                        blocks.append(hit)
+                        cached_tokens += bs
+                        self._lru[h] = self._clock
+                        self.stats.hits += 1
+                        prev = h
+                        continue
+                    if reused:
+                        self.stats.misses += 1
+                    reused = False
+                    blk = self._fresh_block()
+                    if h not in self._by_hash:
+                        # Register the hash now (so concurrent identical
+                        # prompts dedupe) but serve hits only after
+                        # mark_computed.
+                        self._register(h, blk)
+                        pending.append((blk, h, (i + 1) * bs))
+                    blocks.append(blk)
                     prev = h
-                    continue
-                if reused:
-                    self.stats.misses += 1
-                reused = False
-                blk = self._fresh_block()
-                if h not in self._by_hash:
-                    # Register the hash now (so concurrent identical prompts
-                    # dedupe) but serve hits only after mark_computed.
-                    self._register(h, blk)
-                    pending.append((blk, h, (i + 1) * bs))
-                blocks.append(blk)
-                prev = h
-            else:
-                blocks.append(self._fresh_block())
+                else:
+                    blocks.append(self._fresh_block())
+        except MemoryError:
+            # Exception safety: blocks allocated/registered before the
+            # failure would otherwise leak with the cache's extra ref and
+            # become permanently unevictable (ref_count stuck at 2).
+            for blk, h, _ in pending[pending_start:]:
+                if self._by_hash.get(h) == blk:
+                    self._by_hash.pop(h, None)
+                    self._hash_of.pop(blk, None)
+                    self._lru.pop(h, None)
+                    self.stats.cached_blocks -= 1
+                    self.allocator.free([blk])     # the cache's own ref
+            del pending[pending_start:]
+            if not pending:
+                self._pending.pop(seq_id, None)
+            for b in blocks:
+                self.allocator.free([b])
+            raise
         self._seq_blocks[seq_id] = blocks
         return cached_tokens, blocks
 
@@ -131,8 +151,17 @@ class PrefixCache:
             self._pending.pop(seq_id, None)
 
     def extend(self, seq_id: int, n_new_blocks: int) -> list[BlockId]:
-        """Allocate decode-time blocks (not registered in the cache)."""
-        new = self.allocator.allocate(n_new_blocks)
+        """Allocate decode-time blocks (not registered in the cache),
+        evicting LRU cache-retained blocks under pressure — otherwise a
+        warm cache full of evictable blocks would starve running decodes
+        into preemption thrash."""
+        new: list[BlockId] = []
+        try:
+            for _ in range(n_new_blocks):
+                new.append(self._fresh_block())
+        except MemoryError:
+            self.allocator.free(new)
+            raise
         self._seq_blocks.setdefault(seq_id, []).extend(new)
         return new
 

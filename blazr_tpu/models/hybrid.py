@@ -18,7 +18,8 @@ import jax.numpy as jnp
 from ..config.model_config import LAYER_ATTENTION, LAYER_MAMBA2, UniversalConfig
 from ..kvcache.contiguous import KVCache, advance, init_kv_cache
 from ..kvcache.ssm_state import SSMState, init_ssm_state
-from .layers import linear, rms_norm, rope_cos_sin, rope_frequencies, swiglu_mlp
+from .layers import (linear, plain_mlp, rms_norm, rope_cos_sin,
+                     rope_frequencies, swiglu_mlp)
 from .llama import attention_block
 from .mamba2 import mamba2_block
 
@@ -88,12 +89,25 @@ def forward(
                                       kv_len, cos, sin)
             attn_i += 1
             x = x + out
-        if p.get("gate") is not None:          # separate FFN sub-block
+        # Separate FFN sub-block in any of its variants (dense swiglu,
+        # MoE, fused gate+up, plain MLP) — gating on "gate" alone
+        # silently dropped the FFN on MoE/fused/plain attention layers.
+        if any(p.get(k) is not None for k in ("gate", "moe", "gateup",
+                                              "fc")):
             h = rms_norm(x, p["post_norm"], cfg.rms_norm_eps)
             if p.get("moe") is not None:
                 from .moe import moe_forward
 
                 x = x + moe_forward(h, p["moe"], cfg.moe)
+            elif p.get("fc") is not None:
+                x = x + plain_mlp(h, p["fc"], p.get("fc_bias"), p["down"],
+                                  p.get("down_bias"), act=cfg.hidden_act)
+            elif p.get("gateup") is not None:
+                gu = linear(h, p["gateup"])
+                inter = gu.shape[-1] // 2
+                x = x + linear(
+                    jax.nn.silu(gu[..., :inter]) * gu[..., inter:],
+                    p["down"])
             else:
                 x = x + swiglu_mlp(h, p["gate"], p["up"], p["down"])
 

@@ -34,16 +34,12 @@ import jax
 import jax.numpy as jnp
 
 from ..config.model_config import LAYER_MAMBA2, UniversalConfig
-from ..kvcache.paged import (
-    PagedKVCache,
-    gather_pages,
-    init_paged_cache,
-    write_paged_layer,
-)
+from ..kvcache.paged import PAD_BLOCK, PagedKVCache, init_paged_cache
 from ..kvcache.ssm_state import SSMState, init_ssm_state
 from .layers import (
     layer_norm,
     linear,
+    plain_mlp,
     rms_norm,
     rope_cos_sin,
     rope_frequencies,
@@ -121,8 +117,6 @@ def _gather_latent_pages(cache: PagedMLACache, layer: int,
                          block_tables: jax.Array):
     """[B, MB] → (latent [B, MB*BS, r], k_rope [B, MB*BS, d],
     scales or None)."""
-    from ..kvcache.paged import PAD_BLOCK
-
     bs = cache.block_size
     b, mb = block_tables.shape
     safe = jnp.where(block_tables == PAD_BLOCK, 0, block_tables)
@@ -346,7 +340,6 @@ def hybrid_forward_paged(params, cfg, tokens, state: HybridPagedState,
                          state_rows=None):
     from ..models.llama_paged import _paged_attention_block
     from .mamba2 import mamba2_block
-    from .moe import moe_ffn
 
     x = jnp.take(params["embed"], tokens, axis=0)
     att = cfg.attention
@@ -370,10 +363,26 @@ def hybrid_forward_paged(params, cfg, tokens, state: HybridPagedState,
                 block_tables, seq_lens, cos, sin)
             attn_i += 1
         x = x + out
-        if p.get("gate") is not None:          # separate FFN sub-block
+        # Separate FFN sub-block: present on attention layers in ANY of
+        # its variants (dense swiglu, MoE, fused gate+up, plain MLP) —
+        # gating on "gate" alone silently dropped the FFN for MoE /
+        # fused / plain layers (pure-Mamba layers have none).
+        if any(p.get(k) is not None for k in ("gate", "moe", "gateup",
+                                              "fc")):
             h = rms_norm(x, p["post_norm"], cfg.rms_norm_eps)
             if p.get("moe") is not None:
-                x = x + moe_ffn(h, p["moe"], cfg.moe)
+                from .moe import moe_forward
+
+                x = x + moe_forward(h, p["moe"], cfg.moe)
+            elif p.get("fc") is not None:
+                x = x + plain_mlp(h, p["fc"], p.get("fc_bias"), p["down"],
+                                  p.get("down_bias"), act=cfg.hidden_act)
+            elif p.get("gateup") is not None:
+                gu = linear(h, p["gateup"])
+                inter = gu.shape[-1] // 2
+                x = x + linear(
+                    jax.nn.silu(gu[..., :inter]) * gu[..., inter:],
+                    p["down"])
             else:
                 x = x + swiglu_mlp(h, p["gate"], p["up"], p["down"])
 

@@ -516,6 +516,81 @@ def test_horizon_respects_max_tokens(model):
     assert len(res[1]) == 2 or eos in res[1]
 
 
+# ---------------------------------------------------------------------------
+# preemption / memory-pressure scheduler behavior
+# ---------------------------------------------------------------------------
+
+def _psched(num_blocks=8, block_size=4, prefix=False, max_seq=64):
+    a = BlockAllocator(num_blocks, block_size)
+    pc = PrefixCache(a) if prefix else None
+    return SequenceScheduler(
+        a, SchedulerConfig(max_batch_size=4, max_batch_tokens=64,
+                           block_size=block_size, max_seq_len=max_seq),
+        prefix_cache=pc)
+
+
+def test_preemption_preserves_emitted_budget():
+    """A preempted+re-admitted sequence must not reset its max_tokens
+    accounting (preemption folds outputs into the prompt)."""
+    s = _psched()
+    sid = s.add_request([1, 2, 3])
+    s.schedule()
+    for t in range(5):
+        s.append_token(sid, 100 + t)
+    seq = s.sequences[sid]
+    assert seq.emitted == 5
+    s._preempt(seq)
+    assert seq.output_tokens == [] and seq.emitted == 5
+    s.schedule()                      # re-admit
+    s.append_token(sid, 200)
+    assert s.sequences[sid].emitted == 6
+
+
+def test_preemption_victim_is_newest():
+    """Under pool exhaustion the NEWEST running sequence is sacrificed,
+    not whichever crossed a block boundary first."""
+    s = _psched(num_blocks=6, block_size=4)
+    a = s.add_request([1] * 7)        # 2 blocks
+    b = s.add_request([2] * 7)        # 2 blocks
+    c = s.add_request([3] * 7)        # 2 blocks -> pool full
+    s.schedule()
+    assert set(s.running) == {a, b, c}
+    # Oldest sequence crosses a block boundary first.
+    s.append_token(a, 9)              # total 8 -> needs block 3
+    batch = s.schedule()
+    assert c not in s.running         # newest preempted
+    assert a in s.running and b in s.running
+    assert s.sequences[c].state == SequenceState.WAITING
+
+
+def test_failed_admission_releases_blocks():
+    """A waiting sequence whose allocation fails partway must hold ZERO
+    blocks (hoarding deadlocks running decodes)."""
+    s = _psched(num_blocks=4, block_size=4, prefix=True)
+    a = s.add_request([1] * 12)       # needs 4 blocks (12 tokens + slack)
+    s.schedule()
+    # Pool now full; a second prompt can't fully allocate.
+    b = s.add_request([2] * 12)
+    s.schedule()
+    seq_b = s.sequences[b]
+    assert seq_b.state == SequenceState.WAITING
+    assert seq_b.block_table == []
+
+
+def test_prefix_cache_extend_evicts_under_pressure():
+    """Decode-time block growth must evict LRU cache-retained blocks
+    instead of failing while the pool is full of evictable blocks."""
+    a = BlockAllocator(4, 4)
+    pc = PrefixCache(a)
+    toks = list(range(8))             # 2 full blocks
+    _, blocks = pc.get_or_allocate_blocks(1, toks)
+    pc.mark_computed(1, 8)
+    pc.release_blocks(1)              # cache retains both blocks
+    assert a.free_blocks == 2
+    got = pc.extend(2, 3)             # needs 3 > 2 free -> must evict
+    assert len(got) == 3
+
+
 # Exact-tier GBNF (small DFA): digit runs separated by commas.
 _DIGITS_GRAMMAR = 'root ::= [0-9]+ ("," [0-9]+)*'
 

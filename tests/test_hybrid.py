@@ -125,6 +125,37 @@ def test_hybrid_incremental_matches_full(hybrid_model):
     np.testing.assert_allclose(inc, np.asarray(full), rtol=2e-3, atol=2e-3)
 
 
+def test_hybrid_ffn_variant_dispatch(hybrid_model):
+    """Fusing an attention layer's gate+up into a 'gateup' weight must
+    give IDENTICAL logits (same math, different param layout) — the
+    regression was the FFN sub-block keying on 'gate' alone, silently
+    skipping MoE/gateup/fc FFN variants on both hybrid forwards."""
+    model, _ = hybrid_model
+    rng = np.random.default_rng(2)
+    tokens = jnp.asarray(rng.integers(0, 256, (1, 8)).astype(np.int32))
+    pos = jnp.asarray(np.arange(8, dtype=np.int32)[None, :])
+
+    ref, _ = model.forward(tokens, model.init_cache(1, 32), pos)
+
+    import copy
+    fused_params = {k: v for k, v in model.params.items()}
+    fused_params["layers"] = [dict(p) for p in model.params["layers"]]
+    for p in fused_params["layers"]:
+        if p.get("gate") is not None:
+            p["gateup"] = jnp.concatenate([p["gate"], p["up"]], axis=-1)
+            p["gate"] = None
+            p["up"] = None
+
+    orig = model.params
+    try:
+        model.params = fused_params
+        got, _ = model.forward(tokens, model.init_cache(1, 32), pos)
+    finally:
+        model.params = orig
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_hybrid_generate_end_to_end(hybrid_model):
     from blazr_tpu.config import GenerationConfig
     from blazr_tpu.engine.executor import Executor
