@@ -563,6 +563,18 @@ class Executor:
             self._session_save(kv_tokens, cache)
 
     # ------------------------------------------------------------------
+    def close(self) -> None:
+        """Release host-side resources on model unload — the MoE offload
+        runtime holds a global-registry reference to its host expert
+        mirror (needed for io_callback dispatch) that would otherwise
+        outlive the model."""
+        if self._moe_rt is not None:
+            self._moe_rt.close()
+            self._moe_rt = None
+            if getattr(self.model, "moe_offload_rt", None) is not None:
+                self.model.moe_offload_rt = None
+
+    # ------------------------------------------------------------------
     def _moe_tick(self) -> None:
         """One forward pass completed → drive the MoE offload manager
         (usage decay + periodic hot-set rebalance)."""

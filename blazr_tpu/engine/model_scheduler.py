@@ -146,12 +146,26 @@ class ModelScheduler:
         logger.info("model %r loaded in %.1fs", name, entry.load_duration)
         return entry
 
+    @staticmethod
+    def _close_entry(entry) -> None:
+        """Release executor-held host resources (the MoE offload runtime
+        registers itself in a module-global registry for io_callback
+        dispatch; without this, unloading a model leaks its multi-GB host
+        expert mirror forever)."""
+        close = getattr(entry.executor, "close", None)
+        if close is not None:
+            try:
+                close()
+            except Exception:
+                logger.exception("executor close failed for %r", entry.name)
+
     def _evict_lru(self) -> None:
         if not self._models:
             return
         victim = min(self._models.values(), key=lambda e: e.last_used)
         logger.info("evicting model %r (LRU)", victim.name)
         del self._models[victim.name]
+        self._close_entry(victim)
         self.evictions += 1
 
     # ------------------------------------------------------------------
@@ -163,12 +177,16 @@ class ModelScheduler:
                        if e.expires_at is not None and e.expires_at <= now]
             for n in expired:
                 logger.info("unloading model %r (keep_alive expired)", n)
-                del self._models[n]
+                entry = self._models.pop(n)
+                self._close_entry(entry)
         return len(expired)
 
     def unload(self, name: str) -> bool:
         with self._lock:
-            return self._models.pop(name, None) is not None
+            entry = self._models.pop(name, None)
+            if entry is not None:
+                self._close_entry(entry)
+            return entry is not None
 
     def loaded_models(self) -> list[LoadedEntry]:
         with self._lock:

@@ -231,15 +231,24 @@ class OffloadRuntime:
         for layer, to_device, to_host in plan:
             p = params["layers"][layer]["moe"]
             res = self.resident[layer]
+            slots, incoming = [], []
             for out_e, in_e in zip(to_host, to_device):
                 slot = res.index(out_e)
                 res[slot] = in_e
+                slots.append(slot)
+                incoming.append(in_e)
+                moved += 1
+            if slots:
+                # ONE batched scatter per key — .at[slot].set inside the
+                # pair loop copied the whole resident stack per swapped
+                # expert, multiplying rebalance latency and transient HBM
+                # by the number of swaps.
+                idx = jnp.asarray(slots, dtype=jnp.int32)
                 for key in _EXPERT_KEYS:
                     p[key] = jax.tree.map(
-                        lambda dev, host: dev.at[slot].set(
-                            jnp.asarray(host[in_e])),
+                        lambda dev, host: dev.at[idx].set(
+                            jnp.asarray(host[np.asarray(incoming)])),
                         p[key], self.host[layer][key])
-                moved += 1
             p["resident_ids"] = jnp.asarray(res, dtype=jnp.int32)
         return moved
 

@@ -325,17 +325,25 @@ async def completions(request: web.Request) -> web.Response:
 
     prompt = body.get("prompt", "")
     prompts = prompt if isinstance(prompt, list) else [prompt]
-    if not prompts or any(not isinstance(p, str) for p in prompts):
-        # token-id arrays also allowed
-        if all(isinstance(p, list) for p in prompts):
-            prompt_ids_list = [list(map(int, p)) for p in prompts]
-        else:
-            raise ApiError(400, "prompt must be a string or array")
-    else:
+    if prompts and all(isinstance(p, int) for p in prompts):
+        # Flat token-id array = ONE pre-tokenized prompt (OpenAI allows
+        # both [int, ...] and [[int, ...], ...]).
+        prompt_ids_list = [list(map(int, prompts))]
+    elif prompts and all(isinstance(p, str) for p in prompts):
         prompt_ids_list = [executor.tokenizer.encode(p) for p in prompts]
+    elif prompts and all(isinstance(p, list) for p in prompts):
+        prompt_ids_list = [list(map(int, p)) for p in prompts]
+    else:
+        raise ApiError(400, "prompt must be a string or array")
+    if any(not p for p in prompt_ids_list):
+        raise ApiError(400, "prompt must not be empty")
 
+    n = max(1, int(body.get("n", 1)))
+    if body.get("stream") and (len(prompt_ids_list) != 1 or n != 1):
+        raise ApiError(400, "streaming supports a single prompt with n=1")
     total_prompt = sum(len(p) for p in prompt_ids_list)
-    budget = total_prompt + cfg.max_tokens * len(prompt_ids_list)
+    # n completions per prompt each count against the inflight budget.
+    budget = total_prompt + cfg.max_tokens * len(prompt_ids_list) * n
     if not state.try_admit(budget):
         return _overloaded()
     state.metrics.requests_active.inc()
@@ -344,7 +352,6 @@ async def completions(request: web.Request) -> web.Response:
         if body.get("stream"):
             return await _stream_completion(request, state, executor,
                                             prompt_ids_list[0], cfg, body)
-        n = int(body.get("n", 1))
         echo = bool(body.get("echo", False))
         choices = []
         usage_p = usage_c = 0
@@ -402,19 +409,21 @@ async def chat_completions(request: web.Request) -> web.Response:
     mm_present = any(has_images(m.get("content")) or has_audio(m.get("content"))
                      for m in messages if isinstance(m, dict))
     if mm_present:
+        # Cheap capability check BEFORE any remote media fetch.
+        if not getattr(executor.model, "is_multimodal", False):
+            raise ApiError(400, "model does not support image/audio input")
         try:
             images, audio = await extract_media(messages)
         except MultimodalError as e:
             raise ApiError(400, f"failed to decode multimodal content: {e}")
-        if not getattr(executor.model, "is_multimodal", False):
-            raise ApiError(400, "model does not support image/audio input")
         from ..engine.executor_multimodal import (MediaBoundExecutor,
                                                   MultimodalExecutor)
 
         executor = MediaBoundExecutor(
             MultimodalExecutor(executor, executor.model.vision_params,
                                executor.model.vision_cfg), images, audio)
-    budget = len(prompt_ids) + cfg.max_tokens
+    n = max(1, int(body.get("n", 1)))
+    budget = len(prompt_ids) + cfg.max_tokens * n
     if not state.try_admit(budget):
         return _overloaded()
     state.metrics.requests_active.inc()
@@ -423,7 +432,6 @@ async def chat_completions(request: web.Request) -> web.Response:
         if body.get("stream"):
             return await _stream_chat(request, state, executor, prompt_ids,
                                       cfg, body, force_direct=mm_present)
-        n = int(body.get("n", 1))
         choices = []
         usage_p = usage_c = 0
         want_think = bool(body.get("think", True))
@@ -436,8 +444,10 @@ async def chat_completions(request: web.Request) -> web.Response:
                 if want_think:
                     res.thinking, res.text = extract_thinking(res.text)
             else:
+                # Respect think:false — stripping the <think> block while
+                # discarding it would silently lose the thinking tokens.
                 res = await asyncio.to_thread(
-                    collect_generation, executor, prompt_ids, c, True)
+                    collect_generation, executor, prompt_ids, c, want_think)
             text = res.text
             tool_calls = extract_tool_calls(text) if body.get("tools") else None
             msg: dict[str, Any] = {"role": "assistant",
@@ -525,6 +535,8 @@ async def _stream_chat(request, state: AppState, executor, prompt_ids,
             loop.call_soon_threadsafe(queue.put_nowait, ("", None, str(e)))
         loop.call_soon_threadsafe(queue.put_nowait, None)
 
+    seq_ref: dict = {}                 # engine seq id, for disconnect cancel
+
     async def produce_engine():
         from ..engine.generate_text import StopScanner
 
@@ -533,6 +545,7 @@ async def _stream_chat(request, state: AppState, executor, prompt_ids,
             handle = eng.submit(prompt_ids, cfg)
             if inspect.isawaitable(handle):   # lockstep (multi-host) engine
                 handle = await handle
+            seq_ref["id"] = handle.seq_id
             scanner = StopScanner(cfg.stop_sequences)
             while True:
                 tok, fin = await handle.queue.get()
@@ -587,7 +600,14 @@ async def _stream_chat(request, state: AppState, executor, prompt_ids,
                 break
         await resp.write(SSE_DONE)
     except (ConnectionResetError, asyncio.CancelledError):
+        # Abandoned generation must not keep burning decode slots and
+        # budget until max_tokens — cancel the engine sequence.
         logger.info("client disconnected mid-stream")
+        if seq_ref.get("id") is not None and state.batch_engine is not None:
+            try:
+                state.batch_engine.cancel(seq_ref["id"])
+            except Exception:
+                pass
     finally:
         await task
     await resp.write_eof()
@@ -616,7 +636,42 @@ async def _stream_completion(request, state: AppState, executor, prompt_ids,
             loop.call_soon_threadsafe(queue.put_nowait, ("", FinishReason.STOP))
         loop.call_soon_threadsafe(queue.put_nowait, None)
 
-    task = loop.run_in_executor(None, produce)
+    seq_ref: dict = {}
+
+    async def produce_engine():
+        # Streamed completions ride the continuous-batching engine like
+        # chat does (they previously always took the direct executor).
+        from ..engine.generate_text import StopScanner
+
+        try:
+            eng = state.batch_engine
+            handle = eng.submit(prompt_ids, cfg)
+            if inspect.isawaitable(handle):
+                handle = await handle
+            seq_ref["id"] = handle.seq_id
+            scanner = StopScanner(cfg.stop_sequences)
+            while True:
+                tok, fin = await handle.queue.get()
+                if tok is not None:
+                    emit, stopped = scanner.push(tok.text)
+                    if stopped:
+                        eng.cancel(handle.seq_id)
+                        queue.put_nowait((emit, FinishReason.STOP))
+                        break
+                    if emit:
+                        queue.put_nowait((emit, None))
+                if fin is not None:
+                    queue.put_nowait((scanner.flush(), fin))
+                    break
+        except Exception:
+            logger.exception("stream failed")
+            queue.put_nowait(("", FinishReason.STOP))
+        queue.put_nowait(None)
+
+    if state.batch_engine is not None:
+        task = asyncio.ensure_future(produce_engine())
+    else:
+        task = loop.run_in_executor(None, produce)
     try:
         while True:
             item = await queue.get()
@@ -630,7 +685,11 @@ async def _stream_completion(request, state: AppState, executor, prompt_ids,
                 break
         await resp.write(SSE_DONE)
     except (ConnectionResetError, asyncio.CancelledError):
-        pass
+        if seq_ref.get("id") is not None and state.batch_engine is not None:
+            try:
+                state.batch_engine.cancel(seq_ref["id"])
+            except Exception:
+                pass
     finally:
         await task
     await resp.write_eof()

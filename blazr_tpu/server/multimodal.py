@@ -121,16 +121,45 @@ async def decode_image(url: str) -> tuple[bytes, str]:
         mime = meta.split(";")[0] or "image/png"
         return b64_decode(data), mime
     if url.startswith(("http://", "https://")):
+        import ipaddress
+        import socket
+        from urllib.parse import urlparse
+
         import aiohttp
 
+        # SSRF guard: refuse fetches that resolve to loopback/link-local/
+        # private ranges (cloud metadata endpoints live there). Outbound
+        # media fetch is a server-side request on the USER's behalf.
+        host = urlparse(url).hostname or ""
+        try:
+            infos = socket.getaddrinfo(host, None)
+            for info in infos:
+                ip = ipaddress.ip_address(info[4][0])
+                if (ip.is_private or ip.is_loopback or ip.is_link_local
+                        or ip.is_reserved):
+                    raise MultimodalError(
+                        f"refusing to fetch media from non-public address "
+                        f"{host}")
+        except MultimodalError:
+            raise
+        except Exception as e:
+            raise MultimodalError(f"cannot resolve media host {host}: {e}")
         try:
             async with aiohttp.ClientSession() as sess:
-                async with sess.get(url) as resp:
+                async with sess.get(
+                        url, timeout=aiohttp.ClientTimeout(total=30)) as resp:
                     if resp.status != 200:
                         raise MultimodalError(
                             f"image fetch failed with status {resp.status}: {url}")
                     mime = resp.headers.get("Content-Type", "image/png")
-                    return await resp.read(), mime
+                    # Bounded read: an endless body must not OOM the server.
+                    data = b""
+                    async for chunk in resp.content.iter_chunked(1 << 20):
+                        data += chunk
+                        if len(data) > MAX_MEDIA_BYTES:
+                            raise MultimodalError(
+                                f"media exceeds {MAX_MEDIA_BYTES} byte limit")
+                    return data, mime
         except MultimodalError:
             raise
         except Exception as e:
@@ -144,6 +173,9 @@ async def decode_image(url: str) -> tuple[bytes, str]:
 # ---------------------------------------------------------------------------
 
 AUDIO_FORMATS = ("pcm16", "wav", "mp3", "flac", "ogg")
+
+# Remote media fetch cap (32 MiB — larger than any sane image/audio clip).
+MAX_MEDIA_BYTES = 32 << 20
 
 
 def _pcm16_to_f32(raw: bytes) -> np.ndarray:
@@ -160,25 +192,40 @@ def _wav_to_pcm16(raw: bytes) -> bytes:
         raise MultimodalError("WAV data too short for valid header")
     if raw[0:4] != b"RIFF" or raw[8:12] != b"WAVE":
         raise MultimodalError("invalid WAV header: missing RIFF/WAVE signature")
-    audio_fmt = int.from_bytes(raw[20:22], "little")
-    if audio_fmt != 1:
-        raise MultimodalError(
-            f"unsupported WAV audio format {audio_fmt}: only PCM (1) is supported")
-    bits = int.from_bytes(raw[34:36], "little")
-    if bits != 16:
-        raise MultimodalError(
-            f"unsupported WAV bit depth {bits}: only 16-bit is supported")
+    # Both fmt AND data are located by the chunk walk — encoders commonly
+    # emit JUNK/LIST chunks before fmt, so fixed offsets 20/34 read
+    # garbage there.
+    fmt_seen = False
+    data_chunk: "bytes | None" = None
     off = 12
     while off + 8 <= len(raw):
         cid = raw[off:off + 4]
         size = int.from_bytes(raw[off + 4:off + 8], "little")
-        if cid == b"data":
-            start = off + 8
-            return raw[start: min(start + size, len(raw))]
-        off += 8 + size
+        start = off + 8
+        if cid == b"fmt ":
+            if start + 16 > len(raw):
+                raise MultimodalError("WAV fmt chunk truncated")
+            audio_fmt = int.from_bytes(raw[start:start + 2], "little")
+            if audio_fmt != 1:
+                raise MultimodalError(
+                    f"unsupported WAV audio format {audio_fmt}: only PCM "
+                    f"(1) is supported")
+            bits = int.from_bytes(raw[start + 14:start + 16], "little")
+            if bits != 16:
+                raise MultimodalError(
+                    f"unsupported WAV bit depth {bits}: only 16-bit is "
+                    f"supported")
+            fmt_seen = True
+        elif cid == b"data":
+            data_chunk = raw[start: min(start + size, len(raw))]
+        off = start + size
         if off % 2:
             off += 1
-    raise MultimodalError("WAV file missing 'data' chunk")
+    if not fmt_seen:
+        raise MultimodalError("WAV file missing 'fmt ' chunk")
+    if data_chunk is None:
+        raise MultimodalError("WAV file missing 'data' chunk")
+    return data_chunk
 
 
 def decode_audio(input_audio: dict) -> np.ndarray:
