@@ -363,16 +363,36 @@ def _pack_value(v: Any) -> tuple[int, bytes]:
         items = list(v)
         if not items:
             return int(_GgufValueType.ARRAY), struct.pack("<IQ", int(_GgufValueType.UINT32), 0)
-        et, _ = _pack_value(items[0])
-        payload = struct.pack("<IQ", et, len(items))
-        for item in items:
-            it, ib = _pack_value(item)
-            if it != et:
-                # Promote mixed ints: repack with the first element's type.
-                fmt = {int(_GgufValueType.UINT32): "<I", int(_GgufValueType.INT64): "<q",
-                       int(_GgufValueType.UINT64): "<Q", int(_GgufValueType.FLOAT32): "<f"}[et]
-                ib = struct.pack(fmt, item)
-            payload += ib
+        # Promote the WHOLE array to one common element type up front —
+        # repacking with the first element's type crashed on mixed arrays
+        # (negative after non-negative, int-then-float, bool-first).
+        if any(isinstance(x, (float, np.floating)) for x in items):
+            et = int(_GgufValueType.FLOAT32)
+            packed = [struct.pack("<f", float(x)) for x in items]
+        elif all(isinstance(x, (bool, np.bool_)) for x in items):
+            et = int(_GgufValueType.BOOL)
+            packed = [struct.pack("<?", bool(x)) for x in items]
+        elif all(isinstance(x, (bool, int, np.integer)) for x in items):
+            ints = [int(x) for x in items]
+            if any(x < 0 for x in ints):
+                et = int(_GgufValueType.INT64)
+                packed = [struct.pack("<q", x) for x in ints]
+            elif any(x > 0xFFFFFFFF for x in ints):
+                et = int(_GgufValueType.UINT64)
+                packed = [struct.pack("<Q", x) for x in ints]
+            else:
+                et = int(_GgufValueType.UINT32)
+                packed = [struct.pack("<I", x) for x in ints]
+        else:
+            et, _ = _pack_value(items[0])
+            packed = []
+            for item in items:
+                it, ib = _pack_value(item)
+                if it != et:
+                    raise TypeError(
+                        f"mixed GGUF array element types {it} vs {et}")
+                packed.append(ib)
+        payload = struct.pack("<IQ", et, len(items)) + b"".join(packed)
         return int(_GgufValueType.ARRAY), payload
     raise TypeError(f"Cannot encode GGUF value of type {type(v)}")
 
@@ -386,6 +406,11 @@ def write_gguf(path: str | Path, metadata: dict[str, Any],
     Float arrays are accepted directly for F32/F16/I32; quantized types take
     raw block bytes (use blazr_tpu.formats.ggml_quants.quantize_ggml).
     """
+    # Non-default alignment MUST be stamped into the metadata — readers
+    # (including Gguf._parse) default to 32 and would misplace data_start,
+    # silently misreading every tensor.
+    if alignment != 32 and "general.alignment" not in metadata:
+        metadata = {**metadata, "general.alignment": alignment}
     out = bytearray()
     out += struct.pack("<IIQQ", GGUF_MAGIC, 3, len(tensors), len(metadata))
     for k, v in metadata.items():

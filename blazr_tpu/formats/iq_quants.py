@@ -92,7 +92,9 @@ def _gen_grid(n: int, width: int, alphabet: np.ndarray, seed: int) -> np.ndarray
     rows = []
     # Seed with structured entries: constant vectors and single-step ramps.
     for v in alphabet:
-        rows.append(np.full(width, v, dtype=np.uint8))
+        row = np.full(width, v, dtype=np.uint8)
+        rows.append(row)
+        seen.add(row.tobytes())       # random draws must not duplicate them
     while len(rows) < n:
         r = alphabet[rng.integers(0, len(alphabet), width)].astype(np.uint8)
         k = r.tobytes()
@@ -315,7 +317,10 @@ def _scale_fit(groups_max: np.ndarray, unit: float, levels: int,
     """Choose super-scale d and per-group integer sub-scales ls such that
     db = d * unit * (bias + ls) tracks group magnitudes."""
     top = groups_max.max(axis=1) / (unit * (bias + levels))
-    d = np.where(top > 0, top, 1e-8)
+    # f16-safe clamp: tiny magnitudes underflow f16 to 0 (NaN divides
+    # downstream, garbage scale bits) and huge ones overflow to inf;
+    # all-zero blocks get a positive d with ls=0.
+    d = np.clip(top, 6.2e-5, 6.0e4)
     d16 = d.astype(np.float16).astype(np.float32)
     ls = np.clip(np.round(groups_max / (d16[:, None] * unit) - bias),
                  0, levels).astype(np.uint32)
@@ -434,7 +439,7 @@ def quant_iq3_s(x: np.ndarray) -> bytes:
     g32 = x.reshape(nb, 8, 32)
     gmax = np.abs(g32).max(axis=2)
     top = gmax.max(axis=1) / (grid_f.max() * (1 + 2 * 15))
-    d = np.where(top > 0, top, 1e-8).astype(np.float16).astype(np.float32)
+    d = np.clip(top, 6.2e-5, 6.0e4).astype(np.float16).astype(np.float32)
     ls = np.clip(np.round((gmax / (d[:, None] * grid_f.max()) - 1) / 2),
                  0, 15).astype(np.uint8)
     db = d[:, None] * (1.0 + 2.0 * ls.astype(np.float32))
@@ -463,7 +468,7 @@ def quant_iq1_s(x: np.ndarray) -> bytes:
     g32 = x.reshape(nb, 8, 32)
     gmax = np.abs(g32).max(axis=2)
     top = gmax.max(axis=1) / (2 * 7 + 1)
-    d = np.where(top > 0, top, 1e-8).astype(np.float16).astype(np.float32)
+    d = np.clip(top, 6.2e-5, 6.0e4).astype(np.float16).astype(np.float32)
     ls = np.clip(np.round((gmax / d[:, None] - 1) / 2), 0, 7).astype(np.uint16)
     dl = d[:, None] * (2.0 * ls.astype(np.float32) + 1.0)
     out = np.zeros((nb, 50), dtype=np.uint8)

@@ -43,9 +43,16 @@ def _st_to_gguf(src_info, dst: Path, quant: Optional[str]) -> None:
     from ..loader.api import resolve_config
 
     qt = GgmlType[quant.upper()] if quant else GgmlType.F32
+    if src_info.config_path is None:
+        raise ValueError(
+            "safetensors → GGUF conversion needs a config.json next to "
+            "the weights (architecture metadata cannot be inferred)")
     cfg = resolve_config(src_info).model
     att = cfg.attention
-    arch = "llama"
+    # GGUF architecture key: HF model_type names match llama.cpp's arch
+    # strings for the supported families; stamping everything 'llama'
+    # would rebuild the wrong topology on load (qkv_bias, norm type, …).
+    arch = cfg.model_type or "llama"
     meta = {
         "general.architecture": arch,
         "general.name": dst.stem,
@@ -82,6 +89,14 @@ def _st_to_gguf(src_info, dst: Path, quant: Optional[str]) -> None:
             meta["tokenizer.ggml.model"] = "gpt2"
             meta["tokenizer.ggml.tokens"] = tokens
             meta["tokenizer.ggml.token_type"] = types
+            # gpt2-model tokenizers REQUIRE merges for llama.cpp interop
+            # (our rank-based loader tolerates their absence).
+            raw_tok = json.loads(tok_json.read_text())
+            merges = (raw_tok.get("model") or {}).get("merges")
+            if merges:
+                meta["tokenizer.ggml.merges"] = [
+                    m if isinstance(m, str) else " ".join(m)
+                    for m in merges]
             if tok.bos_token_id is not None:
                 meta["tokenizer.ggml.bos_token_id"] = tok.bos_token_id
             if tok.eos_token_id is not None:
@@ -91,23 +106,44 @@ def _st_to_gguf(src_info, dst: Path, quant: Optional[str]) -> None:
 
     from ..formats.gguf import write_gguf
 
+    from ..formats.gguf import GGML_BLOCK_INFO
+
+    _, elems_per_block = GGML_BLOCK_INFO[qt]
     tensors = {}
+    skipped = 0
     with SafeTensorsReader(src_info.path) as r:
         for name in r.tensor_names():
             arr = r.load_numpy(name).astype(np.float32)
             gname = hf_to_gguf_name(name)
+            # Eligibility uses the TARGET type's block size (32 for
+            # Q8_0/Q4_0/Q4_1/IQ4_NL, 256 for K/IQ families) — gating on
+            # 256 silently wrote F32 for dims divisible by 32 only.
             if (arr.ndim == 2 and "embed" not in name and "norm" not in name
-                    and qt != GgmlType.F32 and arr.shape[1] % 256 == 0):
+                    and qt != GgmlType.F32
+                    and arr.shape[1] % max(elems_per_block, 1) == 0):
                 tensors[gname] = (quantize_ggml(arr, qt), qt, arr.shape)
             else:
+                if qt != GgmlType.F32 and arr.ndim == 2:
+                    skipped += 1
                 tensors[gname] = (arr, GgmlType.F32, arr.shape)
+    if skipped:
+        logger.warning("%d 2-D tensors kept F32 (embed/norm or inner dim "
+                       "not divisible by the %s block size)", skipped,
+                       qt.name)
     write_gguf(dst, meta, tensors)
     logger.info("wrote %s (%d tensors, quant=%s)", dst, len(tensors),
                 qt.name)
 
 
 def _gguf_to_st(src_info, dst: Path) -> None:
-    dst.mkdir(parents=True, exist_ok=True)
+    # 'out.safetensors' is a FILE destination (config.json lands next to
+    # it); anything else is treated as a directory.
+    if dst.suffix == ".safetensors":
+        dst.parent.mkdir(parents=True, exist_ok=True)
+        st_path, cfg_path = dst, dst.parent / "config.json"
+    else:
+        dst.mkdir(parents=True, exist_ok=True)
+        st_path, cfg_path = dst / "model.safetensors", dst / "config.json"
     tensors = {}
     with Gguf.open(src_info.path) as g:
         md = g.metadata()
@@ -128,7 +164,7 @@ def _gguf_to_st(src_info, dst: Path) -> None:
             "rope_theta": md.get_f32(
                 f"{md.architecture()}.rope.freq_base") or 10000.0,
         }
-    write_safetensors(dst / "model.safetensors", tensors)
-    (dst / "config.json").write_text(json.dumps(
+    write_safetensors(st_path, tensors)
+    cfg_path.write_text(json.dumps(
         {k: v for k, v in cfg.items() if v is not None}, indent=2))
-    logger.info("wrote %s (%d tensors)", dst, len(tensors))
+    logger.info("wrote %s (%d tensors)", st_path, len(tensors))
