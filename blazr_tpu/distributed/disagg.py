@@ -81,18 +81,22 @@ class DisaggRouter:
         (first_tok,) = struct.unpack("<q", payload)
         if first_tok == EOS_SENTINEL:
             return []
-        # 3. decode worker streams the remaining tokens.
+        # 3. decode worker streams the remaining tokens. The KV source
+        #    rank rides in the request so the worker reads the right
+        #    queue instead of polling every peer.
         self.mesh.send(d_rank, tags.REQUEST,
-                       struct.pack("<qI", first_tok, max_tokens))
+                       struct.pack("<qII", first_tok, max_tokens, p_rank))
         out = [int(first_tok)]
         while True:
+            # ALWAYS drain to the worker's EOS sentinel — breaking early
+            # at max_tokens would leave the sentinel queued and poison
+            # every later request routed to this worker.
             data = self.mesh.recv(d_rank, tags.RESPONSE, timeout=300)
             (tok,) = struct.unpack("<q", data)
             if tok == EOS_SENTINEL:
                 break
-            out.append(int(tok))
-            if len(out) >= max_tokens:
-                break
+            if len(out) < max_tokens:
+                out.append(int(tok))
         return out
 
     def shutdown(self) -> None:
@@ -161,31 +165,28 @@ class DecodeWorker:
 
         from ..loader import load_model
 
+        # prefill_ranks is unused since the router names the KV source
+        # rank per request; kept for call-site compatibility.
+        del prefill_ranks
         model, _ = load_model(self.model_path, dtype=self.dtype)
         self.mesh.send(router_rank, tags.WORKER_READY, b"decode")
-        if prefill_ranks is None:
-            prefill_ranks = [r for r in range(1, self.mesh.world_size)
-                             if r != self.mesh.rank]
         while True:
             req = self.mesh.recv(router_rank, tags.REQUEST, timeout=None)
             if req == b"__shutdown__":
                 return
-            cur, max_tokens = struct.unpack("<qI", req)
+            cur, max_tokens, p_rank = struct.unpack("<qII", req)
             try:
-                # KV arrives from whichever prefill worker handled the prompt.
-                kv_payload = None
-                for pr in prefill_ranks:
-                    try:
-                        kv_payload = self.mesh.recv(pr, tags.KV_CACHE,
-                                                    timeout=0.5)
-                        break
-                    except Exception:
-                        continue
-                if kv_payload is None:
-                    kv_payload = self.mesh.recv(prefill_ranks[0], tags.KV_CACHE,
-                                                timeout=300)
+                # The router names the prefill rank that shipped this
+                # request's KV — read exactly that queue (polling every
+                # peer raced slow transfers onto the wrong queue).
+                kv_payload = self.mesh.recv(p_rank, tags.KV_CACHE,
+                                            timeout=300)
                 (n,) = struct.unpack_from("<I", kv_payload)
                 cache = deserialize_kv_cache(kv_payload[4:])
+                # Capacity bound comes from the SHIPPED cache — the
+                # prefill pool may be configured smaller than this worker,
+                # and writes past the real capacity are silently dropped.
+                capacity = int(cache.k.shape[2])
                 pos = n
                 for step in range(max_tokens - 1):
                     logits, cache = model.forward(
@@ -195,7 +196,7 @@ class DecodeWorker:
                     pos += 1
                     self.mesh.send(router_rank, tags.RESPONSE,
                                    struct.pack("<q", cur))
-                    if pos >= self.capacity - 1:
+                    if pos >= capacity - 1:
                         break
                 self.mesh.send(router_rank, tags.RESPONSE,
                                struct.pack("<q", EOS_SENTINEL))

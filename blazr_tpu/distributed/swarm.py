@@ -97,12 +97,28 @@ class SwarmWorker:
         nxt = self.mesh.rank + 1 if not self.stage.has_lm_head else 0
 
         while True:
+            # timeout=None: a worker legitimately idles between requests —
+            # the transport's default 60 s recv would kill the pipeline.
             payload = self.mesh.recv(0 if self.stage.has_embedding
-                                     else self.mesh.rank - 1, tags.ACTIVATION)
+                                     else self.mesh.rank - 1, tags.ACTIVATION,
+                                     timeout=None)
             if payload == b"__shutdown__":
                 if not self.stage.has_lm_head:
                     self.mesh.send(nxt, tags.ACTIVATION, b"__shutdown__")
                 return
+            if payload == b"__reset__":
+                # New request: drop the previous one's KV (its stale
+                # entries would otherwise leak into the new attention).
+                from ..kvcache.contiguous import init_kv_cache
+
+                att = m.cfg.attention
+                n_layers = self.stage.end_layer - self.stage.start_layer
+                rt.cache = init_kv_cache(
+                    n_layers, 1, self.capacity, att.kv_heads(),
+                    att.resolved_head_dim(m.cfg.hidden_size), dtype=m.dtype)
+                if not self.stage.has_lm_head:
+                    self.mesh.send(nxt, tags.ACTIVATION, b"__reset__")
+                continue
             arrays = deserialize_arrays(payload)
             positions = jnp.asarray(arrays[-1])
             if self.stage.has_embedding:
@@ -158,6 +174,8 @@ class SwarmLeader:
         """Greedy pipeline generation: prompt prefill then per-token hops."""
         first = self.schedule.stages[0].rank
         last = self.schedule.stages[-1].rank
+        # Fresh request: flush every stage's KV from the previous one.
+        self.mesh.send(first, tags.ACTIVATION, b"__reset__")
         out: list[int] = []
         tokens = np.asarray([prompt_ids], dtype=np.int32)
         positions = np.asarray([list(range(len(prompt_ids)))], dtype=np.int32)

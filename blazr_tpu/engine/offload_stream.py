@@ -46,6 +46,12 @@ class StreamingModel:
         self.cfg = model.cfg
         self.dtype = model.dtype
         self.forward_fn = model.forward_fn     # introspection compat
+        # Multimodal attributes must survive the rebind (attach_vision
+        # runs before maybe_stream; dropping them silently disabled
+        # image input under --device-layers).
+        self.is_multimodal = getattr(model, "is_multimodal", False)
+        self.vision_params = getattr(model, "vision_params", None)
+        self.vision_cfg = getattr(model, "vision_cfg", None)
         self.layer_map = layer_map
         L = model.cfg.num_layers
         D = layer_map.num_device_layers

@@ -211,11 +211,16 @@ def test_swarm_pipeline_matches_single_process(tmp_path):
     leader = SwarmLeader(mesh, str(tmp_path), num_layers=model.num_layers)
     leader.start_workers()
     got = leader.generate_greedy(prompt, 5)
+    # A SECOND request through the same pipeline must match too
+    # (regression: worker KV caches were never reset between requests,
+    # so request 2 attended request 1's stale entries).
+    got2 = leader.generate_greedy(prompt, 5)
     leader.shutdown()
     for p in procs:
         p.join(timeout=30)
     mesh.close()
     assert got == ref
+    assert got2 == ref
 
 
 def _disagg_worker_proc(seed_port, role, model_path):
