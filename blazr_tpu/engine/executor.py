@@ -563,6 +563,36 @@ class Executor:
             self._session_save(kv_tokens, cache)
 
     # ------------------------------------------------------------------
+    # LoRA hot-swap (reference lora.rs: adapters apply to the live model;
+    # params are explicit jit ARGS everywhere, so swapping the tree takes
+    # effect at the next step with no recompile for dense merges).
+    # ------------------------------------------------------------------
+    def set_lora(self, adapter) -> None:
+        """Activate a LoRA adapter: merge over the CLEAN base params
+        (adapters replace each other rather than stacking)."""
+        if self.mesh is not None:
+            raise ValueError("LoRA under mesh-sharded serving is not "
+                             "supported yet")
+        from .lora import merge_lora
+
+        if getattr(self, "_lora_base", None) is None:
+            self._lora_base = self.model.params
+        self.model.params = merge_lora(self._lora_base, adapter,
+                                       model_cfg=self.model.cfg)
+        self._active_lora = adapter.name
+        logger.info("LoRA adapter %r active", adapter.name)
+
+    def clear_lora(self) -> None:
+        if getattr(self, "_lora_base", None) is not None:
+            self.model.params = self._lora_base
+            self._lora_base = None
+        self._active_lora = None
+
+    @property
+    def active_lora(self) -> Optional[str]:
+        return getattr(self, "_active_lora", None)
+
+    # ------------------------------------------------------------------
     def close(self) -> None:
         """Release host-side resources on model unload — the MoE offload
         runtime holds a global-registry reference to its host expert

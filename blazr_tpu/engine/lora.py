@@ -17,12 +17,26 @@ from dataclasses import dataclass, field
 from pathlib import Path
 from typing import Any, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..formats.safetensors import SafeTensorsReader
 
 logger = logging.getLogger(__name__)
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class LoraLinear:
+    """A quantized base weight plus an activation-side LoRA term.
+
+    ``layers.linear`` computes ``x @ base + (x @ a) @ b`` — the base
+    stays packed (merging W + s·BA would force dequantization)."""
+
+    base: Any                     # QuantTensor (stays packed)
+    a: jax.Array                  # [in, r]
+    b: jax.Array                  # [r, out] (scale folded in)
 
 
 @dataclass
@@ -119,12 +133,35 @@ _MODULE_TO_KEY = {
 }
 
 
-def merge_lora(params: dict[str, Any], adapter: LoraAdapter) -> dict[str, Any]:
+def _fused_slot(layer: dict, key: str, model_cfg) -> Optional[tuple[str, int, int]]:
+    """(fused_key, out_offset, out_width) when ``key``'s projection lives
+    inside a fused qkv / gateup weight, else None."""
+    if model_cfg is None:
+        return None
+    att = getattr(model_cfg, "attention", None)
+    if key in ("q", "k", "v") and layer.get("qkv") is not None and att:
+        hd = att.resolved_head_dim(model_cfg.hidden_size)
+        q_dim = att.num_heads * hd
+        kv_dim = att.kv_heads() * hd
+        off = {"q": 0, "k": q_dim, "v": q_dim + kv_dim}[key]
+        width = q_dim if key == "q" else kv_dim
+        return "qkv", off, width
+    if key in ("gate", "up") and layer.get("gateup") is not None:
+        inter = model_cfg.resolved_intermediate_size()
+        return "gateup", (0 if key == "gate" else inter), inter
+    return None
+
+
+def merge_lora(params: dict[str, Any], adapter: LoraAdapter,
+               model_cfg=None) -> dict[str, Any]:
     """Return params with LoRA deltas merged into dense weights.
 
-    Quantized (QuantTensor) base weights get a ``lora`` entry instead —
-    applied on the activation side by ``layers.linear`` (keeps the base
-    packed; W + s·BA would force dequantization).
+    Quantized (QuantTensor) base weights get a :class:`LoraLinear`
+    wrapper instead — ``layers.linear`` adds the (x·A)·B term on the
+    activation side (the base stays packed; W + s·BA would force
+    dequantization). Projections living inside fused qkv/gateup weights
+    are addressed through their output slice (``model_cfg`` supplies the
+    split offsets).
     """
     from ..quant.qtensor import QuantTensor
 
@@ -145,15 +182,39 @@ def merge_lora(params: dict[str, Any], adapter: LoraAdapter) -> dict[str, Any]:
             continue
         layer = new_layers[layer_idx]
         base = layer.get(key)
+        b_scaled = b.T * adapter.scale                   # [r, out]
         if base is None:
-            continue
+            fused = _fused_slot(layer, key, model_cfg)
+            if fused is None:
+                continue
+            fkey, off, width = fused
+            fbase = layer[fkey]
+            total = (fbase.base.out_features
+                     if isinstance(fbase, LoraLinear)
+                     else fbase.out_features
+                     if isinstance(fbase, QuantTensor) else fbase.shape[-1])
+            if b_scaled.shape[1] != width:
+                logger.warning("LoRA %s: out dim %d != fused slice %d; skip",
+                               module, b_scaled.shape[1], width)
+                continue
+            bf = np.zeros((b_scaled.shape[0], total), dtype=np.float32)
+            bf[:, off : off + width] = b_scaled
+            key, base, b_scaled = fkey, fbase, bf
         # delta in [in, out] orientation: (B @ A)^T = A^T @ B^T
-        delta = (a.T @ b.T) * adapter.scale
         if isinstance(base, QuantTensor):
-            lora_map = dict(layer.get("lora") or {})
-            lora_map[key] = (jnp.asarray(a.T), jnp.asarray(b.T * adapter.scale))
-            layer["lora"] = lora_map
+            layer[key] = LoraLinear(
+                base=base, a=jnp.asarray(a.T), b=jnp.asarray(b_scaled))
+        elif isinstance(base, LoraLinear):
+            # Another module of THIS adapter targeting the same (fused)
+            # weight: accumulate by widening the rank (merge always
+            # starts from the clean base tree, so nothing stacks across
+            # adapters).
+            layer[key] = LoraLinear(
+                base=base.base,
+                a=jnp.concatenate([base.a, jnp.asarray(a.T)], axis=1),
+                b=jnp.concatenate([base.b, jnp.asarray(b_scaled)], axis=0))
         else:
+            delta = a.T @ b_scaled
             layer[key] = base + jnp.asarray(delta, dtype=base.dtype)
         applied += 1
     logger.info("merged LoRA %r into %d modules", adapter.name, applied)

@@ -28,15 +28,23 @@ from ..config.model_config import AttentionConfig, RopeScaling
 # ---------------------------------------------------------------------------
 
 def linear(x: jax.Array, w: Any, bias: Optional[jax.Array] = None) -> jax.Array:
-    """``x @ w`` where ``w`` is a plain [K, N] array or a QuantTensor."""
+    """``x @ w`` where ``w`` is a plain [K, N] array, a QuantTensor, or a
+    LoraLinear (packed base + activation-side low-rank term)."""
     from ..quant.qtensor import QuantTensor
 
+    lora = None
+    if w.__class__.__name__ == "LoraLinear":   # avoid a circular import
+        lora = w
+        w = w.base
     if isinstance(w, QuantTensor):
         from ..quant.matmul import quant_matmul
 
         y = quant_matmul(x, w)
     else:
         y = jnp.dot(x, w.astype(x.dtype), preferred_element_type=jnp.float32).astype(x.dtype)
+    if lora is not None:
+        y = y + jnp.dot(jnp.dot(x, lora.a.astype(x.dtype)),
+                        lora.b.astype(x.dtype))
     if bias is not None:
         y = y + bias.astype(y.dtype)
     return y

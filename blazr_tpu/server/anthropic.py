@@ -47,18 +47,23 @@ def _anthropic_messages(body: dict) -> list[ChatMessage]:
 
 def _gen_config(body: dict, defaults: GenerationConfig) -> GenerationConfig:
     cfg = GenerationConfig.from_dict(defaults.to_dict())
-    if body.get("max_tokens") is not None:
-        cfg.max_tokens = int(body["max_tokens"])
-    for k in ("temperature", "top_p", "top_k"):
-        if body.get(k) is not None:
-            setattr(cfg, k, body[k])
-    if body.get("stop_sequences"):
-        cfg.stop_sequences = list(body["stop_sequences"])
+    try:
+        if body.get("max_tokens") is not None:
+            cfg.max_tokens = int(body["max_tokens"])
+        for k in ("temperature", "top_p", "top_k"):
+            if body.get(k) is not None:
+                setattr(cfg, k, body[k])
+        if body.get("stop_sequences"):
+            cfg.stop_sequences = list(body["stop_sequences"])
+        cfg.validate()                 # same 400 path as chat/completions
+    except (TypeError, ValueError) as e:
+        raise ApiError(400, f"invalid sampling parameters: {e}")
     return cfg
 
 
 async def messages_handler(request: web.Request) -> web.Response:
-    from .app import STATE_KEY, _get_executor, _json
+    from .app import STATE_KEY, _collect_via_engine, _get_executor, _json, \
+        _overloaded
 
     state = request.app[STATE_KEY]
     body = await _json(request)
@@ -71,30 +76,56 @@ async def messages_handler(request: web.Request) -> web.Response:
     prompt_ids = executor.tokenizer.encode(prompt)
     cfg = _gen_config(body, executor.app_cfg.generation)
 
-    if body.get("stream"):
-        return await _stream_messages(request, executor, prompt_ids, cfg, body)
+    # Same overload protection as chat/completions (admission budget).
+    budget = len(prompt_ids) + cfg.max_tokens
+    if not state.try_admit(budget):
+        return _overloaded()
+    state.metrics.requests_active.inc()
+    t0 = time.time()
+    try:
+        if body.get("stream"):
+            return await _stream_messages(request, state, executor,
+                                          prompt_ids, cfg, body)
 
-    res = await asyncio.to_thread(collect_generation, executor, prompt_ids, cfg)
-    stop_reason = {
-        "eos": "end_turn", "length": "max_tokens", "stop": "stop_sequence",
-    }.get(res.finish_reason.value, "end_turn")
-    return web.json_response({
-        "id": new_id("msg"),
-        "type": "message",
-        "role": "assistant",
-        "model": body.get("model", "default"),
-        "content": [{"type": "text", "text": res.text}],
-        "stop_reason": stop_reason,
-        "stop_sequence": None,
-        "usage": {"input_tokens": res.prompt_tokens,
-                  "output_tokens": res.completion_tokens},
-    })
+        if state.batch_engine is not None:
+            res = await _collect_via_engine(state, prompt_ids, cfg)
+        else:
+            res = await asyncio.to_thread(collect_generation, executor,
+                                          prompt_ids, cfg)
+        stop_reason = {
+            "eos": "end_turn", "length": "max_tokens", "stop": "stop_sequence",
+        }.get(res.finish_reason.value, "end_turn")
+        state.metrics.tokens_prompted.inc(res.prompt_tokens)
+        state.metrics.tokens_generated.inc(res.completion_tokens)
+        state.slo.record_e2e(time.time() - t0)
+        return web.json_response({
+            "id": new_id("msg"),
+            "type": "message",
+            "role": "assistant",
+            "model": body.get("model", "default"),
+            "content": [{"type": "text", "text": res.text}],
+            "stop_reason": stop_reason,
+            "stop_sequence": None,
+            "usage": {"input_tokens": res.prompt_tokens,
+                      "output_tokens": res.completion_tokens},
+        })
+    finally:
+        state.release(budget)
+        state.metrics.requests_active.dec()
 
 
-async def _stream_messages(request, executor, prompt_ids, cfg, body):
+async def _stream_messages(request, state, executor, prompt_ids, cfg, body):
     """Anthropic streaming event sequence: message_start →
     content_block_start → deltas → content_block_stop → message_delta →
-    message_stop."""
+    message_stop. Rides the continuous-batching engine when available;
+    errors surface as an ``error`` event, and a client disconnect
+    cancels the engine sequence."""
+    import inspect
+
+    from ..engine.generate_text import StopScanner
+    from ..engine.types import FinishReason
+
+    request["streaming"] = True   # exempt in-flight SSE from the timeout
     resp = web.StreamResponse(headers={
         "Content-Type": "text/event-stream",
         "Cache-Control": "no-cache",
@@ -119,25 +150,62 @@ async def _stream_messages(request, executor, prompt_ids, cfg, body):
 
     loop = asyncio.get_running_loop()
     queue: asyncio.Queue = asyncio.Queue()
+    seq_ref: dict = {}
+    tok_count = [0]
 
     def produce():
         try:
             for delta, fin in stream_generation(executor, prompt_ids, cfg):
-                loop.call_soon_threadsafe(queue.put_nowait, (delta, fin))
-        finally:
-            loop.call_soon_threadsafe(queue.put_nowait, None)
+                tok_count[0] += 1
+                loop.call_soon_threadsafe(queue.put_nowait,
+                                          (delta, fin, None))
+        except Exception as e:        # surfaced as an SSE error event
+            loop.call_soon_threadsafe(queue.put_nowait, ("", None, str(e)))
+        loop.call_soon_threadsafe(queue.put_nowait, None)
 
-    task = loop.run_in_executor(None, produce)
-    count = 0
+    async def produce_engine():
+        try:
+            eng = state.batch_engine
+            handle = eng.submit(prompt_ids, cfg)
+            if inspect.isawaitable(handle):
+                handle = await handle
+            seq_ref["id"] = handle.seq_id
+            scanner = StopScanner(cfg.stop_sequences)
+            while True:
+                tok, fin = await handle.queue.get()
+                if tok is not None:
+                    tok_count[0] += 1
+                    emit, stopped = scanner.push(tok.text)
+                    if stopped:
+                        eng.cancel(handle.seq_id)
+                        queue.put_nowait((emit, FinishReason.STOP, None))
+                        break
+                    if emit:
+                        queue.put_nowait((emit, None, None))
+                if fin is not None:
+                    queue.put_nowait((scanner.flush(), fin, None))
+                    break
+        except Exception as e:
+            queue.put_nowait(("", None, str(e)))
+        queue.put_nowait(None)
+
+    if state.batch_engine is not None:
+        task = asyncio.ensure_future(produce_engine())
+    else:
+        task = loop.run_in_executor(None, produce)
     finish = "end_turn"
     try:
         while True:
             item = await queue.get()
             if item is None:
                 break
-            delta, fin = item
+            delta, fin, err = item
+            if err is not None:
+                await resp.write(ev("error", {
+                    "type": "error",
+                    "error": {"type": "api_error", "message": err}}))
+                break
             if delta:
-                count += 1
                 await resp.write(ev("content_block_delta", {
                     "type": "content_block_delta", "index": 0,
                     "delta": {"type": "text_delta", "text": delta},
@@ -151,11 +219,15 @@ async def _stream_messages(request, executor, prompt_ids, cfg, body):
         await resp.write(ev("message_delta", {
             "type": "message_delta",
             "delta": {"stop_reason": finish, "stop_sequence": None},
-            "usage": {"output_tokens": count},
+            "usage": {"output_tokens": tok_count[0]},
         }))
         await resp.write(ev("message_stop", {"type": "message_stop"}))
     except (ConnectionResetError, asyncio.CancelledError):
-        pass
+        if seq_ref.get("id") is not None and state.batch_engine is not None:
+            try:
+                state.batch_engine.cancel(seq_ref["id"])
+            except Exception:
+                pass
     finally:
         await task
     await resp.write_eof()

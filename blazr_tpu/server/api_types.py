@@ -62,6 +62,7 @@ def gen_config_from_body(body: dict, defaults: GenerationConfig
         ("repeat_last_n", "repeat_last_n"), ("typical_p", "typical_p"),
         ("mirostat", "mirostat"), ("mirostat_tau", "mirostat_tau"),
         ("mirostat_eta", "mirostat_eta"), ("grammar", "grammar"),
+        ("lora_adapter", "lora_adapter"),
     ]:
         if m(k_openai) is not None:
             setattr(cfg, k_cfg, body[k_openai])

@@ -316,12 +316,32 @@ def _get_executor(state: AppState, body: dict):
         raise ApiError(404, str(e), "not_found_error")
 
 
+def _apply_request_lora(request: web.Request, executor, cfg) -> None:
+    """Per-request adapter selection (GenerationConfig.lora_adapter):
+    activate the named registry adapter on the serving model."""
+    if not cfg.lora_adapter:
+        return
+    from .lora_routes import REGISTRY_KEY
+
+    registry = request.app.get(REGISTRY_KEY)
+    adapter = registry.get(cfg.lora_adapter) if registry else None
+    if adapter is None:
+        raise ApiError(404, f"LoRA adapter {cfg.lora_adapter!r} not loaded",
+                       "not_found_error")
+    if getattr(executor, "active_lora", None) != adapter.name:
+        try:
+            executor.set_lora(adapter)
+        except ValueError as e:
+            raise ApiError(400, str(e))
+
+
 async def completions(request: web.Request) -> web.Response:
     state = request.app[STATE_KEY]
     body = await _json(request)
     validate_generation_params(body)
     executor = await asyncio.to_thread(_get_executor, state, body)
     cfg = gen_config_from_body(body, executor.app_cfg.generation)
+    _apply_request_lora(request, executor, cfg)
 
     prompt = body.get("prompt", "")
     prompts = prompt if isinstance(prompt, list) else [prompt]
@@ -396,6 +416,7 @@ async def chat_completions(request: web.Request) -> web.Response:
     validate_generation_params(body)
     executor = await asyncio.to_thread(_get_executor, state, body)
     cfg = gen_config_from_body(body, executor.app_cfg.generation)
+    _apply_request_lora(request, executor, cfg)
 
     prompt, _ = _build_prompt(body, executor, executor.model.cfg)
     prompt_ids = executor.tokenizer.encode(prompt)

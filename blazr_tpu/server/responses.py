@@ -50,10 +50,15 @@ def _input_to_messages(body: dict) -> list[ChatMessage]:
 
 
 async def responses_handler(request: web.Request) -> web.Response:
-    from .app import STATE_KEY, _get_executor, _json
+    from .app import (STATE_KEY, _collect_via_engine, _get_executor, _json,
+                      _overloaded)
 
     state = request.app[STATE_KEY]
     body = await _json(request)
+    if body.get("stream"):
+        # Honest error beats a silent JSON body an SSE parser chokes on.
+        raise ApiError(400, "streaming is not supported on /v1/responses; "
+                            "use /v1/chat/completions with stream=true")
     executor = await asyncio.to_thread(_get_executor, state, body)
     msgs = _input_to_messages(body)
     template = ChatTemplate.detect(model_type=executor.model.cfg.model_type)
@@ -61,14 +66,30 @@ async def responses_handler(request: web.Request) -> web.Response:
     prompt_ids = executor.tokenizer.encode(prompt)
 
     cfg = GenerationConfig.from_dict(executor.app_cfg.generation.to_dict())
-    if body.get("max_output_tokens") is not None:
-        cfg.max_tokens = int(body["max_output_tokens"])
-    for k in ("temperature", "top_p"):
-        if body.get(k) is not None:
-            setattr(cfg, k, body[k])
+    try:
+        if body.get("max_output_tokens") is not None:
+            cfg.max_tokens = int(body["max_output_tokens"])
+        for k in ("temperature", "top_p"):
+            if body.get(k) is not None:
+                setattr(cfg, k, body[k])
+        cfg.validate()
+    except (TypeError, ValueError) as e:
+        raise ApiError(400, f"invalid sampling parameters: {e}")
 
-    res = await asyncio.to_thread(collect_generation, executor, prompt_ids,
-                                  cfg, True)
+    budget = len(prompt_ids) + cfg.max_tokens
+    if not state.try_admit(budget):
+        return _overloaded()
+    try:
+        if state.batch_engine is not None:
+            res = await _collect_via_engine(state, prompt_ids, cfg)
+            from ..model_meta.think import extract_thinking
+
+            res.thinking, res.text = extract_thinking(res.text)
+        else:
+            res = await asyncio.to_thread(collect_generation, executor,
+                                          prompt_ids, cfg, True)
+    finally:
+        state.release(budget)
     output = []
     if res.thinking:
         output.append({

@@ -76,6 +76,75 @@ def test_lora_merge_changes_logits(tmp_path):
     assert not np.allclose(np.asarray(base_logits), np.asarray(lora_logits))
 
 
+def test_lora_executor_hot_swap_changes_generation(tmp_path):
+    """set_lora must change what the EXECUTOR generates, and clear_lora
+    must restore the base output exactly (regression: merge_lora had no
+    production caller — adapters loaded but never applied)."""
+    rng = np.random.default_rng(3)
+    mdir = tmp_path / "model"
+    write_tiny_llama_checkpoint(mdir, rng)
+    _write_adapter(tmp_path / "ad", rng)
+    model, app_cfg = load_model(mdir, dtype="f32")
+    app_cfg.inference.max_seq_len = 64
+    ex = Executor(model, ByteTok(), app_cfg)
+    cfg = GenerationConfig(max_tokens=6, temperature=0.0)
+
+    def gen():
+        return [t.token_id for t in ex.generate([5, 6, 7], cfg)]
+
+    base = gen()
+    adapter = load_lora_adapter(tmp_path / "ad", "style")
+    ex.set_lora(adapter)
+    assert ex.active_lora == "style"
+    with_lora = gen()
+    assert with_lora != base
+    ex.clear_lora()
+    assert ex.active_lora is None
+    assert gen() == base
+
+
+def test_lora_quantized_base_activation_side(tmp_path):
+    """Quantized base weights get the activation-side LoraLinear term
+    (x@a)@b — logits must change while the base stays packed."""
+    import jax.numpy as jnp
+
+    from blazr_tpu.engine.lora import LoraLinear
+    from blazr_tpu.utils.synthetic import synth_model
+    from blazr_tpu.config.model_config import AttentionConfig, UniversalConfig
+
+    cfg = UniversalConfig(
+        model_type="llama", vocab_size=128, hidden_size=128, num_layers=1,
+        max_seq_len=64, intermediate_size=256,
+        attention=AttentionConfig(num_heads=8, num_kv_heads=4, head_dim=16))
+    model = synth_model(cfg, quant="awq", dtype=jnp.float32)
+    rng = np.random.default_rng(4)
+    ad = tmp_path / "ad"
+    ad.mkdir()
+    base = "base_model.model.model.layers.0.self_attn.q_proj"
+    write_safetensors(ad / "adapter_model.safetensors", {
+        f"{base}.lora_A.weight":
+            (rng.standard_normal((4, 128)) * 0.05).astype(np.float32),
+        f"{base}.lora_B.weight":
+            (rng.standard_normal((128, 4)) * 0.05).astype(np.float32),
+    })
+    (ad / "adapter_config.json").write_text(json.dumps(
+        {"r": 4, "lora_alpha": 8.0}))
+    adapter = load_lora_adapter(ad, "q")
+
+    toks = jnp.asarray([[1, 2, 3]], dtype=jnp.int32)
+    pos = jnp.asarray(np.arange(3, dtype=np.int32)[None, :])
+    ref, _ = model.forward(toks, model.init_cache(1, 8), pos)
+    # Synth AWQ params use the FUSED qkv layout — the adapter's q_proj
+    # must land in the fused weight's output slice.
+    merged = merge_lora(model.params, adapter, model_cfg=cfg)
+    assert isinstance(merged["layers"][0]["qkv"], LoraLinear)
+    old = model.params
+    model.params = merged
+    got, _ = model.forward(toks, model.init_cache(1, 8), pos)
+    model.params = old
+    assert not np.allclose(np.asarray(ref), np.asarray(got))
+
+
 # ---------------------------------------------------------------------------
 # speculative decoding
 # ---------------------------------------------------------------------------
