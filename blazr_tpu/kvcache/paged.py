@@ -89,8 +89,10 @@ def write_paged_layer(cache: PagedKVCache, layer: int, k_new: jax.Array,
     if cache.quantized:
         from .contiguous import _quantize_tokens
 
-        kq, ks = _quantize_tokens(k_new)
-        vq, vs = _quantize_tokens(v_new)
+        # Quantize to the CACHE's storage dtype — hardcoding int8 would
+        # silently wraparound-corrupt a narrower (int4) pool on .set().
+        kq, ks = _quantize_tokens(k_new, qdt=cache.k.dtype)
+        vq, vs = _quantize_tokens(v_new, qdt=cache.v.dtype)
         return dataclasses.replace(
             cache,
             k=cache.k.at[layer, flat_slots].set(kq.reshape(b * t, h, d)),
@@ -107,17 +109,24 @@ def write_paged_layer(cache: PagedKVCache, layer: int, k_new: jax.Array,
     return dataclasses.replace(cache, k=k, v=v)
 
 
+def page_slot_index(block_size: int, block_tables: jax.Array) -> jax.Array:
+    """[B, MB] block tables → flat pool slot indices [B, MB*BS].
+
+    The ONE place the PAD_BLOCK-masked block→slot arithmetic lives —
+    values, scales, and the MLA latent gather all index with it."""
+    mb = block_tables.shape[1]
+    safe = jnp.where(block_tables == PAD_BLOCK, 0, block_tables)
+    starts = safe * block_size                               # [B, MB]
+    return (starts[:, :, None] +
+            jnp.arange(block_size, dtype=jnp.int32)[None, None, :]).reshape(
+        block_tables.shape[0], mb * block_size)
+
+
 def gather_pages(cache: PagedKVCache, layer: int,
                  block_tables: jax.Array) -> tuple[jax.Array, jax.Array]:
     """[B, MB] block tables → (k, v) [B, MB*BS, H, D] (fallback attention
     path; the Pallas kernel reads pages in place instead)."""
-    bs = cache.block_size
-    mb = block_tables.shape[1]
-    safe = jnp.where(block_tables == PAD_BLOCK, 0, block_tables)
-    starts = safe * bs                                       # [B, MB]
-    slot_idx = (starts[:, :, None] +
-                jnp.arange(bs, dtype=jnp.int32)[None, None, :]).reshape(
-        block_tables.shape[0], mb * bs)
+    slot_idx = page_slot_index(cache.block_size, block_tables)
     k = jnp.take(cache.k[layer], slot_idx, axis=0)           # [B, MB*BS, H, D]
     v = jnp.take(cache.v[layer], slot_idx, axis=0)
     return k, v
@@ -127,13 +136,7 @@ def gather_page_scales(cache: PagedKVCache, layer: int,
                        block_tables: jax.Array) -> tuple[jax.Array, jax.Array]:
     """int8 mode: scales gathered with the same slot indexing as
     :func:`gather_pages` → [B, MB*BS, H]."""
-    bs = cache.block_size
-    mb = block_tables.shape[1]
-    safe = jnp.where(block_tables == PAD_BLOCK, 0, block_tables)
-    starts = safe * bs
-    slot_idx = (starts[:, :, None] +
-                jnp.arange(bs, dtype=jnp.int32)[None, None, :]).reshape(
-        block_tables.shape[0], mb * bs)
+    slot_idx = page_slot_index(cache.block_size, block_tables)
     ks = jnp.take(cache.k_scale[layer], slot_idx, axis=0)
     vs = jnp.take(cache.v_scale[layer], slot_idx, axis=0)
     return ks, vs

@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config.model_config import LAYER_MAMBA2, UniversalConfig
-from ..kvcache.paged import PAD_BLOCK, PagedKVCache, init_paged_cache
+from ..kvcache.paged import PagedKVCache, init_paged_cache
 from ..kvcache.ssm_state import SSMState, init_ssm_state
 from .layers import (
     layer_norm,
@@ -117,12 +117,9 @@ def _gather_latent_pages(cache: PagedMLACache, layer: int,
                          block_tables: jax.Array):
     """[B, MB] → (latent [B, MB*BS, r], k_rope [B, MB*BS, d],
     scales or None)."""
-    bs = cache.block_size
-    b, mb = block_tables.shape
-    safe = jnp.where(block_tables == PAD_BLOCK, 0, block_tables)
-    slot_idx = (safe[:, :, None] * bs +
-                jnp.arange(bs, dtype=jnp.int32)[None, None, :]).reshape(
-        b, mb * bs)
+    from ..kvcache.paged import page_slot_index
+
+    slot_idx = page_slot_index(cache.block_size, block_tables)
     c = jnp.take(cache.latent[layer], slot_idx, axis=0)
     r = jnp.take(cache.k_rope[layer], slot_idx, axis=0)
     if cache.quantized:

@@ -73,7 +73,12 @@ class QuantTensor:
     def bits_per_weight(self) -> float:
         total = (self.qweight.size * 4 + self.scales.size * self.scales.dtype.itemsize
                  + self.mins.size * self.mins.dtype.itemsize) * 8
-        return total / (self.in_features * self.out_features)
+        if self.perm is not None:
+            total += self.perm.size * 4 * 8
+        weights = self.in_features * self.out_features
+        if getattr(self.qweight, "ndim", 2) == 3:     # stacked [E, ...] experts
+            weights *= self.qweight.shape[0]
+        return total / weights
 
 
 def _pack_k(q: np.ndarray, bits: int) -> np.ndarray:
@@ -433,7 +438,7 @@ def widen_to_int8(qt: QuantTensor) -> QuantTensor:
     choosing its dp4a int8 tier over bit-exact int4 CUDA unpack
     (/root/reference/src/README.md "Model Formats": optimized dp4a
     kernels for Q4_K/Q6_K/Q8_0)."""
-    if qt.bits == 8:
+    if qt.bits == 8 and qt.signed:
         return qt if qt.act_quant else dataclasses.replace(qt, act_quant=True)
     if qt.bits != 4 or not qt.signed:
         raise NotImplementedError(
@@ -474,7 +479,11 @@ def apply_quant_compute(params, mode: Optional[str]):
 
     def f(leaf):
         if (isinstance(leaf, QuantTensor) and leaf.signed
-                and leaf.bits in (4, 8)):
+                and leaf.bits in (4, 8)
+                and getattr(leaf.qweight, "ndim", 2) == 2):
+            # Stacked [E, ...] expert tensors pass through unchanged —
+            # the int8-MXU kernel serves 2-D weights; the MoE paths
+            # dequantize per expert (widen_to_int8 would crash on 3-D).
             return widen_to_int8(leaf) if mode == "w8a8" else mark_act_quant(leaf)
         return leaf
 
