@@ -398,6 +398,8 @@ async def completions(request: web.Request) -> web.Response:
                 usage_c += res.completion_tokens
         state.metrics.tokens_prompted.inc(usage_p)
         state.metrics.tokens_generated.inc(usage_c)
+        if body.get("id_slot"):        # llama.cpp-style slot affinity
+            state.slots.touch(str(body["id_slot"]), usage_p, usage_c)
         state.slo.record_e2e(time.time() - t0)
         model_name = body.get("model", "default")
         return web.json_response(completion_response(
@@ -486,6 +488,8 @@ async def chat_completions(request: web.Request) -> web.Response:
             usage_c += res.completion_tokens
         state.metrics.tokens_prompted.inc(usage_p)
         state.metrics.tokens_generated.inc(usage_c)
+        if body.get("id_slot"):        # llama.cpp-style slot affinity
+            state.slots.touch(str(body["id_slot"]), usage_p, usage_c)
         state.slo.record_e2e(time.time() - t0)
         return web.json_response(chat_response(
             body.get("model", "default"), choices,

@@ -31,16 +31,27 @@ async def embeddings_handler(request: web.Request) -> web.Response:
         inputs = [inputs]
     if not isinstance(inputs, list) or not inputs:
         raise ApiError(400, "input must be a non-empty string or array")
+    if all(isinstance(t, int) for t in inputs):
+        # Flat token-id array = ONE pre-tokenized input (OpenAI spec).
+        inputs = [list(inputs)]
 
     strategy = body.get("pooling", "mean")
+    if strategy not in ("mean", "cls", "last"):
+        raise ApiError(400, f"unknown pooling strategy {strategy!r} "
+                            "(mean | cls | last)")
     normalize = bool(body.get("normalize", True))
     fmt = body.get("encoding_format", "float")
+    if fmt not in ("float", "base64"):
+        raise ApiError(400, f"unknown encoding_format {fmt!r} "
+                            "(float | base64)")
 
     data = []
     total_tokens = 0
     for i, item in enumerate(inputs):
         ids = (executor.tokenizer.encode(item) if isinstance(item, str)
                else [int(t) for t in item])
+        if not ids:
+            raise ApiError(400, f"input[{i}] is empty after tokenization")
         total_tokens += len(ids)
         emb = await asyncio.to_thread(executor.get_embeddings, ids)
         vec = pool(np.asarray(emb), strategy, normalize)

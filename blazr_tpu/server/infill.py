@@ -33,7 +33,9 @@ def _find_special(tokenizer, aliases: list[str]):
 
 
 async def infill_handler(request: web.Request) -> web.Response:
-    from .app import STATE_KEY, _get_executor, _json
+    from .api_types import gen_config_from_body
+    from .app import (STATE_KEY, _collect_via_engine, _get_executor, _json,
+                      _overloaded)
 
     state = request.app[STATE_KEY]
     body = await _json(request)
@@ -44,23 +46,40 @@ async def infill_handler(request: web.Request) -> web.Response:
     if not prefix and not suffix:
         raise ApiError(400, "input_prefix or input_suffix required")
 
-    p_tok, _ = _find_special(executor.tokenizer, FIM_PREFIX_ALIASES)
-    s_tok, _ = _find_special(executor.tokenizer, FIM_SUFFIX_ALIASES)
-    m_tok, _ = _find_special(executor.tokenizer, FIM_MIDDLE_ALIASES)
-    if p_tok and s_tok and m_tok:
-        prompt = f"{p_tok}{prefix}{s_tok}{suffix}{m_tok}"   # PSM order
+    p_tok, p_id = _find_special(executor.tokenizer, FIM_PREFIX_ALIASES)
+    s_tok, s_id = _find_special(executor.tokenizer, FIM_SUFFIX_ALIASES)
+    m_tok, m_id = _find_special(executor.tokenizer, FIM_MIDDLE_ALIASES)
+    enc = executor.tokenizer.encode
+    if p_id is not None and s_id is not None and m_id is not None:
+        # Build at the TOKEN level from the looked-up ids — re-encoding
+        # the control strings as text fails on SentencePiece tokenizers
+        # (no special-token splitting in encode), which is exactly the
+        # CodeLlama <PRE>/<SUF>/<MID> family. PSM order.
+        prompt_ids = [p_id] + enc(prefix) + [s_id] + enc(suffix) + [m_id]
     else:
         # Model has no FIM vocabulary — degrade to plain continuation.
-        prompt = prefix
+        prompt_ids = enc(prefix)
 
-    cfg = GenerationConfig.from_dict(executor.app_cfg.generation.to_dict())
-    cfg.max_tokens = int(body.get("max_tokens", 128))
-    if body.get("temperature") is not None:
-        cfg.temperature = float(body["temperature"])
-    cfg.stop_sequences = list(body.get("stop", [])) or cfg.stop_sequences
+    # Shared parser: correct string-vs-list `stop` handling, validation.
+    cfg = gen_config_from_body(body, executor.app_cfg.generation)
+    if body.get("max_tokens") is None:
+        cfg.max_tokens = 128
+    try:
+        cfg.validate()
+    except (TypeError, ValueError) as e:
+        raise ApiError(400, f"invalid sampling parameters: {e}")
 
-    prompt_ids = executor.tokenizer.encode(prompt)
-    res = await asyncio.to_thread(collect_generation, executor, prompt_ids, cfg)
+    budget = len(prompt_ids) + cfg.max_tokens
+    if not state.try_admit(budget):
+        return _overloaded()
+    try:
+        if state.batch_engine is not None:
+            res = await _collect_via_engine(state, prompt_ids, cfg)
+        else:
+            res = await asyncio.to_thread(collect_generation, executor,
+                                          prompt_ids, cfg)
+    finally:
+        state.release(budget)
     return web.json_response({
         "id": new_id("infill"),
         "content": res.text,

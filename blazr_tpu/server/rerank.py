@@ -30,16 +30,20 @@ async def rerank_handler(request: web.Request) -> web.Response:
     top_n = int(body.get("top_n", len(documents)))
     return_docs = bool(body.get("return_documents", True))
 
-    def embed(text: str) -> np.ndarray:
+    def embed(text: str):
         ids = executor.tokenizer.encode(text)
+        if not ids:
+            return None               # empty doc: NaN-free score of 0
         return pool(np.asarray(executor.get_embeddings(ids)), "mean", True)
 
     q_vec = await asyncio.to_thread(embed, query)
+    if q_vec is None:
+        raise ApiError(400, "query must not be empty")
     results = []
     for i, doc in enumerate(documents):
         text = doc if isinstance(doc, str) else doc.get("text", "")
         d_vec = await asyncio.to_thread(embed, text)
-        score = float(np.dot(q_vec, d_vec))
+        score = 0.0 if d_vec is None else float(np.dot(q_vec, d_vec))
         entry = {"index": i, "relevance_score": score}
         if return_docs:
             entry["document"] = {"text": text}

@@ -38,35 +38,48 @@ def extract_tool_calls(text: str) -> Optional[list[dict]]:
     """Extract tool calls from generated text (reference tools.rs
     extraction): accepts a bare JSON object, a fenced ```json block, or a
     {"tool_calls": [...]} wrapper."""
-    candidates = []
+    objs = []
     stripped = text.strip()
     if stripped.startswith("{"):
-        candidates.append(stripped)
-    candidates += _JSON_BLOCK.findall(text)
-
-    for cand in candidates:
+        # raw_decode tolerates trailing prose after the JSON object
+        # ('{...}\\nI have called the tool.').
         try:
-            obj = json.loads(cand)
+            obj, _ = json.JSONDecoder().raw_decode(stripped)
+            objs.append(obj)
+        except json.JSONDecodeError:
+            pass
+    for cand in _JSON_BLOCK.findall(text):
+        try:
+            objs.append(json.loads(cand))
         except json.JSONDecodeError:
             continue
+
+    for obj in objs:
         calls = None
         if isinstance(obj, dict) and "tool_calls" in obj:
             calls = obj["tool_calls"]
-        elif isinstance(obj, dict) and "name" in obj:
+        elif isinstance(obj, dict) and ("name" in obj or "function" in obj):
             calls = [obj]
         if not calls:
             continue
         out = []
         for c in calls:
-            if not isinstance(c, dict) or "name" not in c:
+            if not isinstance(c, dict):
                 continue
-            args = c.get("arguments", c.get("parameters", {}))
-            if isinstance(args, dict):
-                args = json.dumps(args)
+            # OpenAI-shaped entries nest under "function".
+            fn = c.get("function") if isinstance(c.get("function"),
+                                                 dict) else c
+            name = fn.get("name")
+            if not name:
+                continue
+            args = fn.get("arguments", fn.get("parameters", {}))
+            if not isinstance(args, str):
+                # The wire contract types arguments as a JSON STRING.
+                args = json.dumps(args if args is not None else {})
             out.append({
                 "id": f"call_{uuid.uuid4().hex[:24]}",
                 "type": "function",
-                "function": {"name": c["name"], "arguments": args},
+                "function": {"name": name, "arguments": args},
             })
         if out:
             return out
