@@ -62,16 +62,21 @@ def _pa_kernel(bt_ref, sl_ref, q_ref, k_ref, v_ref, *rest,
 
     @pl.when(valid_block)
     def _attend():
-        q = q_ref[0].astype(jnp.float32) * scale        # [G, Hg, D]
-        k = k_ref[0].astype(jnp.float32)                # [BS, G, D]
-        v = v_ref[0].astype(jnp.float32)
+        # Compute dtype follows Q (bf16 on chip → bf16 MXU rate, half the
+        # VMEM per streamed block); accumulation stays f32 via
+        # preferred_element_type — the attend fallback's exact policy.
+        # int8 KV converts to the compute dtype (its scales follow).
+        q = q_ref[0]                                    # [G, Hg, D]
+        k = k_ref[0].astype(q.dtype)                    # [BS, G, D]
+        v = v_ref[0].astype(q.dtype)
         kt = jnp.transpose(k, (1, 0, 2))                # [G, BS, D]
         vt = jnp.transpose(v, (1, 0, 2))
 
-        # [G, Hg, BS] — one batched dot over the kv-head axis.
+        # [G, Hg, BS] — one batched dot over the kv-head axis; the f32
+        # scale multiplies the f32 logits (not the bf16 operands).
         logits = jax.lax.dot_general(
             q, kt, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32) * scale
         if quantized:
             # int8 KV: per-key scales [BS, G] → [G, 1, BS].
             ks = jnp.transpose(ks_ref[0], (1, 0))
@@ -96,9 +101,10 @@ def _pa_kernel(bt_ref, sl_ref, q_ref, k_ref, v_ref, *rest,
         if quantized:
             vs = jnp.transpose(vs_ref[0], (1, 0))       # [G, BS]
             p3 = p3 * vs[:, None, :]
-        # [G, Hg, D] weighted values, batched over the kv-head axis.
+        # [G, Hg, D] weighted values, batched over the kv-head axis —
+        # probabilities drop to the compute dtype (attend does the same).
         av = jax.lax.dot_general(
-            p3, vt, (((2,), (1,)), ((0,), (0,))),
+            p3.astype(q.dtype), vt, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
         acc_ref[...] = acc_ref[...] * alpha + av.reshape(h_q, -1)
 
@@ -207,12 +213,12 @@ def paged_attention_decode(
 def paged_attention_reference(q, k_cache, v_cache, block_tables, seq_lens,
                               *, block_size: int) -> jax.Array:
     """Dense gather reference (same math as llama_paged gather path)."""
+    from ..kvcache.paged import page_slot_index
+
     b, h_q, d = q.shape
     h_kv = k_cache.shape[1]
     mb = block_tables.shape[1]
-    safe = jnp.where(block_tables == PAD_BLOCK, 0, block_tables)
-    slot_idx = (safe[:, :, None] * block_size +
-                jnp.arange(block_size)[None, None, :]).reshape(b, mb * block_size)
+    slot_idx = page_slot_index(block_size, block_tables)
     k = jnp.take(k_cache, slot_idx, axis=0)      # [B, S, H_kv, D]
     v = jnp.take(v_cache, slot_idx, axis=0)
     n_rep = h_q // h_kv

@@ -26,13 +26,25 @@ import jax as _jax
 from ..config.model_config import UniversalConfig
 
 
-def _use_pa_kernel(head_dim: int) -> bool:
+def _use_pa_kernel(head_dim: int, cfg: UniversalConfig) -> bool:
     if os.environ.get("BLAZR_TPU_FORCE_XLA_ATTN", "0") == "1":
         return False
     if head_dim % 128 != 0:
         return False
+    # The kernel implements neither a sliding-window lower bound nor
+    # logit softcapping — routing Mistral-style windowed or Gemma-style
+    # softcapped models through it would be SILENTLY wrong attention
+    # past the window / at every step. The XLA attend fallback handles
+    # both.
+    att = cfg.attention
+    if att is not None and att.sliding_window:
+        return False
+    if getattr(cfg, "attn_logit_softcapping", None):
+        return False
+    from ..quant.matmul import _on_tpu
+
     try:
-        return _jax.default_backend() == "tpu"
+        return _on_tpu()
     except Exception:  # pragma: no cover
         return False
 from ..kvcache.paged import PagedKVCache, gather_pages, write_paged_layer
@@ -82,7 +94,7 @@ def _paged_attention_block(
 
     # Decode fast path: the Pallas paged-attention kernel streams KV blocks
     # directly (no page gather materialization) on TPU.
-    if t == 1 and _use_pa_kernel(head_dim):
+    if t == 1 and _use_pa_kernel(head_dim, cfg):
         from ..attention.paged_attention import paged_attention_decode
 
         out = paged_attention_decode(

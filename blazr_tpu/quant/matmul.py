@@ -18,15 +18,24 @@ import jax.numpy as jnp
 
 from .qtensor import QuantTensor, dequantize_jnp, unpack_jnp
 
-_FORCE_XLA = os.environ.get("BLAZR_TPU_FORCE_XLA_QUANT", "0") == "1"
-# Debug/verification knob: route through the Pallas kernel in interpret
-# mode even off-TPU (slow; exercises the real kernel code path).
-_FORCE_PALLAS = os.environ.get("BLAZR_TPU_FORCE_PALLAS_QUANT", "0") == "1"
-# Experimental: grouped dequant-dot in pure XLA instead of the Pallas
-# kernel — rides XLA's own HBM streaming (measured ~770 GB/s on dense
-# bf16 vs ~310-400 for the Pallas auto-pipeline; tools/bench_quant_paths.py
-# decides whether this becomes the default).
-_XLA_GROUPED = os.environ.get("BLAZR_TPU_XLA_GROUPED", "0") == "1"
+# Env knobs are read PER CALL (not latched at import) so tests and
+# benchmark scripts can monkeypatch them after blazr_tpu is imported —
+# matching the BLAZR_TPU_STREAM_KERNEL knob's behavior.
+def _force_xla() -> bool:
+    return os.environ.get("BLAZR_TPU_FORCE_XLA_QUANT", "0") == "1"
+
+
+def _force_pallas() -> bool:
+    # Debug/verification knob: route through the Pallas kernel in
+    # interpret mode even off-TPU (slow; exercises the real kernel path).
+    return os.environ.get("BLAZR_TPU_FORCE_PALLAS_QUANT", "0") == "1"
+
+
+def _xla_grouped() -> bool:
+    # Experimental: grouped dequant-dot in pure XLA instead of the Pallas
+    # kernel — rides XLA's own HBM streaming (tools/bench_quant_paths.py
+    # decides whether this becomes the default).
+    return os.environ.get("BLAZR_TPU_XLA_GROUPED", "0") == "1"
 
 
 def _rows(x: jax.Array) -> int:
@@ -52,16 +61,13 @@ def quant_matmul(x: jax.Array, qt: QuantTensor) -> jax.Array:
     if qt.perm is not None:
         x = jnp.take(x, qt.perm, axis=-1)
 
-    # Decode-regime only: the grouped path keeps [m, G, N] f32 partials
-    # live (~1 GB at prefill sizes); prefill stays on the tiled kernel.
-    if _XLA_GROUPED and _rows(x) <= 32:
-        return quant_matmul_xla_grouped(x, qt)
-
     # int8-MXU compute (W4A8/W8A8): tensors tagged by mark_act_quant /
     # widen_to_int8 (inference.quant_compute) carry dynamic per-row
     # activation quant through the int8 MXU — zero/one VPU op per weight
-    # element vs the int4→bf16 convert chain (pallas PERF LOG).
-    if (qt.act_quant and not _FORCE_XLA and (_on_tpu() or _FORCE_PALLAS)):
+    # element vs the int4→bf16 convert chain (pallas PERF LOG). The
+    # user-selected compute mode outranks the experimental XLA-grouped
+    # knob below.
+    if (qt.act_quant and not _force_xla() and (_on_tpu() or _force_pallas())):
         from .pallas.int_matmul import quant_matmul_int8mxu
 
         try:
@@ -69,7 +75,12 @@ def quant_matmul(x: jax.Array, qt: QuantTensor) -> jax.Array:
         except NotImplementedError:
             pass
 
-    if not _FORCE_XLA and (_on_tpu() or _FORCE_PALLAS):
+    # Decode-regime only: the grouped path keeps [m, G, N] f32 partials
+    # live (~1 GB at prefill sizes); prefill stays on the tiled kernel.
+    if _xla_grouped() and _rows(x) <= 32:
+        return quant_matmul_xla_grouped(x, qt)
+
+    if not _force_xla() and (_on_tpu() or _force_pallas()):
         from .pallas.int_matmul import quant_matmul_pallas
 
         try:

@@ -58,6 +58,14 @@ def _unpack_tile(qw, bits: int, signed: bool, bk: int, bn: int):
     return qi.astype(jnp.float32)
 
 
+def _interpret() -> bool:
+    """Interpret mode only OFF the TPU — the remote plugin may expose the
+    backend as 'axon'; the dispatcher (quant/matmul._on_tpu) treats both
+    names as the real chip, and running the interpreter there would be a
+    silent orders-of-magnitude slowdown."""
+    return jax.default_backend() not in ("tpu", "axon")
+
+
 def _qmm_kernel(x_ref, qw_ref, s_ref, m_ref, o_ref, acc_ref, *,
                 bits: int, signed: bool, group_size: int,
                 bk: int, bn: int, k_tiles: int):
@@ -130,7 +138,7 @@ def _qmm(x, qweight, scales, mins, *, bits, signed, group_size,
     gpb = bk // group_size
     scales3 = scales.reshape(k_tiles, gpb, n)
     mins3 = mins.reshape(k_tiles, gpb, n)
-    interpret = jax.default_backend() != "tpu"
+    interpret = _interpret()
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -245,7 +253,7 @@ def _qmm_stream(x, qweight, scales, mins, *, bits, group_size,
         k_tiles=k_tiles, n=n, nbuf=nbuf)
     return pl.pallas_call(
         kernel,
-        interpret=jax.default_backend() != "tpu",
+        interpret=_interpret(),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),     # x  [bm, K]
             pl.BlockSpec(memory_space=pltpu.VMEM),     # scales3
@@ -334,7 +342,7 @@ def _qmm_int8(xq, xs, qweight, scales, mins, *, bits, group_size,
     return pl.pallas_call(
         kernel,
         grid=(m_tiles, n_tiles, k_tiles),
-        interpret=jax.default_backend() != "tpu",
+        interpret=_interpret(),
         in_specs=[
             pl.BlockSpec((bm, bk), lambda i, j, t: (i, t),
                          memory_space=pltpu.VMEM),             # xq int8

@@ -74,7 +74,7 @@ def test_int8_mxu_dispatch_via_quant_matmul(rng, monkeypatch):
     kernel when the Pallas path is forced."""
     from blazr_tpu.quant import matmul as qm
 
-    monkeypatch.setattr(qm, "_FORCE_PALLAS", True)
+    monkeypatch.setenv("BLAZR_TPU_FORCE_PALLAS_QUANT", "1")
     qt = widen_to_int8(_awq_qt(3, 256, 128, 64))
     x = jnp.asarray(rng.standard_normal((2, 256)), dtype=jnp.float32)
     got = np.asarray(qm.quant_matmul(x, qt))
