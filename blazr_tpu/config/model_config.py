@@ -195,6 +195,9 @@ class UniversalConfig:
     norm_type: str = "rmsnorm"            # rmsnorm | layernorm
     mlp_type: str = "gated"               # gated (SwiGLU/GeGLU) | plain
     hidden_act: str = "silu"
+    # Falcon parallel blocks: attention + MLP read the same normed input
+    # and share one residual add (HF parallel_attn / new_decoder_architecture).
+    parallel_residual: bool = False
 
     # ---- derived helpers -------------------------------------------------
     def resolved_intermediate_size(self) -> int:
@@ -346,14 +349,25 @@ def universal_from_hf_config(cfg: dict[str, Any]) -> UniversalConfig:
 
     is_ssm = model_type in ("mamba2", "mamba3", "mamba")
 
+    # Falcon head-count semantics: old arch is MQA unless multi_query=False;
+    # only the new decoder architecture carries an explicit num_kv_heads.
+    falcon_kv_heads = None
+    if model_type == "falcon":
+        n_heads = cfg.get("num_attention_heads", cfg.get("n_head", 32))
+        if cfg.get("new_decoder_architecture"):
+            falcon_kv_heads = cfg.get("num_kv_heads", n_heads)
+        else:
+            falcon_kv_heads = 1 if cfg.get("multi_query", True) else n_heads
+
     attention: Optional[AttentionConfig] = None
     if not is_ssm:
         rope_scaling = None
         if isinstance(cfg.get("rope_scaling"), dict):
             rope_scaling = RopeScaling.from_dict(cfg["rope_scaling"])
         attention = AttentionConfig(
-            num_heads=cfg.get("num_attention_heads", 32),
-            num_kv_heads=cfg.get("num_key_value_heads"),
+            num_heads=cfg.get("num_attention_heads", cfg.get("n_head", 32)),
+            num_kv_heads=(falcon_kv_heads if model_type == "falcon"
+                          else cfg.get("num_key_value_heads")),
             head_dim=cfg.get("head_dim"),
             rope_theta=cfg.get("rope_theta", 10000.0),
             rope_scaling=rope_scaling,
@@ -441,8 +455,14 @@ def universal_from_hf_config(cfg: dict[str, Any]) -> UniversalConfig:
         final_logit_softcapping=cfg.get("final_logit_softcapping"),
         attn_logit_softcapping=cfg.get("attn_logit_softcapping"),
         scale_embeddings=model_type in ("gemma", "gemma2"),
-        norm_type="layernorm" if model_type == "starcoder2" else "rmsnorm",
-        mlp_type="plain" if model_type == "starcoder2" else "gated",
-        hidden_act=str(cfg.get("hidden_act", "silu")).replace(
-            "_pytorch_tanh", "_tanh"),
+        norm_type=("layernorm" if model_type in ("starcoder2", "falcon")
+                   else "rmsnorm"),
+        mlp_type="plain" if model_type in ("starcoder2", "falcon") else "gated",
+        # HF FalconMLP uses exact (erf) GELU.
+        hidden_act=("gelu_exact" if model_type == "falcon"
+                    else str(cfg.get("hidden_act", "silu")).replace(
+                        "_pytorch_tanh", "_tanh")),
+        parallel_residual=(model_type == "falcon"
+                           and bool(cfg.get("new_decoder_architecture")
+                                    or cfg.get("parallel_attn", True))),
     )

@@ -25,6 +25,7 @@ _LAYER_GGUF_TO_HF = {
     # attention
     "attn_norm": "input_layernorm",
     "attn_norm_2": "pre_feedforward_layernorm",
+    "attn_qkv": "self_attn.query_key_value",   # falcon fused MQA/GQA
     "attn_q": "self_attn.q_proj",
     "attn_k": "self_attn.k_proj",
     "attn_v": "self_attn.v_proj",

@@ -50,7 +50,9 @@ def universal_from_gguf_metadata(md: GgufMetadata) -> UniversalConfig:
     max_seq_len = md.context_length() or 4096
 
     intermediate = md.get_u32(f"{arch}.feed_forward_length")
-    rms_norm_eps = md.get_f32(f"{arch}.attention.layer_norm_rms_epsilon") or 1e-5
+    rms_norm_eps = (md.get_f32(f"{arch}.attention.layer_norm_rms_epsilon")
+                    or md.get_f32(f"{arch}.attention.layer_norm_epsilon")
+                    or 1e-5)
 
     attention = None
     if not is_ssm:
@@ -112,4 +114,14 @@ def universal_from_gguf_metadata(md: GgufMetadata) -> UniversalConfig:
         attention=attention,
         ssm=ssm,
         moe=moe,
+        # Falcon family: LayerNorm + non-gated exact-GELU MLP + parallel
+        # residual blocks (both released falcon arches are parallel).
+        norm_type="layernorm" if model_type in ("falcon", "starcoder2")
+        else "rmsnorm",
+        mlp_type="plain" if model_type in ("falcon", "starcoder2")
+        else "gated",
+        hidden_act=("gelu_exact" if model_type == "falcon"
+                    else "gelu_tanh" if model_type == "starcoder2"
+                    else "silu"),
+        parallel_residual=model_type == "falcon",
     )

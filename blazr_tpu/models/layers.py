@@ -158,6 +158,20 @@ def repeat_kv(x: jax.Array, n_rep: int) -> jax.Array:
     )
 
 
+def alibi_slopes(n_heads: int) -> jnp.ndarray:
+    """Per-head ALiBi slopes (Press et al.; the formula HF falcon's
+    ``build_alibi_tensor`` and ggml use). Reference carries the flag as
+    ``AttentionConfig.use_alibi`` (loader/gguf.rs:199-202 sets it for
+    falcon); the bias itself lived in boostr's attention kernels."""
+    p = 2 ** math.floor(math.log2(n_heads))
+    base = 2.0 ** (-(2.0 ** -(math.log2(p) - 3)))
+    slopes = [base ** (i + 1) for i in range(p)]
+    if p < n_heads:
+        extra_base = 2.0 ** (-(2.0 ** -(math.log2(2 * p) - 3)))
+        slopes += [extra_base ** (2 * i + 1) for i in range(n_heads - p)]
+    return jnp.asarray(slopes, dtype=jnp.float32)
+
+
 def layer_norm(x: jax.Array, w: jax.Array, b: Optional[jax.Array],
                eps: float) -> jax.Array:
     """Full LayerNorm (mean-centered) — starcoder2/falcon family."""
@@ -197,6 +211,7 @@ def attend(
     scale: Optional[float] = None,
     k_scale: Optional[jax.Array] = None,   # [B, S, H_kv] int8-KV dequant
     v_scale: Optional[jax.Array] = None,
+    alibi: Optional[jax.Array] = None,     # [H] per-head ALiBi slopes
 ) -> jax.Array:
     """Masked scaled-dot-product attention over a fixed-length cache.
 
@@ -225,6 +240,13 @@ def attend(
         logits = logits * jnp.transpose(k_scale, (0, 2, 1))[:, :, None, None, :]
     if logit_softcap is not None:
         logits = jnp.tanh(logits / logit_softcap) * logit_softcap
+    if alibi is not None:
+        # slope * (k_pos - q_pos): ≤ 0 for the causal past. Equivalent to
+        # HF's slope * k_pos bias (softmax is shift-invariant per row).
+        rel = (jnp.arange(s, dtype=jnp.int32)[None, None, :]
+               - q_positions[:, :, None]).astype(jnp.float32)   # [B, T, S]
+        logits = logits + (alibi.reshape(g, n_rep)[None, :, :, None, None]
+                           * rel[:, None, None, :, :])
 
     kv_pos = jnp.arange(s, dtype=jnp.int32)[None, :]                    # [1, S]
     valid = kv_pos < kv_len[:, None]                                    # [B, S]

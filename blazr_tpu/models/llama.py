@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from ..config.model_config import UniversalConfig
 from ..kvcache.contiguous import KVCache, advance, write_layer
 from .layers import (
+    alibi_slopes,
     layer_norm,
     plain_mlp,
     apply_rope,
@@ -47,6 +48,7 @@ def attention_block(
     kv_len: jax.Array,            # [B] valid length AFTER this block's write
     cos: jax.Array,
     sin: jax.Array,
+    alibi: Optional[jax.Array] = None,   # [H] slopes (falcon; replaces RoPE)
 ) -> tuple[jax.Array, KVCache]:
     att = cfg.attention
     b, t, _ = x.shape
@@ -71,8 +73,9 @@ def attention_block(
         q = rms_norm(q, p["q_norm"], cfg.rms_norm_eps)
         k = rms_norm(k, p["k_norm"], cfg.rms_norm_eps)
 
-    q = apply_rope(q, cos, sin)
-    k = apply_rope(k, cos, sin)
+    if alibi is None:
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
 
     cache = write_layer(cache, layer, k, v, positions)
 
@@ -101,6 +104,7 @@ def attention_block(
             logit_softcap=cfg.attn_logit_softcapping,
             k_scale=cache.k_scale[layer] if cache.quantized else None,
             v_scale=cache.v_scale[layer] if cache.quantized else None,
+            alibi=alibi,
         )
     out = out.reshape(b, t, n_heads * head_dim)
     return linear(out, p["o"], p.get("o_bias")), cache
@@ -129,6 +133,11 @@ def forward(
     head_dim = att.resolved_head_dim(cfg.hidden_size)
     inv_freq = rope_frequencies(att, head_dim)
     cos, sin = rope_cos_sin(positions, inv_freq)
+    # HF falcon scales the ALiBi bias by 1/sqrt(head_dim) along with
+    # the scores (modeling_falcon.py eager + sdpa paths) - the
+    # semantics the falcon-rw checkpoints were trained with.
+    alibi = (alibi_slopes(att.num_heads) * head_dim ** -0.5
+             if att.use_alibi else None)
 
     if seq_lens is not None:
         kv_len = jnp.maximum(cache.length, seq_lens)
@@ -143,31 +152,42 @@ def forward(
             return layer_norm(h, w, bias, cfg.rms_norm_eps)
         return rms_norm(h, w, cfg.rms_norm_eps, norm_offset)
 
+    def mlp(p, h):
+        if p.get("moe") is not None:
+            from .moe import moe_forward
+
+            return moe_forward(h, p["moe"], cfg.moe)
+        if p.get("fc") is not None:          # starcoder2/falcon plain MLP
+            return plain_mlp(h, p["fc"], p.get("fc_bias"), p["down"],
+                             p.get("down_bias"), act=cfg.hidden_act)
+        if p.get("gateup") is not None:
+            gu = linear(h, p["gateup"])
+            inter = gu.shape[-1] // 2
+            act = jax.nn.silu(gu[..., :inter]) * gu[..., inter:]
+            return linear(act, p["down"])
+        return swiglu_mlp(h, p["gate"], p["up"], p["down"],
+                          act="gelu" if norm_offset else "silu")
+
     for i, p in enumerate(params["layers"]):
         h = norm(x, p["input_norm"], p.get("input_norm_bias"))
         attn_out, cache = attention_block(
-            p, cfg, h, cache, i, positions, kv_len, cos, sin
+            p, cfg, h, cache, i, positions, kv_len, cos, sin, alibi
         )
+        if cfg.parallel_residual:
+            # Falcon parallel blocks: attention and MLP both read the
+            # normed input; one residual add. Old arch (single norm) feeds
+            # the MLP the SAME normed h; new arch has its own ln_mlp in
+            # the post_norm slot.
+            if p.get("post_norm") is not None:
+                h = norm(x, p["post_norm"], p.get("post_norm_bias"))
+            x = x + attn_out + mlp(p, h)
+            continue
         if p.get("post_attn_norm") is not None:    # Gemma2 sandwich norms
             attn_out = rms_norm(attn_out, p["post_attn_norm"],
                                 cfg.rms_norm_eps, norm_offset)
         x = x + attn_out
         h = norm(x, p["post_norm"], p.get("post_norm_bias"))
-        if p.get("moe") is not None:
-            from .moe import moe_forward
-
-            mlp_out = moe_forward(h, p["moe"], cfg.moe)
-        elif p.get("fc") is not None:              # starcoder2 plain MLP
-            mlp_out = plain_mlp(h, p["fc"], p.get("fc_bias"), p["down"],
-                                p.get("down_bias"), act=cfg.hidden_act)
-        elif p.get("gateup") is not None:
-            gu = linear(h, p["gateup"])
-            inter = gu.shape[-1] // 2
-            act = jax.nn.silu(gu[..., :inter]) * gu[..., inter:]
-            mlp_out = linear(act, p["down"])
-        else:
-            mlp_out = swiglu_mlp(h, p["gate"], p["up"], p["down"],
-                                 act="gelu" if norm_offset else "silu")
+        mlp_out = mlp(p, h)
         if p.get("post_ffw_norm") is not None:
             mlp_out = rms_norm(mlp_out, p["post_ffw_norm"],
                                cfg.rms_norm_eps, norm_offset)
@@ -222,31 +242,53 @@ def forward_layers_range(
     head_dim = att.resolved_head_dim(cfg.hidden_size)
     inv_freq = rope_frequencies(att, head_dim)
     cos, sin = rope_cos_sin(positions, inv_freq)
+    # HF falcon scales the ALiBi bias by 1/sqrt(head_dim) along with
+    # the scores (modeling_falcon.py eager + sdpa paths) - the
+    # semantics the falcon-rw checkpoints were trained with.
+    alibi = (alibi_slopes(att.num_heads) * head_dim ** -0.5
+             if att.use_alibi else None)
     if seq_lens is not None:
         kv_len = jnp.maximum(cache.length, seq_lens)
     else:
         kv_len = jnp.maximum(cache.length, jnp.max(positions, axis=-1) + 1)
 
-    x = hidden
-    for li in range(start, end):
-        p = params["layers"][li]
-        h = rms_norm(x, p["input_norm"], cfg.rms_norm_eps)
-        attn_out, cache = attention_block(
-            p, cfg, h, cache, li - start + cache_layer_offset, positions,
-            kv_len, cos, sin)
-        x = x + attn_out
-        h = rms_norm(x, p["post_norm"], cfg.rms_norm_eps)
+    ln = cfg.norm_type == "layernorm"
+
+    def norm(h, w, bias=None):
+        if ln:
+            return layer_norm(h, w, bias, cfg.rms_norm_eps)
+        return rms_norm(h, w, cfg.rms_norm_eps)
+
+    def mlp(p, h):
         if p.get("moe") is not None:
             from .moe import moe_forward
 
-            x = x + moe_forward(h, p["moe"], cfg.moe)
-        elif p.get("gateup") is not None:
+            return moe_forward(h, p["moe"], cfg.moe)
+        if p.get("fc") is not None:
+            return plain_mlp(h, p["fc"], p.get("fc_bias"), p["down"],
+                             p.get("down_bias"), act=cfg.hidden_act)
+        if p.get("gateup") is not None:
             gu = linear(h, p["gateup"])
             inter = gu.shape[-1] // 2
             act = jax.nn.silu(gu[..., :inter]) * gu[..., inter:]
-            x = x + linear(act, p["down"])
-        else:
-            x = x + swiglu_mlp(h, p["gate"], p["up"], p["down"])
+            return linear(act, p["down"])
+        return swiglu_mlp(h, p["gate"], p["up"], p["down"])
+
+    x = hidden
+    for li in range(start, end):
+        p = params["layers"][li]
+        h = norm(x, p["input_norm"], p.get("input_norm_bias"))
+        attn_out, cache = attention_block(
+            p, cfg, h, cache, li - start + cache_layer_offset, positions,
+            kv_len, cos, sin, alibi)
+        if cfg.parallel_residual:
+            if p.get("post_norm") is not None:
+                h = norm(x, p["post_norm"], p.get("post_norm_bias"))
+            x = x + attn_out + mlp(p, h)
+            continue
+        x = x + attn_out
+        h = norm(x, p["post_norm"], p.get("post_norm_bias"))
+        x = x + mlp(p, h)
     cache = advance(cache, positions, seq_lens)
     return x, cache
 
@@ -254,7 +296,11 @@ def forward_layers_range(
 def forward_head(params: dict[str, Any], cfg: UniversalConfig,
                  hidden: jax.Array) -> jax.Array:
     """Final norm + LM head (reference LoadedModel::forward_head)."""
-    x = rms_norm(hidden, params["final_norm"], cfg.rms_norm_eps)
+    if cfg.norm_type == "layernorm":
+        x = layer_norm(hidden, params["final_norm"],
+                       params.get("final_norm_bias"), cfg.rms_norm_eps)
+    else:
+        x = rms_norm(hidden, params["final_norm"], cfg.rms_norm_eps)
     lm_head = params.get("lm_head")
     if lm_head is None:
         logits = jnp.dot(x, params["embed"].T.astype(x.dtype),

@@ -39,6 +39,8 @@ def _use_pa_kernel(head_dim: int, cfg: UniversalConfig) -> bool:
     att = cfg.attention
     if att is not None and att.sliding_window:
         return False
+    if att is not None and att.use_alibi:
+        return False               # kernel has no ALiBi bias (falcon)
     if getattr(cfg, "attn_logit_softcapping", None):
         return False
     from ..quant.matmul import _on_tpu
@@ -64,6 +66,7 @@ def _paged_attention_block(
     seq_lens: jax.Array,           # [B] total valid tokens (incl. this step)
     cos: jax.Array,
     sin: jax.Array,
+    alibi: Optional[jax.Array] = None,   # [H] slopes (falcon; replaces RoPE)
 ) -> tuple[jax.Array, PagedKVCache]:
     att = cfg.attention
     b, t, _ = x.shape
@@ -87,8 +90,9 @@ def _paged_attention_block(
     if p.get("q_norm") is not None:
         q = rms_norm(q, p["q_norm"], cfg.rms_norm_eps)
         k = rms_norm(k, p["k_norm"], cfg.rms_norm_eps)
-    q = apply_rope(q, cos, sin)
-    k = apply_rope(k, cos, sin)
+    if alibi is None:
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
 
     cache = write_paged_layer(cache, layer, k, v, slot_mapping)
 
@@ -125,6 +129,7 @@ def _paged_attention_block(
         logit_softcap=cfg.attn_logit_softcapping,
         k_scale=ks_all,
         v_scale=vs_all,
+        alibi=alibi,
     )
     out = out.reshape(b, t, n_heads * head_dim).astype(x.dtype)
     return linear(out, p["o"], p.get("o_bias")), cache
@@ -148,42 +153,68 @@ def forward_paged(
     head_dim = att.resolved_head_dim(cfg.hidden_size)
     inv_freq = rope_frequencies(att, head_dim)
     cos, sin = rope_cos_sin(positions, inv_freq)
+    from .layers import alibi_slopes
+
+    # HF falcon scales the ALiBi bias by 1/sqrt(head_dim) along with
+    # the scores (modeling_falcon.py eager + sdpa paths) - the
+    # semantics the falcon-rw checkpoints were trained with.
+    alibi = (alibi_slopes(att.num_heads) * head_dim ** -0.5
+             if att.use_alibi else None)
 
     ln = cfg.norm_type == "layernorm"
+    # Gemma-family norms carry the (1 + w) offset; MLP act is GELU. Same
+    # policy as llama.forward — the single-stream and continuous-batching
+    # paths must be numerically identical per family.
+    norm_offset = 1.0 if cfg.model_type in ("gemma", "gemma2") else 0.0
 
     def norm(h, w, bias=None):
         if ln:
             return layer_norm(h, w, bias, cfg.rms_norm_eps)
-        return rms_norm(h, w, cfg.rms_norm_eps)
+        return rms_norm(h, w, cfg.rms_norm_eps, norm_offset)
+
+    def mlp(p, h):
+        if p.get("moe") is not None:
+            from .moe import moe_forward
+
+            return moe_forward(h, p["moe"], cfg.moe)
+        if p.get("fc") is not None:          # starcoder2/falcon plain MLP
+            return plain_mlp(h, p["fc"], p.get("fc_bias"), p["down"],
+                             p.get("down_bias"), act=cfg.hidden_act)
+        if p.get("gateup") is not None:      # fused gate+up matmul
+            gu = linear(h, p["gateup"])
+            inter = gu.shape[-1] // 2
+            return linear(jax.nn.silu(gu[..., :inter]) * gu[..., inter:],
+                          p["down"])
+        return swiglu_mlp(h, p["gate"], p["up"], p["down"],
+                          act="gelu" if norm_offset else "silu")
 
     for i, p in enumerate(params["layers"]):
         h = norm(x, p["input_norm"], p.get("input_norm_bias"))
         attn_out, cache = _paged_attention_block(
             p, cfg, h, cache, i, positions, slot_mapping, block_tables,
-            seq_lens, cos, sin,
+            seq_lens, cos, sin, alibi,
         )
+        if cfg.parallel_residual:            # falcon parallel blocks
+            if p.get("post_norm") is not None:
+                h = norm(x, p["post_norm"], p.get("post_norm_bias"))
+            x = x + attn_out + mlp(p, h)
+            continue
+        if p.get("post_attn_norm") is not None:    # Gemma2 sandwich norms
+            attn_out = rms_norm(attn_out, p["post_attn_norm"],
+                                cfg.rms_norm_eps, norm_offset)
         x = x + attn_out
         h = norm(x, p["post_norm"], p.get("post_norm_bias"))
-        if p.get("moe") is not None:
-            from .moe import moe_forward
-
-            x = x + moe_forward(h, p["moe"], cfg.moe)
-        elif p.get("fc") is not None:              # starcoder2 plain MLP
-            x = x + plain_mlp(h, p["fc"], p.get("fc_bias"), p["down"],
-                              p.get("down_bias"), act=cfg.hidden_act)
-        elif p.get("gateup") is not None:          # fused gate+up matmul
-            gu = linear(h, p["gateup"])
-            inter = gu.shape[-1] // 2
-            x = x + linear(jax.nn.silu(gu[..., :inter]) * gu[..., inter:],
-                           p["down"])
-        else:
-            x = x + swiglu_mlp(h, p["gate"], p["up"], p["down"])
+        mlp_out = mlp(p, h)
+        if p.get("post_ffw_norm") is not None:
+            mlp_out = rms_norm(mlp_out, p["post_ffw_norm"],
+                               cfg.rms_norm_eps, norm_offset)
+        x = x + mlp_out
 
     if ln:
         x = layer_norm(x, params["final_norm"], params.get("final_norm_bias"),
                        cfg.rms_norm_eps)
     else:
-        x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+        x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps, norm_offset)
     lm_head = params.get("lm_head")
     if lm_head is None:
         logits = jnp.dot(x, params["embed"].T.astype(x.dtype),

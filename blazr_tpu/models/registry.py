@@ -133,6 +133,115 @@ def build_llama_layer_params(pb: ParamBuilder, i: int, cfg: UniversalConfig) -> 
     return out
 
 
+def _split_falcon_qkv(fused: np.ndarray, n_heads: int, n_kv: int,
+                      head_dim: int) -> tuple[np.ndarray, ...]:
+    """De-interleave HF falcon's fused query_key_value into contiguous
+    q/k/v (HF FalconAttention._split_heads layouts). One reshape covers
+    all three variants: grouped [n_kv, q_per+2, hd] is per-head
+    interleaved [n, 3, hd] when n_kv == n_heads and contiguous q|k|v when
+    n_kv == 1 (multi_query)."""
+    q_per = n_heads // n_kv
+    rest = fused.shape[1:]                   # (hidden,) for W, () for bias
+    g = fused.reshape(n_kv, q_per + 2, head_dim, *rest)
+    q = g[:, :q_per].reshape(n_heads * head_dim, *rest)
+    k = g[:, -2].reshape(n_kv * head_dim, *rest)
+    v = g[:, -1].reshape(n_kv * head_dim, *rest)
+    return q, k, v
+
+
+def build_falcon_params(cfg: UniversalConfig, vm: "VarMap",
+                        dtype=jnp.bfloat16) -> dict:
+    """Falcon family (reference gguf.rs:137-149 arch table + ALiBi detect
+    :199-202): fused MQA/GQA query_key_value de-interleaved at load,
+    LayerNorm, non-gated GELU MLP, parallel residual blocks.
+
+    Accepts HF names (``transformer.h.{i}.``) and GGUF-normalized names
+    (``model.layers.{i}.`` after formats/names.py mapping). Quantized
+    falcon checkpoints keep q/k/v fused only if already split; a fused
+    QuantTensor cannot be de-interleaved losslessly, so it is rejected."""
+    att = cfg.attention
+    head_dim = att.resolved_head_dim(cfg.hidden_size)
+    n_heads, n_kv = att.num_heads, att.kv_heads()
+    pb = ParamBuilder(vm, dtype)
+
+    def first(*names, required=True):
+        for n in names:
+            if n in vm:
+                return n
+        if required:
+            raise KeyError(f"Missing tensor (tried {names})")
+        return None
+
+    layers = []
+    for i in range(cfg.num_layers):
+        hf = f"transformer.h.{i}."
+        gg = f"model.layers.{i}."
+        out: dict[str, Any] = {}
+        # Norms: old arch single input_layernorm (+post_attention_layernorm
+        # when sequential); new arch ln_attn + ln_mlp.
+        out["input_norm"] = pb.get(hf + "ln_attn.weight",
+                                   hf + "input_layernorm.weight",
+                                   gg + "input_layernorm.weight")
+        out["input_norm_bias"] = pb.get(
+            hf + "ln_attn.bias", hf + "input_layernorm.bias",
+            gg + "input_layernorm.bias", required=False)
+        pn = first(hf + "ln_mlp.weight",
+                   hf + "post_attention_layernorm.weight",
+                   gg + "pre_feedforward_layernorm.weight",
+                   gg + "post_attention_layernorm.weight", required=False)
+        if pn is not None:
+            out["post_norm"] = pb.get(pn)
+            out["post_norm_bias"] = pb.get(
+                pn[: -len(".weight")] + ".bias", required=False)
+        qkv_name = first(hf + "self_attention.query_key_value.weight",
+                         gg + "self_attn.query_key_value.weight")
+        fused = vm.take(qkv_name)
+        if isinstance(fused, QuantTensor):
+            raise ValueError(
+                "quantized falcon checkpoints must store q/k/v unfused "
+                "(fused query_key_value QuantTensor cannot be de-interleaved)")
+        q, k, v = _split_falcon_qkv(np.asarray(fused), n_heads, n_kv, head_dim)
+        out["q"], out["k"], out["v"] = (
+            _place(q, dtype, transpose=True),
+            _place(k, dtype, transpose=True),
+            _place(v, dtype, transpose=True))
+        bias_name = qkv_name[: -len(".weight")] + ".bias"
+        if bias_name in vm:
+            qb, kb, vb = _split_falcon_qkv(
+                np.asarray(vm.take(bias_name)), n_heads, n_kv, head_dim)
+            out["q_bias"] = _place(qb, dtype)
+            out["k_bias"] = _place(kb, dtype)
+            out["v_bias"] = _place(vb, dtype)
+        out["o"] = pb.get(hf + "self_attention.dense.weight",
+                          gg + "self_attn.o_proj.weight", transpose=True)
+        out["o_bias"] = pb.get(hf + "self_attention.dense.bias",
+                               gg + "self_attn.o_proj.bias", required=False)
+        out["fc"] = pb.get(hf + "mlp.dense_h_to_4h.weight",
+                           gg + "mlp.up_proj.weight", transpose=True)
+        out["fc_bias"] = pb.get(hf + "mlp.dense_h_to_4h.bias",
+                                gg + "mlp.up_proj.bias", required=False)
+        out["down"] = pb.get(hf + "mlp.dense_4h_to_h.weight",
+                             gg + "mlp.down_proj.weight", transpose=True)
+        out["down_bias"] = pb.get(hf + "mlp.dense_4h_to_h.bias",
+                                  gg + "mlp.down_proj.bias", required=False)
+        layers.append(out)
+
+    params: dict[str, Any] = {
+        "embed": pb.get("transformer.word_embeddings.weight",
+                        "model.embed_tokens.weight"),
+        "final_norm": pb.get("transformer.ln_f.weight", "model.norm.weight"),
+        "layers": layers,
+    }
+    fnb = pb.get("transformer.ln_f.bias", "model.norm.bias", required=False)
+    if fnb is not None:
+        params["final_norm_bias"] = fnb
+    params["lm_head"] = pb.get("lm_head.weight", transpose=True,
+                               required=False)
+    if params["lm_head"] is None and not cfg.tie_word_embeddings:
+        cfg.tie_word_embeddings = True
+    return params
+
+
 def build_llama_params(cfg: UniversalConfig, vm: "VarMap", dtype=jnp.bfloat16) -> dict:
     pb = ParamBuilder(vm, dtype)
     params: dict[str, Any] = {
@@ -249,4 +358,7 @@ def build_model(cfg: UniversalConfig, vm: "VarMap", dtype=jnp.bfloat16) -> Model
         return Model(cfg, mla.build_mla_params(cfg, vm, dtype), dtype, mla.forward)
     from . import llama
 
+    if cfg.model_type == "falcon":
+        return Model(cfg, build_falcon_params(cfg, vm, dtype), dtype,
+                     llama.forward)
     return Model(cfg, build_llama_params(cfg, vm, dtype), dtype, llama.forward)
