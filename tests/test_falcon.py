@@ -40,10 +40,17 @@ def _falcon(**kw):
     from transformers import FalconConfig, FalconForCausalLM
 
     torch.manual_seed(3)
+    # ALiBi goldens use the sdpa path: transformers 4.57's falcon EAGER
+    # path applies the ALiBi bias twice (folded into the causal mask as
+    # alibi/sqrt(d) in _update_causal_mask AND added to the raw scores
+    # before inv_norm_factor), doubling the effective slope. The sdpa
+    # path applies it once — the canonical Press-et-al/ggml semantics
+    # this framework implements (models/layers.py attend()).
+    impl = "sdpa" if kw.get("alibi") else "eager"
     cfg = FalconConfig(
         vocab_size=128, hidden_size=64, num_hidden_layers=2,
         num_attention_heads=4, layer_norm_epsilon=1e-5,
-        tie_word_embeddings=False, attn_implementation="eager", **kw,
+        tie_word_embeddings=False, attn_implementation=impl, **kw,
     )
     return FalconForCausalLM(cfg)
 
