@@ -61,6 +61,24 @@ def test_gemma2_sandwich_norms_and_softcaps(tmp_path):
     assert model.params["layers"][0].get("post_attn_norm") is not None
 
 
+def test_gemma1_scaled_embeddings_geglu(tmp_path):
+    """Gemma (v1): sqrt(hidden)-scaled embeddings, GeGLU MLP, tied head,
+    zero-centered RMSNorm weights (1+w) — reference arch table gguf.rs:137-149
+    maps `gemma`."""
+    from transformers import GemmaConfig, GemmaForCausalLM
+
+    torch.manual_seed(4)
+    cfg = GemmaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=128,
+        tie_word_embeddings=True,
+    )
+    model = _golden(tmp_path, GemmaForCausalLM(cfg), 128, rtol=1e-3)
+    assert model.cfg.scale_embeddings
+    assert model.params["layers"][0].get("post_attn_norm") is None
+
+
 def test_qwen3_qk_norm(tmp_path):
     from transformers import Qwen3Config, Qwen3ForCausalLM
 
