@@ -64,6 +64,14 @@ class InferenceConfig:
     # Chunked prefill (interleaves decode between chunks to protect ITL)
     prefill_chunk_size: Optional[int] = None
 
+    # Prompt tokens the scheduler may ADMIT per scheduling round (reference
+    # max_batch_tokens, src/config/inference.rs). Distinct from
+    # prefill_chunk_size (the per-sequence chunk): grouped prefill runs
+    # whole [8, chunk] batches per dispatch, so a budget of one chunk
+    # starves admission to chunk/prompt_len sequences per round and
+    # serializes TTFT. None = prefill_chunk_size x 8 (one full group).
+    max_batch_tokens: Optional[int] = None
+
     # Continuous-batching decode horizon: the batch engine runs up to this
     # many decode steps in ONE device program (token feedback stays on
     # device; one host fetch per horizon). Amortizes dispatch + fetch

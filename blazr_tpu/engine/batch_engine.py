@@ -120,11 +120,18 @@ class BatchEngine:
 
             attach_host_tier(self.prefix_cache, lambda: self.cache,
                              max_blocks=inf.prefix_cache_ram_tier)
+        # Per-sequence prefill chunk vs per-round admission budget: the
+        # budget defaults to one full prefill GROUP so a burst of short
+        # prompts admits in one scheduling round instead of trickling in
+        # at budget/prompt_len sequences per round (measured: 1.0 s TTFT
+        # p50 at 32x128-token prompts with budget == chunk == 512).
+        self._chunk = inf.prefill_chunk_size or 4096
         self.scheduler = SequenceScheduler(
             self.allocator,
             SchedulerConfig(
                 max_batch_size=self.max_batch,
-                max_batch_tokens=inf.prefill_chunk_size or 4096,
+                max_batch_tokens=(inf.max_batch_tokens
+                                  or self._chunk * _PREFILL_GROUP),
                 block_size=self.block_size,
                 max_seq_len=self.max_seq_len,
             ),
@@ -244,6 +251,10 @@ class BatchEngine:
                            "model provided; using prompt-lookup drafts")
 
         self._handles: dict[int, RequestHandle] = {}
+        # Depth-1 decode pipeline: the last dispatched (un-fetched) horizon
+        # round — {"out", "carry", "rows", "meta", "bucket"}. See
+        # _decode_horizon_pipelined.
+        self._pipe: Optional[dict] = None
         self._grammars: dict[int, GrammarState] = {}
         # Device-resident grammar tables keyed by DFA identity (mask +
         # token-transition planes for in-device grammar stepping).
@@ -325,7 +336,8 @@ class BatchEngine:
                  static_argnames=("use_grammar",))
         def horizon_step(params, cache, itab, sp_packed, sp_keys,
                          bias_ids, bias_vals, t_steps, gmask, gnext,
-                         gstate0, has_g, use_grammar=False):
+                         gstate0, has_g, carry_tok, carry_win, carry_gstate,
+                         fresh, use_grammar=False):
             # Multi-step decode: up to `horizon` decode iterations in ONE
             # device program with ON-DEVICE token feedback (while_loop,
             # dynamic trip count). The host fetches a single packed
@@ -339,10 +351,22 @@ class BatchEngine:
             # token-level transition table (grammar.py token_tables), so
             # constrained (JSON-mode) rows no longer force single-step
             # rounds. One compile per padded table height S.
+            #
+            # Pipelined rounds: carry_tok / carry_win / carry_gstate are
+            # this program's own final loop carries from the PREVIOUS
+            # round, still device-resident — rows with fresh=False resume
+            # from them, so round N+1 can be dispatched before round N's
+            # output is fetched (the host never needs the tokens to keep
+            # the device busy). fresh=True rows (newly prefilled, or after
+            # a pipeline flush) read token/window/grammar-state from the
+            # host-built itab instead.
             b = itab.shape[0]
             pos0 = itab[:, 1]
             state_rows = itab[:, 4]
-            window0 = itab[:, _ITAB_WIN]
+            tok0 = jnp.where(fresh, itab[:, 0], carry_tok)
+            window0 = jnp.where(fresh[:, None], itab[:, _ITAB_WIN],
+                                carry_win)
+            gstate0 = jnp.where(fresh, gstate0, carry_gstate)
             bt = itab[:, _ITAB_BT:]
             rln = jnp.minimum(sp_packed[:, 7].astype(jnp.int32),
                               window0.shape[1])
@@ -402,10 +426,10 @@ class BatchEngine:
                 window = jnp.where((rln > 0)[:, None], wnew, window)
                 return i + 1, cache, newtok, window, gstate, out
 
-            _, cache, _, _, _, out = jax.lax.while_loop(
+            _, cache, tok_f, win_f, gs_f, out = jax.lax.while_loop(
                 lambda c: c[0] < t_steps, body,
-                (jnp.int32(0), cache, itab[:, 0], window0, gstate0, out0))
-            return out, cache
+                (jnp.int32(0), cache, tok0, window0, gstate0, out0))
+            return out, tok_f, win_f, gs_f, cache
 
         if self._draft is not None:
             d_cfg = self._draft.cfg
@@ -568,9 +592,7 @@ class BatchEngine:
         is ~100 ms. The persistent compilation cache makes this a
         once-per-machine cost."""
         t0 = time.time()
-        chunk = (self.app_cfg.inference.prefill_chunk_size
-                 or self.scheduler.config.max_batch_tokens)
-        chunk = min(_next_pow2(chunk), _next_pow2(self.max_seq_len))
+        chunk = min(_next_pow2(self._chunk), _next_pow2(self.max_seq_len))
         mb = self.max_blocks_per_seq
 
         # Full prefill grid: every (group, bucket) shape _prefill_group
@@ -641,14 +663,17 @@ class BatchEngine:
                 jnp.asarray(sp_keys), jnp.asarray(bias[0]),
                 jnp.asarray(bias[1]), mask, use_mask=False)
             if self._horizon > 1:
-                out_dev, self.cache = self._horizon_step(
+                zi = jnp.asarray(np.zeros((b,), dtype=np.int32))
+                out_dev, _, _, _, self.cache = self._horizon_step(
                     self.cache, jnp.asarray(itab), jnp.asarray(sp_packed),
                     jnp.asarray(sp_keys), jnp.asarray(bias[0]),
                     jnp.asarray(bias[1]), np.int32(1),
                     np.ones((1, 1), dtype=bool),
                     np.zeros((1, 1), dtype=np.int32),
-                    jnp.asarray(np.zeros((b,), dtype=np.int32)),
-                    jnp.asarray(np.zeros((b,), dtype=bool)),
+                    zi, jnp.asarray(np.zeros((b,), dtype=bool)),
+                    zi, jnp.asarray(np.full((b, 64), PAD_TOKEN,
+                                            dtype=np.int32)),
+                    zi, jnp.asarray(np.ones((b,), dtype=bool)),
                     use_grammar=False)
                 tok_dev = out_dev
             if self._draft is not None:
@@ -844,8 +869,7 @@ class BatchEngine:
             for seq in seqs:
                 self._process_prefill_ssm(seq)
             return
-        chunk_cfg = (self.app_cfg.inference.prefill_chunk_size
-                     or self.scheduler.config.max_batch_tokens)
+        chunk_cfg = self._chunk
         groups: dict[int, list[Sequence]] = {}
         for seq in seqs:
             remaining = len(seq.prompt_tokens) - seq.prefilled_tokens
@@ -941,8 +965,7 @@ class BatchEngine:
         (they would shift the conv window / update the SSM state), so run
         exact-shaped sub-chunks of power-of-two length per sequence — a
         bounded set of compiled shapes with zero padding."""
-        chunk_cfg = (self.app_cfg.inference.prefill_chunk_size
-                     or self.scheduler.config.max_batch_tokens)
+        chunk_cfg = self._chunk
         prompt = seq.prompt_tokens
         start = seq.prefilled_tokens
         remaining = len(prompt) - start
@@ -1241,11 +1264,15 @@ class BatchEngine:
                 gnext_dev = np.zeros((1, 1), dtype=np.int32)
                 gstate0 = np.zeros((bmax,), dtype=np.int32)
                 has_g = np.zeros((bmax,), dtype=bool)
-            out_dev, self.cache = self._horizon_step(
+            zi = jnp.asarray(np.zeros((bmax,), dtype=np.int32))
+            out_dev, _, _, _, self.cache = self._horizon_step(
                 self.cache, jnp.asarray(itab), jnp.asarray(sp_packed),
                 jnp.asarray(sp_keys), jnp.asarray(bias_ids),
                 jnp.asarray(bias_vals), np.int32(t_steps), gmask_dev,
                 gnext_dev, jnp.asarray(gstate0), jnp.asarray(has_g),
+                zi, jnp.asarray(np.full((bmax, 64), PAD_TOKEN,
+                                        dtype=np.int32)),
+                zi, jnp.asarray(np.ones((bmax,), dtype=bool)),
                 use_grammar=g_args is not None)
             out = np.array(self._to_host(out_dev))   # [H, B, 2], ONE fetch
             lps_h = out[:, :, 1].copy().view(np.float32)
