@@ -32,25 +32,48 @@ from ..kvcache.paged import PAD_BLOCK
 
 def _pa_kernel(bt_ref, sl_ref, q_ref, k_ref, v_ref, *rest,
                block_size: int, max_blocks: int, heads_per_group: int,
-               num_kv_heads: int, scale: float, quantized: bool = False):
+               num_kv_heads: int, scale: float, quantized: bool = False,
+               sliding_window: int | None = None,
+               logit_softcap: float | None = None,
+               has_alibi: bool = False):
     """Grid (B, MB): each program streams ONE KV block for ALL kv heads.
 
     Mosaic's block-shape rule requires the last two block dims to be
     8/128-divisible or full — so blocks carry the full [BS, H_kv, D]
     slice (the r1 per-head (…, 1, D) blocks only lowered in interpret
     mode) and the head axis is handled with an in-kernel batched dot.
+
+    Attention variants (semantics identical to models/layers.attend with
+    a decode query at q_pos = seq_len-1):
+      sliding_window — keys below ``seq_len - window`` are masked AND the
+        grid walks only the in-window block-table slots (the index maps
+        offset by the per-row first in-window block, so out-of-window KV
+        is never streamed from HBM);
+      logit_softcap — Gemma-2 style ``tanh(logits/cap)*cap`` on the f32
+        logits, after the int8-KV scale fold, before mask/bias;
+      has_alibi — an extra [H_q, 1] slopes operand adds
+        ``slope * (kv_pos - q_pos)`` to the logits (falcon).
     """
     if quantized:
-        ks_ref, vs_ref, o_ref, m_ref, l_ref, acc_ref = rest
-    else:
-        o_ref, m_ref, l_ref, acc_ref = rest
+        ks_ref, vs_ref = rest[:2]
+        rest = rest[2:]
+    if has_alibi:
+        alibi_ref = rest[0]
+        rest = rest[1:]
+    o_ref, m_ref, l_ref, acc_ref = rest
     b = pl.program_id(0)
-    t = pl.program_id(1)            # block-table slot
+    t = pl.program_id(1)            # grid step (≠ block-table slot if windowed)
     g_all = num_kv_heads
     hpg = heads_per_group
     h_q = g_all * hpg
 
     seq_len = sl_ref[b]
+    if sliding_window is not None:
+        # First block-table slot that holds any in-window key.
+        lo = jnp.maximum(seq_len - sliding_window, 0) // block_size
+        tt = lo + t
+    else:
+        tt = t
 
     @pl.when(t == 0)
     def _init():
@@ -58,7 +81,7 @@ def _pa_kernel(bt_ref, sl_ref, q_ref, k_ref, v_ref, *rest,
         l_ref[...] = jnp.zeros_like(l_ref)
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    valid_block = (t * block_size) < seq_len
+    valid_block = (tt * block_size) < seq_len
 
     @pl.when(valid_block)
     def _attend():
@@ -81,9 +104,18 @@ def _pa_kernel(bt_ref, sl_ref, q_ref, k_ref, v_ref, *rest,
             # int8 KV: per-key scales [BS, G] → [G, 1, BS].
             ks = jnp.transpose(ks_ref[0], (1, 0))
             logits = logits * ks[:, None, :]
-        pos = t * block_size + jax.lax.broadcasted_iota(
+        if logit_softcap is not None:
+            logits = jnp.tanh(logits / logit_softcap) * logit_softcap
+        pos = tt * block_size + jax.lax.broadcasted_iota(
             jnp.int32, (1, 1, block_size), 2)
+        if has_alibi:
+            # slope * (kv_pos - q_pos); q_pos = seq_len-1 for decode.
+            rel = (pos - (seq_len - 1)).astype(jnp.float32)  # [1, 1, BS]
+            logits = logits + (alibi_ref[...].reshape(g_all, hpg, 1)
+                               * rel)
         mask = pos < seq_len                            # [1, 1, BS]
+        if sliding_window is not None:
+            mask = mask & (pos > seq_len - 1 - sliding_window)
         logits = jnp.where(mask, logits, -1e30)
 
         # Flat [H_q, *] running stats (8-divisible sublane count).
@@ -117,7 +149,8 @@ def _pa_kernel(bt_ref, sl_ref, q_ref, k_ref, v_ref, *rest,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("block_size", "num_blocks", "interpret"),
+    static_argnames=("block_size", "num_blocks", "interpret",
+                     "sliding_window", "logit_softcap"),
 )
 def paged_attention_decode(
     q: jax.Array,                 # [B, H_q, D]
@@ -131,6 +164,9 @@ def paged_attention_decode(
     interpret: bool = False,
     k_scale=None,                 # [NB*BS(+1), H_kv] f32 (int8 KV mode)
     v_scale=None,
+    sliding_window: int | None = None,
+    logit_softcap: float | None = None,
+    alibi=None,                   # [H_q] f32 slopes (falcon)
 ) -> jax.Array:
     b, h_q, d = q.shape
     h_kv = k_cache.shape[1]
@@ -151,16 +187,29 @@ def paged_attention_decode(
     bt = jnp.where(block_tables == PAD_BLOCK, 0, block_tables).astype(jnp.int32)
 
     quantized = k_scale is not None
+
+    # Sliding window: grid step t walks block-table slots lo(b)..lo(b)+t
+    # where lo is the first slot holding in-window keys — out-of-window
+    # blocks are never streamed from HBM (the index map does the offset;
+    # the kernel recomputes lo for its position math).
+    if sliding_window is None:
+        def _slot(b, t, bt, sl):
+            return bt[b, t]
+    else:
+        def _slot(b, t, bt, sl):
+            lo = jnp.maximum(sl[b] - sliding_window, 0) // block_size
+            return bt[b, jnp.minimum(lo + t, mb - 1)]
+
     # Blocks carry FULL trailing dims ([BS, H_kv, D] per KV block) — the
     # Mosaic block-shape rule; the kernel batches the head axis in-register.
     in_specs = [
         pl.BlockSpec((1, h_kv, hpg, d), lambda b, t, bt, sl: (b, 0, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, block_size, h_kv, d),
-                     lambda b, t, bt, sl: (bt[b, t], 0, 0, 0),
+                     lambda b, t, bt, sl: (_slot(b, t, bt, sl), 0, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, block_size, h_kv, d),
-                     lambda b, t, bt, sl: (bt[b, t], 0, 0, 0),
+                     lambda b, t, bt, sl: (_slot(b, t, bt, sl), 0, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
     operands = [qg, k4, v4]
@@ -172,17 +221,27 @@ def paged_attention_decode(
         # whole [BS, H_kv] scale tile per block (lane dim full: H_kv < 128)
         in_specs += [
             pl.BlockSpec((1, block_size, h_kv),
-                         lambda b, t, bt, sl: (bt[b, t], 0, 0),
+                         lambda b, t, bt, sl: (_slot(b, t, bt, sl), 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_size, h_kv),
-                         lambda b, t, bt, sl: (bt[b, t], 0, 0),
+                         lambda b, t, bt, sl: (_slot(b, t, bt, sl), 0, 0),
                          memory_space=pltpu.VMEM),
         ]
         operands += [ks3, vs3]
+    if alibi is not None:
+        in_specs.append(pl.BlockSpec((h_q, 1),
+                                     lambda b, t, bt, sl: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(jnp.asarray(alibi, jnp.float32).reshape(h_q, 1))
+
+    # A window of W keys ending at seq_len-1 straddles at most
+    # W//BS + 2 block-table slots — the grid never walks more than that.
+    mb_eff = mb if sliding_window is None else min(
+        mb, sliding_window // block_size + 2)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,          # block tables + seq lens
-        grid=(b, mb),
+        grid=(b, mb_eff),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, h_kv, hpg, d),
                                lambda b, t, bt, sl: (b, 0, 0, 0),
@@ -194,9 +253,10 @@ def paged_attention_decode(
         ],
     )
     kernel = functools.partial(
-        _pa_kernel, block_size=block_size, max_blocks=mb,
+        _pa_kernel, block_size=block_size, max_blocks=mb_eff,
         heads_per_group=hpg, num_kv_heads=h_kv, scale=scale,
-        quantized=quantized,
+        quantized=quantized, sliding_window=sliding_window,
+        logit_softcap=logit_softcap, has_alibi=alibi is not None,
     )
     out = pl.pallas_call(
         kernel,
@@ -211,7 +271,10 @@ def paged_attention_decode(
 
 
 def paged_attention_reference(q, k_cache, v_cache, block_tables, seq_lens,
-                              *, block_size: int) -> jax.Array:
+                              *, block_size: int,
+                              sliding_window: int | None = None,
+                              logit_softcap: float | None = None,
+                              alibi=None) -> jax.Array:
     """Dense gather reference (same math as llama_paged gather path)."""
     from ..kvcache.paged import page_slot_index
 
@@ -227,7 +290,16 @@ def paged_attention_reference(q, k_cache, v_cache, block_tables, seq_lens,
     scale = 1.0 / math.sqrt(d)
     logits = jnp.einsum("bhd,bshd->bhs", q.astype(jnp.float32) * scale,
                         k.astype(jnp.float32))
-    mask = jnp.arange(mb * block_size)[None, :] < seq_lens[:, None]
+    if logit_softcap is not None:
+        logits = jnp.tanh(logits / logit_softcap) * logit_softcap
+    kv_pos = jnp.arange(mb * block_size, dtype=jnp.int32)[None, :]
+    if alibi is not None:
+        rel = (kv_pos - (seq_lens[:, None] - 1)).astype(jnp.float32)
+        logits = logits + jnp.asarray(alibi, jnp.float32)[None, :, None] \
+            * rel[:, None, :]
+    mask = kv_pos < seq_lens[:, None]
+    if sliding_window is not None:
+        mask = mask & (kv_pos > seq_lens[:, None] - 1 - sliding_window)
     logits = jnp.where(mask[:, None, :], logits, -1e30)
     p = jax.nn.softmax(logits, axis=-1)
     return jnp.einsum("bhs,bshd->bhd", p,

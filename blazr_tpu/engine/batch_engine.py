@@ -787,6 +787,9 @@ class BatchEngine:
                     self.max_batch, self.allocator.num_blocks)
         while not self._stop:
             if not self.scheduler.has_work:
+                # No running rows → any in-flight pipelined round is pure
+                # overrun of finished/aborted sequences; drop it.
+                self._pipe = None
                 self._notify.clear()
                 await self._notify.wait()
                 continue
@@ -796,6 +799,7 @@ class BatchEngine:
                     continue
             except Exception:
                 logger.exception("batch failed; aborting batch sequences")
+                self._pipe = None    # in-flight round aborted with them
                 for seq in list(self.scheduler.running.values()):
                     self.scheduler.abort_sequence(seq.seq_id)
                     self._finish(seq.seq_id, None)
@@ -1058,6 +1062,10 @@ class BatchEngine:
         positions write to the trash slot)."""
         from .speculative import prompt_lookup_draft
 
+        # Spec rounds read host-side last tokens: land any pipelined
+        # horizon round first.
+        self._flush_pipe()
+
         k = self._spec_k
         bmax = min(_next_pow2(len(decodes), minimum=1), self.max_batch)
         decodes = decodes[:bmax]
@@ -1181,71 +1189,47 @@ class BatchEngine:
 
     def _process_decode_batch_plain(self, decodes: list[Sequence]) -> None:
         """ONE fused forward+sample for all running sequences
-        (reference process_decode_batch, batch_decode.rs:35-209)."""
+        (reference process_decode_batch, batch_decode.rs:35-209).
+
+        Horizon-eligible batches run PIPELINED: round N+1 is dispatched
+        from round N's device-resident loop carries (token / penalty
+        window / grammar state) BEFORE round N's output is fetched, so
+        the host's fetch + emit + schedule work overlaps device compute
+        instead of leaving the chip idle between rounds. Correctness of
+        free-then-reuse under an in-flight round rests on the donated
+        cache threading: every device program consumes ``self.cache``
+        and produces the next one, so programs execute in dispatch order
+        — a freed block's stray writes always land BEFORE its next
+        owner's, and stale outputs are discarded host-side by the
+        ``state != RUNNING`` check in the emit loop."""
         bmax = _next_pow2(len(decodes), minimum=1)
         bmax = min(bmax, self.max_batch)
         decodes = decodes[:bmax]
-        n = len(decodes)
 
-        mb = self.max_blocks_per_seq
         any_mask = any(s.seq_id in self._grammars for s in decodes)
         host_rows = [i for i, s in enumerate(decodes)
                      if s.seq_id in self._host_states]
 
-        # Multi-step horizon. Host samplers need raw logits each step →
+        # Horizon eligibility. Host samplers need raw logits each step →
         # T=1. Grammar rows ride the horizon when their DFAs advance on
         # device (token_tables); otherwise they also force T=1.
-        # Block tables MUST be extended for the whole horizon BEFORE the
-        # itab snapshot below — the device derives write slots from the
-        # snapshot, and a write into a block it can't see clamps to the
-        # trash slot, silently losing that token's KV.
-        t_steps = 1
-        g_args = None
-        if self._horizon > 1 and not host_rows:
-            ok = True
-            if any_mask:
-                g_args = self._device_grammar_args(decodes, bmax)
-                ok = g_args is not None
-            if ok:
-                t_steps = min(self._horizon, max(
-                    max(s.gen_cfg.max_tokens - s.emitted, 1)
-                    for s in decodes))
-            if t_steps > 1:
-                for seq in decodes:
-                    # Clamp to the context limit: positions beyond it are
-                    # overrun (discarded host-side) and must not grow the
-                    # block table past max_blocks_per_seq.
-                    target = min(seq.total_len + t_steps - 1,
-                                 self.max_seq_len - 1)
-                    if not self.scheduler._ensure_block_for(seq, target):
-                        t_steps = 1   # allocator pressure: single step
-                        break
+        g_tables = None
+        eligible = self._horizon > 1 and not host_rows
+        if eligible and any_mask:
+            g_tables = self._grammar_tables(decodes)
+            eligible = g_tables is not None
+        if eligible:
+            return self._horizon_round(decodes, bmax, g_tables)
 
-        # ONE packed int table (see decode_step's column map): a single
-        # H2D upload instead of seven per step.
-        itab = np.zeros((bmax, _ITAB_BT + mb), dtype=np.int32)
-        itab[:, 2] = self._trash
-        itab[:, 4] = self.max_batch      # pad rows → state-pool trash row
-        itab[:, _ITAB_WIN] = PAD_TOKEN
-        itab[:, _ITAB_BT:] = 0x7FFFFFFF
-        cfgs = []
-        for i, seq in enumerate(decodes):
-            pos = seq.total_len - 1       # position of the last token
-            itab[i, 0] = seq.all_tokens[-1]
-            itab[i, 1] = pos
-            itab[i, 2] = compute_slot_mapping(
-                seq.block_table, pos, 1, self.block_size,
-                self._trash)[0]
-            itab[i, 3] = pos + 1
-            if self._needs_state_rows:
-                itab[i, 4] = self._row_for(seq.seq_id)
-            itab[i, _ITAB_WIN] = make_window(self._windows[seq.seq_id],
-                                        seq.gen_cfg.repeat_last_n)
-            itab[i, _ITAB_BT:] = pad_block_table(seq.block_table, mb)
-            cfgs.append(seq.gen_cfg)
-        for i in range(n, bmax):
-            cfgs.append(GenerationConfig())
-
+        # Single-step path: any pending pipelined round must land first
+        # (its tokens feed this step's itab).
+        self._flush_pipe()
+        n = len(decodes)
+        mb = self.max_blocks_per_seq
+        itab, cfgs = self._build_itab(
+            [s if i < n else None for i, s in
+             enumerate(decodes + [None] * (bmax - n))],
+            [0] * bmax)
         steps = [s.emitted for s in decodes]
         steps += [0] * (len(cfgs) - len(steps))
         sp_packed, sp_keys = pack_sampling_host(cfgs, step=steps)
@@ -1256,34 +1240,6 @@ class BatchEngine:
             # a [B, vocab] plane.
             mask = np.ones((1, 1), dtype=bool)
         bias_ids, bias_vals = make_bias_rows(cfgs)
-        if t_steps > 1:
-            if g_args is not None:
-                gmask_dev, gnext_dev, gstate0, has_g = g_args
-            else:
-                gmask_dev = np.ones((1, 1), dtype=bool)
-                gnext_dev = np.zeros((1, 1), dtype=np.int32)
-                gstate0 = np.zeros((bmax,), dtype=np.int32)
-                has_g = np.zeros((bmax,), dtype=bool)
-            zi = jnp.asarray(np.zeros((bmax,), dtype=np.int32))
-            out_dev, _, _, _, self.cache = self._horizon_step(
-                self.cache, jnp.asarray(itab), jnp.asarray(sp_packed),
-                jnp.asarray(sp_keys), jnp.asarray(bias_ids),
-                jnp.asarray(bias_vals), np.int32(t_steps), gmask_dev,
-                gnext_dev, jnp.asarray(gstate0), jnp.asarray(has_g),
-                zi, jnp.asarray(np.full((bmax, 64), PAD_TOKEN,
-                                        dtype=np.int32)),
-                zi, jnp.asarray(np.ones((bmax,), dtype=bool)),
-                use_grammar=g_args is not None)
-            out = np.array(self._to_host(out_dev))   # [H, B, 2], ONE fetch
-            lps_h = out[:, :, 1].copy().view(np.float32)
-            for s_i in range(t_steps):
-                for i, seq in enumerate(decodes):
-                    if seq.state != SequenceState.RUNNING:
-                        continue      # finished mid-horizon: discard overrun
-                    self._emit(seq, int(out[s_i, i, 0]),
-                               float(lps_h[s_i, i]))
-            return
-
         tok_dev, lp_dev, last_dev, self.cache = self._decode_step(
             self.cache, jnp.asarray(itab), jnp.asarray(sp_packed),
             jnp.asarray(sp_keys), jnp.asarray(bias_ids),
@@ -1303,10 +1259,184 @@ class BatchEngine:
             self._emit(seq, int(toks[i]), float(lps[i]))
 
     # ------------------------------------------------------------------
-    def _device_grammar_args(self, decodes: list[Sequence], bmax: int):
-        """Device-side grammar stepping args for a horizon round, or None
-        when it can't apply (PDA-tier grammar, mixed DFAs, automaton too
-        large). Tables upload once per DFA and live on device."""
+    def _build_itab(self, rows: list[Optional[Sequence]], lag: list[int]
+                    ) -> tuple[np.ndarray, list[GenerationConfig]]:
+        """Packed int table for one decode round over a fixed row layout.
+
+        ``lag[i]`` is the number of in-flight (dispatched, un-fetched)
+        tokens of row i's sequence — host token/window columns are stale
+        by that much, which is fine: pipelined rows read them from the
+        device carries instead (fresh=False)."""
+        bmax = len(rows)
+        mb = self.max_blocks_per_seq
+        itab = np.zeros((bmax, _ITAB_BT + mb), dtype=np.int32)
+        itab[:, 2] = self._trash
+        itab[:, 4] = self.max_batch      # pad rows → state-pool trash row
+        itab[:, _ITAB_WIN] = PAD_TOKEN
+        itab[:, _ITAB_BT:] = 0x7FFFFFFF
+        cfgs: list[GenerationConfig] = []
+        for i, seq in enumerate(rows):
+            if seq is None:
+                cfgs.append(GenerationConfig())
+                continue
+            pos = seq.total_len - 1 + lag[i]   # position of the last token
+            itab[i, 0] = seq.all_tokens[-1]
+            itab[i, 1] = pos
+            itab[i, 2] = compute_slot_mapping(
+                seq.block_table, pos, 1, self.block_size,
+                self._trash)[0]
+            itab[i, 3] = pos + 1
+            if self._needs_state_rows:
+                itab[i, 4] = self._row_for(seq.seq_id)
+            itab[i, _ITAB_WIN] = make_window(self._windows[seq.seq_id],
+                                             seq.gen_cfg.repeat_last_n)
+            itab[i, _ITAB_BT:] = pad_block_table(seq.block_table, mb)
+            cfgs.append(seq.gen_cfg)
+        return itab, cfgs
+
+    def _horizon_round(self, decodes: list[Sequence], bmax_now: int,
+                       g_tables) -> None:
+        """Dispatch one (possibly chained) multi-step horizon round, then
+        fetch + emit the PREVIOUS round."""
+        prev = self._pipe
+        self._pipe = None
+        gkey = id(g_tables) if g_tables is not None else None
+
+        chain = (prev is not None and prev["bmax"] == bmax_now
+                 and prev["gkey"] == gkey)
+        if prev is not None and not chain:
+            self._emit_round(prev)          # flush: layout/tables changed
+            prev = None
+
+        # Row layout: chained sequences keep their previous row (their
+        # carry lives there); newcomers take free rows as fresh.
+        bmax = bmax_now
+        if chain:
+            byid = {s.seq_id for s in decodes}
+            rows: list[Optional[Sequence]] = []
+            placed = set()
+            for r in prev["rows"]:
+                keep = (r is not None and r.seq_id in byid
+                        and r.state == SequenceState.RUNNING)
+                rows.append(r if keep else None)
+                if keep:
+                    placed.add(r.seq_id)
+            free = [i for i, r in enumerate(rows) if r is None]
+            for s in decodes:
+                if s.seq_id not in placed:
+                    rows[free.pop(0)] = s
+            fresh = np.array([r is None or r.seq_id not in placed
+                              for r in rows], dtype=bool)
+            lag = [0 if fresh[i] or rows[i] is None else prev["t"]
+                   for i in range(bmax)]
+        else:
+            rows = list(decodes) + [None] * (bmax - len(decodes))
+            fresh = np.ones((bmax,), dtype=bool)
+            lag = [0] * bmax
+
+        live = [(i, s) for i, s in enumerate(rows) if s is not None]
+        t_steps = min(self._horizon, max(
+            max(s.gen_cfg.max_tokens - s.emitted - lag[i], 1)
+            for i, s in live))
+        # Block tables MUST cover the whole horizon BEFORE the itab
+        # snapshot — the device derives write slots from the snapshot,
+        # and a write into a block it can't see clamps to the trash
+        # slot, silently losing that token's KV.
+        for trial_t in (t_steps, 1):
+            t_steps = trial_t
+            ok = True
+            for i, seq in enumerate(rows):
+                if seq is None:
+                    continue
+                target = min(seq.total_len + lag[i] + t_steps - 1,
+                             self.max_seq_len - 1)
+                if not self.scheduler._ensure_block_for(seq, target):
+                    ok = False
+                    break
+            if ok:
+                break
+        if not ok and prev is not None:
+            # Allocator pressure while carrying in-flight tokens: land
+            # them (shrinking lag to 0) and let the scheduler's
+            # preemption logic resolve the pressure next step.
+            self._emit_round(prev)
+            return
+        if not ok:
+            t_steps = 1   # fresh round: pos0 is covered by schedule()
+
+        itab, cfgs = self._build_itab(rows, lag)
+        steps = [s.emitted + lag[i] if s is not None else 0
+                 for i, s in enumerate(rows)]
+        sp_packed, sp_keys = pack_sampling_host(cfgs, step=steps)
+        bias_ids, bias_vals = make_bias_rows(cfgs)
+
+        if g_tables is not None:
+            gmask_dev, gnext_dev = g_tables
+            gstate0 = np.zeros((bmax,), dtype=np.int32)
+            has_g = np.zeros((bmax,), dtype=bool)
+            for i, s in enumerate(rows):
+                g = self._grammars.get(s.seq_id) if s is not None else None
+                if g is not None:
+                    gstate0[i] = g.state
+                    has_g[i] = True
+        else:
+            gmask_dev = np.ones((1, 1), dtype=bool)
+            gnext_dev = np.zeros((1, 1), dtype=np.int32)
+            gstate0 = np.zeros((bmax,), dtype=np.int32)
+            has_g = np.zeros((bmax,), dtype=bool)
+
+        if chain:
+            carry_tok, carry_win, carry_gs = (prev["tok"], prev["win"],
+                                              prev["gs"])
+        else:
+            carry_tok = jnp.asarray(np.zeros((bmax,), dtype=np.int32))
+            carry_win = jnp.asarray(np.full((bmax, 64), PAD_TOKEN,
+                                            dtype=np.int32))
+            carry_gs = jnp.asarray(np.zeros((bmax,), dtype=np.int32))
+
+        out_dev, tok_f, win_f, gs_f, self.cache = self._horizon_step(
+            self.cache, jnp.asarray(itab), jnp.asarray(sp_packed),
+            jnp.asarray(sp_keys), jnp.asarray(bias_ids),
+            jnp.asarray(bias_vals), np.int32(t_steps), gmask_dev,
+            gnext_dev, jnp.asarray(gstate0), jnp.asarray(has_g),
+            carry_tok, carry_win, carry_gs, jnp.asarray(fresh),
+            use_grammar=g_tables is not None)
+        self._pipe = {"out": out_dev, "tok": tok_f, "win": win_f,
+                      "gs": gs_f, "rows": rows, "t": t_steps,
+                      "bmax": bmax, "gkey": gkey}
+        if prev is not None:
+            self._emit_round(prev)
+        # If nothing survives, the in-flight round is pure overrun —
+        # drop it unfetched (its cache writes are inert).
+        if self._pipe is not None and not any(
+                r is not None and r.state == SequenceState.RUNNING
+                for r in self._pipe["rows"]):
+            self._pipe = None
+
+    def _emit_round(self, p: dict) -> None:
+        """Fetch a dispatched horizon round and emit its tokens."""
+        out = np.array(self._to_host(p["out"]))   # [H, B, 2], ONE fetch
+        lps_h = out[:, :, 1].copy().view(np.float32)
+        for s_i in range(p["t"]):
+            for i, seq in enumerate(p["rows"]):
+                if seq is None or seq.state != SequenceState.RUNNING:
+                    continue      # finished mid-horizon: discard overrun
+                self._emit(seq, int(out[s_i, i, 0]),
+                           float(lps_h[s_i, i]))
+
+    def _flush_pipe(self) -> None:
+        p = self._pipe
+        if p is not None:
+            self._pipe = None
+            self._emit_round(p)
+
+    # ------------------------------------------------------------------
+    def _grammar_tables(self, decodes: list[Sequence]):
+        """Device-resident grammar tables (mask + token transitions) for a
+        horizon round, or None when device stepping can't apply (PDA-tier
+        grammar, mixed DFAs, automaton too large). Tables upload once per
+        DFA and live on device — the returned tuple is identity-stable
+        across rounds, which the pipelined chainer keys on."""
         dfa = None
         for s in decodes:
             g = self._grammars.get(s.seq_id)
@@ -1340,14 +1470,7 @@ class BatchEngine:
             # — same as the host _grammar_mask padding.
             cached = (jnp.asarray(gm), jnp.asarray(gn))
             self._dev_gram[id(dfa)] = cached
-        gstate0 = np.zeros((bmax,), dtype=np.int32)
-        has_g = np.zeros((bmax,), dtype=bool)
-        for i, s in enumerate(decodes):
-            g = self._grammars.get(s.seq_id)
-            if g is not None:
-                gstate0[i] = g.state
-                has_g[i] = True
-        return cached[0], cached[1], gstate0, has_g
+        return cached
 
     # ------------------------------------------------------------------
     def _grammar_mask(self, seq_ids: list[int], bmax: Optional[int] = None

@@ -31,18 +31,10 @@ def _use_pa_kernel(head_dim: int, cfg: UniversalConfig) -> bool:
         return False
     if head_dim % 128 != 0:
         return False
-    # The kernel implements neither a sliding-window lower bound nor
-    # logit softcapping — routing Mistral-style windowed or Gemma-style
-    # softcapped models through it would be SILENTLY wrong attention
-    # past the window / at every step. The XLA attend fallback handles
-    # both.
-    att = cfg.attention
-    if att is not None and att.sliding_window:
-        return False
-    if att is not None and att.use_alibi:
-        return False               # kernel has no ALiBi bias (falcon)
-    if getattr(cfg, "attn_logit_softcapping", None):
-        return False
+    # Sliding window (Mistral), logit softcap (Gemma-2) and ALiBi
+    # (falcon) are all implemented inside the kernel with attend-exact
+    # semantics (parity-tested in test_paged_attention_kernel.py), so
+    # none of them gates it off anymore.
     from ..quant.matmul import _on_tpu
 
     try:
@@ -106,6 +98,9 @@ def _paged_attention_block(
             block_size=cache.block_size, num_blocks=cache.num_blocks,
             k_scale=cache.k_scale[layer] if cache.quantized else None,
             v_scale=cache.v_scale[layer] if cache.quantized else None,
+            sliding_window=att.sliding_window or None,
+            logit_softcap=cfg.attn_logit_softcapping or None,
+            alibi=alibi,
         )[:, None]                                  # [B, 1, H_q, D]
         out = out.reshape(b, t, n_heads * head_dim).astype(x.dtype)
         return linear(out, p["o"], p.get("o_bias")), cache

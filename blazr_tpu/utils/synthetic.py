@@ -28,7 +28,11 @@ def mistral_7b_config() -> UniversalConfig:
         intermediate_size=14336,
         rms_norm_eps=1e-5,
         attention=AttentionConfig(num_heads=32, num_kv_heads=8, head_dim=128,
-                                  rope_theta=10000.0),
+                                  rope_theta=10000.0,
+                                  # Real Mistral-7B-v0.1 config.json sets
+                                  # sliding_window=4096 — the bench must
+                                  # run the windowed attention path.
+                                  sliding_window=4096),
     )
 
 

@@ -54,3 +54,53 @@ def test_kernel_gqa_grouping(rng):
                                  num_blocks=nb, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_kernel_sliding_window(rng):
+    """Window lower bound masks keys below seq_len - W; the grid offset
+    must still cover the straddled blocks exactly."""
+    q, kc, vc, bt, sl, bs, nb = _setup(rng)
+    for w in (8, 12, 16, 64):   # shorter and longer than both seqs
+        ref = paged_attention_reference(q, kc, vc, bt, sl, block_size=bs,
+                                        sliding_window=w)
+        got = paged_attention_decode(q, kc, vc, bt, sl, block_size=bs,
+                                     num_blocks=nb, interpret=True,
+                                     sliding_window=w)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5, err_msg=f"w={w}")
+
+
+def test_kernel_logit_softcap(rng):
+    q, kc, vc, bt, sl, bs, nb = _setup(rng)
+    ref = paged_attention_reference(q, kc, vc, bt, sl, block_size=bs,
+                                    logit_softcap=30.0)
+    got = paged_attention_decode(q, kc, vc, bt, sl, block_size=bs,
+                                 num_blocks=nb, interpret=True,
+                                 logit_softcap=30.0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_kernel_alibi(rng):
+    from blazr_tpu.models.layers import alibi_slopes
+
+    q, kc, vc, bt, sl, bs, nb = _setup(rng)
+    slopes = np.asarray(alibi_slopes(q.shape[1])) * q.shape[2] ** -0.5
+    ref = paged_attention_reference(q, kc, vc, bt, sl, block_size=bs,
+                                    alibi=slopes)
+    got = paged_attention_decode(q, kc, vc, bt, sl, block_size=bs,
+                                 num_blocks=nb, interpret=True,
+                                 alibi=slopes)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_kernel_window_softcap_combined(rng):
+    q, kc, vc, bt, sl, bs, nb = _setup(rng)
+    ref = paged_attention_reference(q, kc, vc, bt, sl, block_size=bs,
+                                    sliding_window=10, logit_softcap=20.0)
+    got = paged_attention_decode(q, kc, vc, bt, sl, block_size=bs,
+                                 num_blocks=nb, interpret=True,
+                                 sliding_window=10, logit_softcap=20.0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
