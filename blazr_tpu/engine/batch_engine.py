@@ -56,6 +56,9 @@ logger = logging.getLogger(__name__)
 # Max sequences per batched-prefill step: pow-2 padded, so the compiled
 # shape set stays bounded while bursts amortize the per-step weight stream.
 _PREFILL_GROUP = 8
+# Top-K width of the fused logprobs fetch (the OpenAI top_logprobs cap;
+# rows slice to their requested k host-side).
+TOPK_K = 20
 
 # Packed decode-table (itab) column layout — shared by decode_step,
 # horizon_step, warmup, and the host-side batch builders:
@@ -272,16 +275,30 @@ class BatchEngine:
         cfg = model.cfg
         fwd = self._fwd
 
+        def _pack_row(tok, lp, logprobs, use_topk):
+            """[B, 2] (token, lp-bits) — or [B, 2+2K] with the top-K
+            logprob ids and values appended when a row wants OpenAI
+            logprobs (K fixed at 20, the API maximum; rows slice to
+            their requested k host-side)."""
+            cols = [tok[:, None],
+                    jax.lax.bitcast_convert_type(lp, jnp.int32)[:, None]]
+            if use_topk:
+                top_lp, top_ids = jax.lax.top_k(logprobs, TOPK_K)
+                cols += [top_ids.astype(jnp.int32),
+                         jax.lax.bitcast_convert_type(top_lp, jnp.int32)]
+            return jnp.concatenate(cols, axis=1)
+
         # Params as explicit jit args (avoid constant-embedding the weights).
-        @partial(jax.jit, donate_argnums=(1,), static_argnames=("use_mask",))
+        @partial(jax.jit, donate_argnums=(1,),
+                 static_argnames=("use_mask", "use_topk"))
         def prefill_step(params, cache, tokens, positions, slots, block_tables,
                          seq_lens, last_idx, state_rows, window, sp_packed,
                          sp_keys, bias_ids, bias_vals, grammar_mask,
-                         use_mask=False):
+                         use_mask=False, use_topk=False):
             # First-token sampling is FUSED into the prefill program: one
-            # dispatch and one packed [P, 2] fetch cover a whole prefill
-            # group (a separate sample call was an extra dispatch plus
-            # two blocking fetches per sequence).
+            # dispatch and one packed [P, 2(+2K)] fetch cover a whole
+            # prefill group (a separate sample call was an extra dispatch
+            # plus two blocking fetches per sequence).
             logits, cache = fwd(params, cfg, tokens, cache,
                                 positions, slots, block_tables,
                                 seq_lens, state_rows)
@@ -294,13 +311,14 @@ class BatchEngine:
                 grammar_mask=grammar_mask if use_mask else None,
             )
             lp = jnp.take_along_axis(logprobs, tok[:, None], axis=1)[:, 0]
-            packed = jnp.stack(
-                [tok, jax.lax.bitcast_convert_type(lp, jnp.int32)], axis=1)
+            packed = _pack_row(tok, lp, logprobs, use_topk)
             return packed, last, cache
 
-        @partial(jax.jit, donate_argnums=(1,), static_argnames=("use_mask",))
+        @partial(jax.jit, donate_argnums=(1,),
+                 static_argnames=("use_mask", "use_topk"))
         def decode_step(params, cache, itab, sp_packed, sp_keys,
-                        bias_ids, bias_vals, grammar_mask, use_mask=False):
+                        bias_ids, bias_vals, grammar_mask, use_mask=False,
+                        use_topk=False):
             # ONE packed int32 upload per step instead of seven: columns
             # 0 token | 1 position | 2 slot | 3 seq_len | 4 state_row |
             # _ITAB_WIN penalty window | _ITAB_BT: block table. Per-array H2D
@@ -324,7 +342,8 @@ class BatchEngine:
                 grammar_mask=grammar_mask if use_mask else None,
             )
             lp = jnp.take_along_axis(logprobs, tok[:, None], axis=1)[:, 0]
-            return tok, lp, last, cache
+            packed = _pack_row(tok, lp, logprobs, use_topk)
+            return packed, last, cache
 
         horizon = self._horizon
         block_size = self.block_size
@@ -333,11 +352,11 @@ class BatchEngine:
         max_pos = self.max_seq_len - 1
 
         @partial(jax.jit, donate_argnums=(1,),
-                 static_argnames=("use_grammar",))
+                 static_argnames=("use_grammar", "use_topk"))
         def horizon_step(params, cache, itab, sp_packed, sp_keys,
                          bias_ids, bias_vals, t_steps, gmask, gnext,
                          gstate0, has_g, carry_tok, carry_win, carry_gstate,
-                         fresh, use_grammar=False):
+                         fresh, use_grammar=False, use_topk=False):
             # Multi-step decode: up to `horizon` decode iterations in ONE
             # device program with ON-DEVICE token feedback (while_loop,
             # dynamic trip count). The host fetches a single packed
@@ -373,7 +392,8 @@ class BatchEngine:
             sp_base = unpack_sampling(sp_packed, sp_keys)
             rows = jnp.arange(b)
             widx = jnp.arange(window0.shape[1])[None, :]
-            out0 = jnp.zeros((horizon, b, 2), dtype=jnp.int32)
+            out_w = 2 + 2 * TOPK_K if use_topk else 2
+            out0 = jnp.zeros((horizon, b, out_w), dtype=jnp.int32)
 
             def body(carry):
                 i, cache, tok, window, gstate, out = carry
@@ -404,9 +424,8 @@ class BatchEngine:
                     grammar_mask=mask_b)
                 lp = jnp.take_along_axis(logprobs, newtok[:, None],
                                          axis=1)[:, 0]
-                out = out.at[i].set(jnp.stack(
-                    [newtok, jax.lax.bitcast_convert_type(lp, jnp.int32)],
-                    axis=1))
+                out = out.at[i].set(_pack_row(newtok, lp, logprobs,
+                                              use_topk))
                 if use_grammar:
                     ns = gnext[srow, newtok]
                     # Dead transition (stuck grammar): keep the old state —
@@ -658,7 +677,7 @@ class BatchEngine:
             itab[:, _ITAB_BT:] = 0x7FFFFFFF
             itab[:, 3] = 1
             mask = jnp.asarray(np.ones((1, 1), dtype=bool))
-            tok_dev, _, _, self.cache = self._decode_step(
+            tok_dev, _, self.cache = self._decode_step(
                 self.cache, jnp.asarray(itab), jnp.asarray(sp_packed),
                 jnp.asarray(sp_keys), jnp.asarray(bias[0]),
                 jnp.asarray(bias[1]), mask, use_mask=False)
@@ -879,16 +898,40 @@ class BatchEngine:
             remaining = len(seq.prompt_tokens) - seq.prefilled_tokens
             bucket = _next_pow2(min(chunk_cfg, remaining))
             groups.setdefault(bucket, []).append(seq)
+        # Dispatch EVERY group before fetching ANY first token: the
+        # device runs the groups back-to-back while the host's fetch of
+        # group k blocks only until group k completes — total wall is
+        # device-time + one RTT instead of (device + RTT) per group
+        # (measured 836 ms for 4 groups of [8, 128] on the remote chip,
+        # ~2x the device time).
+        pending = []
         for bucket in sorted(groups):
             group = groups[bucket]
             for off in range(0, len(group), _PREFILL_GROUP):
-                self._prefill_group(group[off:off + _PREFILL_GROUP],
-                                    bucket, chunk_cfg)
+                pending.append(self._prefill_group(
+                    group[off:off + _PREFILL_GROUP], bucket, chunk_cfg))
+        for group, chunks, finishing, packed, last in pending:
+            for i, seq in enumerate(group):
+                self.scheduler.prefill_complete(seq.seq_id, chunks[i])
+            if not finishing:
+                continue
+            out = np.array(self._to_host(packed))          # ONE fetch
+            lps = out[:, 1].copy().view(np.float32)
+            host_rows = [i for seq, i in finishing
+                         if seq.seq_id in self._host_states]
+            last_np = self._to_host(last) if host_rows else None
+            for seq, i in finishing:
+                if seq.seq_id in self._host_states:
+                    self._emit(seq, self._host_pick(seq, last_np[i]),
+                               float("nan"), top=self._top_row(seq, out[i]))
+                else:
+                    self._emit(seq, int(out[i, 0]), float(lps[i]),
+                               top=self._top_row(seq, out[i]))
 
     def _prefill_group(self, group: list[Sequence], bucket: int,
-                       chunk_cfg: int) -> None:
-        """One [P, T] prefill step over same-bucket chunks, first-token
-        sampling fused in: one dispatch + one packed [P, 2] fetch."""
+                       chunk_cfg: int):
+        """Dispatch one [P, T] prefill step over same-bucket chunks,
+        first-token sampling fused in; returns the un-fetched outputs."""
         p2 = _next_pow2(len(group), minimum=1)
         mb = self.max_blocks_per_seq
         toks = np.zeros((p2, bucket), dtype=np.int32)
@@ -934,6 +977,8 @@ class BatchEngine:
         bias_ids, bias_vals = make_bias_rows(cfgs)
         mask = (self._grammar_mask(ids, p2) if any_mask
                 else np.ones((1, 1), dtype=bool))
+        use_topk = any((s, i) in finishing and s.gen_cfg.logprobs
+                       for i, s in enumerate(group))
         packed, last, self.cache = self._prefill_step(
             self.cache, jnp.asarray(toks), jnp.asarray(positions),
             jnp.asarray(slots), jnp.asarray(bts), jnp.asarray(seq_lens),
@@ -941,6 +986,7 @@ class BatchEngine:
             jnp.asarray(windows), jnp.asarray(sp_packed),
             jnp.asarray(sp_keys), jnp.asarray(bias_ids),
             jnp.asarray(bias_vals), jnp.asarray(mask), use_mask=any_mask,
+            use_topk=use_topk,
         )
         if self._draft is not None:
             # Keep the draft cache in sync over the same blocks (its
@@ -948,21 +994,7 @@ class BatchEngine:
             self._draft_cache = self._draft_prefill(
                 self._draft_cache, jnp.asarray(toks), jnp.asarray(positions),
                 jnp.asarray(slots), jnp.asarray(bts), jnp.asarray(seq_lens))
-        for i, seq in enumerate(group):
-            self.scheduler.prefill_complete(seq.seq_id, chunks[i])
-        if not finishing:
-            return
-        out = np.array(self._to_host(packed))          # ONE fetch
-        lps = out[:, 1].copy().view(np.float32)
-        host_rows = [i for seq, i in finishing
-                     if seq.seq_id in self._host_states]
-        last_np = self._to_host(last) if host_rows else None
-        for seq, i in finishing:
-            if seq.seq_id in self._host_states:
-                self._emit(seq, self._host_pick(seq, last_np[i]),
-                           float("nan"))
-            else:
-                self._emit(seq, int(out[i, 0]), float(lps[i]))
+        return group, chunks, finishing, packed, last
 
     def _process_prefill_ssm(self, seq: Sequence) -> None:
         """Recurrent-state prefill: PAD TOKENS MUST NEVER ENTER THE SCAN
@@ -1031,11 +1063,13 @@ class BatchEngine:
 
     # ------------------------------------------------------------------
     def _spec_eligible(self, seq: Sequence) -> bool:
-        """Argmax verification is exact only for pure greedy rows."""
+        """Argmax verification is exact only for pure greedy rows.
+        Logprobs rows are excluded: the verify path has no fused top-K
+        fetch, so they ride the plain (horizon) programs instead."""
         g = seq.gen_cfg
         return (g.temperature == 0.0 and g.repeat_penalty == 1.0
                 and g.frequency_penalty == 0.0 and g.presence_penalty == 0.0
-                and not g.logit_bias
+                and not g.logit_bias and not g.logprobs
                 and seq.seq_id not in self._grammars
                 and seq.seq_id not in self._host_states)
 
@@ -1048,7 +1082,10 @@ class BatchEngine:
         # step writes each row's latest token). Batches with no eligible
         # row take the plain path and its multi-step horizon; their
         # draft-cache staleness is harmless because they never draft.
-        if self._spec_k and any(self._spec_eligible(s) for s in decodes):
+        if (self._spec_k and any(self._spec_eligible(s) for s in decodes)
+                and not any(s.gen_cfg.logprobs for s in decodes)):
+            # Logprobs rows force the plain path for the whole batch —
+            # the spec verify program has no fused top-K fetch.
             return self._process_decode_batch_spec(decodes)
         return self._process_decode_batch_plain(decodes)
 
@@ -1240,14 +1277,16 @@ class BatchEngine:
             # a [B, vocab] plane.
             mask = np.ones((1, 1), dtype=bool)
         bias_ids, bias_vals = make_bias_rows(cfgs)
-        tok_dev, lp_dev, last_dev, self.cache = self._decode_step(
+        use_topk = any(s.gen_cfg.logprobs for s in decodes)
+        packed_dev, last_dev, self.cache = self._decode_step(
             self.cache, jnp.asarray(itab), jnp.asarray(sp_packed),
             jnp.asarray(sp_keys), jnp.asarray(bias_ids),
             jnp.asarray(bias_vals), jnp.asarray(mask),
-            use_mask=any_mask,
+            use_mask=any_mask, use_topk=use_topk,
         )
-        toks = np.array(self._to_host(tok_dev))
-        lps = np.array(self._to_host(lp_dev))
+        out = np.array(self._to_host(packed_dev))
+        toks = out[:, 0].copy()
+        lps = out[:, 1].copy().view(np.float32)
         # Rows needing the host sampler chain re-sample from the raw
         # logits (one [B, V] fetch, only when such a row exists).
         if host_rows:
@@ -1256,7 +1295,8 @@ class BatchEngine:
                 toks[i] = self._host_pick(decodes[i], last_np[i])
                 lps[i] = float("nan")
         for i, seq in enumerate(decodes):
-            self._emit(seq, int(toks[i]), float(lps[i]))
+            self._emit(seq, int(toks[i]), float(lps[i]),
+                       top=self._top_row(seq, out[i]))
 
     # ------------------------------------------------------------------
     def _build_itab(self, rows: list[Optional[Sequence]], lag: list[int]
@@ -1301,9 +1341,10 @@ class BatchEngine:
         prev = self._pipe
         self._pipe = None
         gkey = id(g_tables) if g_tables is not None else None
+        use_topk = any(s.gen_cfg.logprobs for s in decodes)
 
         chain = (prev is not None and prev["bmax"] == bmax_now
-                 and prev["gkey"] == gkey)
+                 and prev["gkey"] == gkey and prev["topk"] == use_topk)
         if prev is not None and not chain:
             self._emit_round(prev)          # flush: layout/tables changed
             prev = None
@@ -1400,10 +1441,10 @@ class BatchEngine:
             jnp.asarray(bias_vals), np.int32(t_steps), gmask_dev,
             gnext_dev, jnp.asarray(gstate0), jnp.asarray(has_g),
             carry_tok, carry_win, carry_gs, jnp.asarray(fresh),
-            use_grammar=g_tables is not None)
+            use_grammar=g_tables is not None, use_topk=use_topk)
         self._pipe = {"out": out_dev, "tok": tok_f, "win": win_f,
                       "gs": gs_f, "rows": rows, "t": t_steps,
-                      "bmax": bmax, "gkey": gkey}
+                      "bmax": bmax, "gkey": gkey, "topk": use_topk}
         if prev is not None:
             self._emit_round(prev)
         # If nothing survives, the in-flight round is pure overrun —
@@ -1415,14 +1456,15 @@ class BatchEngine:
 
     def _emit_round(self, p: dict) -> None:
         """Fetch a dispatched horizon round and emit its tokens."""
-        out = np.array(self._to_host(p["out"]))   # [H, B, 2], ONE fetch
+        out = np.array(self._to_host(p["out"]))   # [H, B, 2(+2K)], ONE fetch
         lps_h = out[:, :, 1].copy().view(np.float32)
         for s_i in range(p["t"]):
             for i, seq in enumerate(p["rows"]):
                 if seq is None or seq.state != SequenceState.RUNNING:
                     continue      # finished mid-horizon: discard overrun
                 self._emit(seq, int(out[s_i, i, 0]),
-                           float(lps_h[s_i, i]))
+                           float(lps_h[s_i, i]),
+                           top=self._top_row(seq, out[s_i, i]))
 
     def _flush_pipe(self) -> None:
         p = self._pipe
@@ -1489,7 +1531,23 @@ class BatchEngine:
         return mask
 
     # ------------------------------------------------------------------
-    def _emit(self, seq: Sequence, token: int, logprob: float) -> None:
+    def _top_row(self, seq: Sequence,
+                 out_row: np.ndarray) -> Optional[list]:
+        """Decode a packed output row's top-K tail into TokenLogprob
+        entries (only for rows that requested logprobs; rows of a
+        non-topk program have no tail and return None)."""
+        if not seq.gen_cfg.logprobs or out_row.shape[0] < 2 + 2 * TOPK_K:
+            return None
+        from .types import TokenLogprob
+
+        k = min(seq.gen_cfg.top_logprobs or 5, TOPK_K)
+        ids = out_row[2 : 2 + k]
+        lps = out_row[2 + TOPK_K : 2 + TOPK_K + k].copy().view(np.float32)
+        return [TokenLogprob(int(t), float(l), self._token_text(int(t)))
+                for t, l in zip(ids, lps)]
+
+    def _emit(self, seq: Sequence, token: int, logprob: float,
+              top: Optional[list] = None) -> None:
         """Record a sampled token, stream it, and finish on EOS/length."""
         self.scheduler.append_token(seq.seq_id, token)
         self._windows[seq.seq_id].append(token)
@@ -1502,7 +1560,8 @@ class BatchEngine:
             seq.total_len >= self.max_seq_len - 1
         text = "" if is_eos else self._token_text(token)
         gt = GeneratedToken(token_id=token, text=text,
-                            logprob=None if logprob != logprob else logprob)
+                            logprob=None if logprob != logprob else logprob,
+                            top_logprobs=top)
         fin = (FinishReason.EOS if is_eos
                else FinishReason.LENGTH if hit_len else None)
         handle = self._handles.get(seq.seq_id)

@@ -102,6 +102,7 @@ def _collect_once(executor, prompt_ids: list[int], cfg: GenerationConfig,
     scanner = StopScanner(cfg.stop_sequences)
     pieces: list[str] = []
     tokens: list[int] = []
+    gen_tokens = [] if cfg.logprobs else None
     logprobs = [] if cfg.logprobs else None
     top_logprobs = [] if cfg.logprobs else None
     finish = FinishReason.LENGTH
@@ -112,6 +113,8 @@ def _collect_once(executor, prompt_ids: list[int], cfg: GenerationConfig,
         if first_token_time is None:
             first_token_time = time.time()
         tokens.append(gt.token_id)
+        if gen_tokens is not None:
+            gen_tokens.append(gt)
         if logprobs is not None and gt.logprob is not None:
             logprobs.append(gt.logprob)
         if top_logprobs is not None and gt.top_logprobs is not None:
@@ -136,6 +139,7 @@ def _collect_once(executor, prompt_ids: list[int], cfg: GenerationConfig,
         completion_tokens=len(tokens),
         logprobs=logprobs,            # type: ignore[arg-type]
         top_logprobs=top_logprobs,    # type: ignore[arg-type]
+        gen_tokens=gen_tokens,
         prompt_eval_duration=(first_token_time or t0) - t0,
         eval_duration=eval_duration,
     )
@@ -145,9 +149,15 @@ def stream_generation(
     executor,
     prompt_ids: list[int],
     cfg: GenerationConfig,
-) -> Iterator[tuple[str, Optional[FinishReason]]]:
-    """Streaming variant: yields (text_delta, finish_reason|None); the last
-    yield carries the finish reason."""
+    with_tokens: bool = False,
+) -> Iterator[tuple]:
+    """Streaming variant: yields (text_delta, finish_reason|None) — or
+    (text_delta, finish_reason|None, GeneratedToken|None) 3-tuples when
+    ``with_tokens`` (the logprobs streaming path needs per-token
+    logprob/top-k alongside the scanner-gated text)."""
+    def _y(delta, fin, gt=None):
+        return (delta, fin, gt) if with_tokens else (delta, fin)
+
     scanner = StopScanner(cfg.stop_sequences)
     emitted_any = False
     count = 0
@@ -155,13 +165,17 @@ def stream_generation(
         count += 1
         if executor.tokenizer.is_eos(gt.token_id):
             tail = scanner.flush()
-            yield tail, FinishReason.EOS
+            yield _y(tail, FinishReason.EOS, gt)
             return
         emit, stopped = scanner.push(gt.text)
         if stopped:
-            yield emit, FinishReason.STOP
+            yield _y(emit, FinishReason.STOP, gt)
             return
         if emit:
             emitted_any = True
-            yield emit, None
-    yield scanner.flush(), FinishReason.LENGTH
+            yield _y(emit, None, gt)
+        elif with_tokens:
+            # Scanner held the text back but the token still needs its
+            # logprobs entry on a later chunk.
+            yield _y("", None, gt)
+    yield _y(scanner.flush(), FinishReason.LENGTH)

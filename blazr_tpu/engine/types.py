@@ -52,6 +52,9 @@ class GenerationResult:
     completion_tokens: int = 0
     logprobs: Optional[list[TokenLogprob]] = None
     top_logprobs: Optional[list[list[TokenLogprob]]] = None
+    # Full per-token records (text + logprob + top-k) for the HTTP
+    # logprobs blocks; populated only when cfg.logprobs.
+    gen_tokens: Optional[list[GeneratedToken]] = None
     thinking: Optional[str] = None
     # timing (seconds)
     load_duration: float = 0.0

@@ -73,7 +73,13 @@ def gen_config_from_body(body: dict, defaults: GenerationConfig
         cfg.logit_bias = {int(k): float(v) for k, v in body["logit_bias"].items()}
     if m("logprobs") is not None:
         lp = body["logprobs"]
-        cfg.logprobs = bool(lp) if isinstance(lp, bool) else True
+        if isinstance(lp, bool):
+            cfg.logprobs = lp          # chat shape: bool + top_logprobs
+        else:
+            # Completions shape: an INT count of alternatives per token
+            # (reference generation.rs logprobs/top_logprobs, ≤ 20).
+            cfg.logprobs = True
+            cfg.top_logprobs = min(max(int(lp), 0), 20)
     if m("top_logprobs") is not None:
         cfg.top_logprobs = min(int(body["top_logprobs"]), 20)
         cfg.logprobs = True
@@ -138,6 +144,30 @@ def chat_response(model: str, choices: list[dict], usage: dict) -> dict:
         "choices": choices,
         "usage": usage,
     }
+
+
+def completion_logprobs_block(tokens: list, k: int,
+                              text_offset_base: int = 0) -> Optional[dict]:
+    """Classic /v1/completions logprobs shape (reference completions.rs):
+    parallel ``tokens`` / ``token_logprobs`` / ``top_logprobs`` /
+    ``text_offset`` arrays."""
+    if not tokens:
+        return None
+    toks, lps, tops, offs = [], [], [], []
+    off = text_offset_base
+    for gt in tokens:
+        if gt.logprob is None:
+            continue
+        toks.append(gt.text)
+        lps.append(gt.logprob)
+        offs.append(off)
+        off += len(gt.text)
+        tops.append({t.token or "": t.logprob
+                     for t in (gt.top_logprobs or [])[:k]} or None)
+    if not toks:
+        return None
+    return {"tokens": toks, "token_logprobs": lps,
+            "top_logprobs": tops, "text_offset": offs}
 
 
 def logprobs_block(tokens: list, text_offsets_base: int = 0) -> Optional[dict]:

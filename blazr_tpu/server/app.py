@@ -33,6 +33,7 @@ from ..model_meta.think import extract_thinking
 from .api_types import (
     ApiError,
     chat_response,
+    completion_logprobs_block,
     completion_response,
     gen_config_from_body,
     logprobs_block,
@@ -388,11 +389,17 @@ async def completions(request: web.Request) -> web.Response:
                 text = res.text
                 if echo:
                     text = executor.tokenizer.decode(ids) + text
+                lp_block = None
+                if cfg.logprobs and res.gen_tokens:
+                    lp_block = completion_logprobs_block(
+                        res.gen_tokens, min(cfg.top_logprobs, 20),
+                        text_offset_base=len(executor.tokenizer.decode(ids))
+                        if echo else 0)
                 choices.append({
                     "index": len(choices),
                     "text": text,
                     "finish_reason": res.finish_reason.to_openai(),
-                    "logprobs": None,
+                    "logprobs": lp_block,
                 })
                 usage_p += res.prompt_tokens
                 usage_c += res.completion_tokens
@@ -483,7 +490,9 @@ async def chat_completions(request: web.Request) -> web.Response:
                 finish = "tool_calls"
             choices.append({"index": i, "message": msg,
                             "finish_reason": finish,
-                            "logprobs": None})
+                            "logprobs": (logprobs_block(res.gen_tokens)
+                                         if cfg.logprobs and res.gen_tokens
+                                         else None)})
             usage_p += res.prompt_tokens
             usage_c += res.completion_tokens
         state.metrics.tokens_prompted.inc(usage_p)
@@ -515,11 +524,14 @@ async def _collect_via_engine(state: AppState, prompt_ids, cfg):
     scanner = StopScanner(cfg.stop_sequences)
     pieces = []
     tokens = []
+    gen_tokens = [] if cfg.logprobs else None
     finish = FinishReason.LENGTH
     while True:
         tok, fin = await handle.queue.get()
         if tok is not None:
             tokens.append(tok.token_id)
+            if gen_tokens is not None:
+                gen_tokens.append(tok)
             emit, stopped = scanner.push(tok.text)
             pieces.append(emit)
             if stopped:
@@ -533,6 +545,7 @@ async def _collect_via_engine(state: AppState, prompt_ids, cfg):
     return GenerationResult(
         text="".join(pieces), tokens=tokens, finish_reason=finish,
         prompt_tokens=len(prompt_ids), completion_tokens=len(tokens),
+        gen_tokens=gen_tokens,
     )
 
 
@@ -554,10 +567,13 @@ async def _stream_chat(request, state: AppState, executor, prompt_ids,
         try:
             from ..engine.generate_text import stream_generation
 
-            for delta, fin in stream_generation(executor, prompt_ids, cfg):
-                loop.call_soon_threadsafe(queue.put_nowait, (delta, fin, None))
+            for delta, fin, gt in stream_generation(executor, prompt_ids,
+                                                    cfg, with_tokens=True):
+                loop.call_soon_threadsafe(
+                    queue.put_nowait,
+                    (delta, fin, None, [gt] if gt is not None else []))
         except Exception as e:  # surfaced as SSE error event
-            loop.call_soon_threadsafe(queue.put_nowait, ("", None, str(e)))
+            loop.call_soon_threadsafe(queue.put_nowait, ("", None, str(e), []))
         loop.call_soon_threadsafe(queue.put_nowait, None)
 
     seq_ref: dict = {}                 # engine seq id, for disconnect cancel
@@ -574,19 +590,21 @@ async def _stream_chat(request, state: AppState, executor, prompt_ids,
             scanner = StopScanner(cfg.stop_sequences)
             while True:
                 tok, fin = await handle.queue.get()
+                gts = [tok] if tok is not None else []
                 if tok is not None:
                     emit, stopped = scanner.push(tok.text)
                     if stopped:
                         eng.cancel(handle.seq_id)
-                        queue.put_nowait((emit, FinishReason.STOP, None))
+                        queue.put_nowait((emit, FinishReason.STOP, None, gts))
                         break
-                    if emit:
-                        queue.put_nowait((emit, None, None))
+                    if emit or gts:
+                        queue.put_nowait((emit, None, None, gts))
+                        gts = []
                 if fin is not None:
-                    queue.put_nowait((scanner.flush(), fin, None))
+                    queue.put_nowait((scanner.flush(), fin, None, gts))
                     break
         except Exception as e:
-            queue.put_nowait(("", None, str(e)))
+            queue.put_nowait(("", None, str(e), []))
         queue.put_nowait(None)
 
     if state.batch_engine is not None and not force_direct:
@@ -602,7 +620,7 @@ async def _stream_chat(request, state: AppState, executor, prompt_ids,
             item = await queue.get()
             if item is None:
                 break
-            delta, fin, err = item
+            delta, fin, err, gts = item
             if err is not None:
                 await resp.write(stream.error(err))
                 break
@@ -615,9 +633,11 @@ async def _stream_chat(request, state: AppState, executor, prompt_ids,
                 state.slo.record_itl(now - last_t)
                 state.metrics.itl.observe(now - last_t)
             last_t = now
-            if delta:
-                count += 1
-                await resp.write(stream.delta(delta))
+            lpb = (logprobs_block(gts)
+                   if cfg.logprobs and gts else None)
+            if delta or lpb:
+                count += 1 if delta else 0
+                await resp.write(stream.delta(delta, logprobs=lpb))
             if fin is not None:
                 await resp.write(stream.finish(
                     fin.to_openai(),
@@ -654,11 +674,15 @@ async def _stream_completion(request, state: AppState, executor, prompt_ids,
         try:
             from ..engine.generate_text import stream_generation
 
-            for delta, fin in stream_generation(executor, prompt_ids, cfg):
-                loop.call_soon_threadsafe(queue.put_nowait, (delta, fin))
-        except Exception as e:
+            for delta, fin, gt in stream_generation(executor, prompt_ids,
+                                                    cfg, with_tokens=True):
+                loop.call_soon_threadsafe(
+                    queue.put_nowait,
+                    (delta, fin, [gt] if gt is not None else []))
+        except Exception:
             logger.exception("stream failed")
-            loop.call_soon_threadsafe(queue.put_nowait, ("", FinishReason.STOP))
+            loop.call_soon_threadsafe(queue.put_nowait,
+                                      ("", FinishReason.STOP, []))
         loop.call_soon_threadsafe(queue.put_nowait, None)
 
     seq_ref: dict = {}
@@ -677,20 +701,22 @@ async def _stream_completion(request, state: AppState, executor, prompt_ids,
             scanner = StopScanner(cfg.stop_sequences)
             while True:
                 tok, fin = await handle.queue.get()
+                gts = [tok] if tok is not None else []
                 if tok is not None:
                     emit, stopped = scanner.push(tok.text)
                     if stopped:
                         eng.cancel(handle.seq_id)
-                        queue.put_nowait((emit, FinishReason.STOP))
+                        queue.put_nowait((emit, FinishReason.STOP, gts))
                         break
-                    if emit:
-                        queue.put_nowait((emit, None))
+                    if emit or gts:
+                        queue.put_nowait((emit, None, gts))
+                        gts = []
                 if fin is not None:
-                    queue.put_nowait((scanner.flush(), fin))
+                    queue.put_nowait((scanner.flush(), fin, gts))
                     break
         except Exception:
             logger.exception("stream failed")
-            queue.put_nowait(("", FinishReason.STOP))
+            queue.put_nowait(("", FinishReason.STOP, []))
         queue.put_nowait(None)
 
     if state.batch_engine is not None:
@@ -702,9 +728,11 @@ async def _stream_completion(request, state: AppState, executor, prompt_ids,
             item = await queue.get()
             if item is None:
                 break
-            delta, fin = item
-            if delta:
-                await resp.write(stream.delta(delta))
+            delta, fin, gts = item
+            lpb = (completion_logprobs_block(gts, min(cfg.top_logprobs, 20))
+                   if cfg.logprobs and gts else None)
+            if delta or lpb:
+                await resp.write(stream.delta(delta, logprobs=lpb))
             if fin is not None:
                 await resp.write(stream.delta("", finish_reason=fin.to_openai()))
                 break

@@ -55,8 +55,11 @@ class ChatStream:
     def role_chunk(self) -> bytes:
         return sse_event(self._chunk({"role": "assistant", "content": ""}))
 
-    def delta(self, text: str) -> bytes:
-        return sse_event(self._chunk({"content": text}))
+    def delta(self, text: str, logprobs: dict | None = None) -> bytes:
+        chunk = self._chunk({"content": text})
+        if logprobs is not None:
+            chunk["choices"][0]["logprobs"] = logprobs
+        return sse_event(chunk)
 
     def finish(self, reason: str, usage: Optional[dict] = None) -> bytes:
         extra = {"usage": usage} if usage else None
@@ -75,12 +78,14 @@ class CompletionStream:
         self.model = model
 
     def delta(self, text: str, index: int = 0,
-              finish_reason: Optional[str] = None) -> bytes:
+              finish_reason: Optional[str] = None,
+              logprobs: dict | None = None) -> bytes:
         return sse_event({
             "id": self.id,
             "object": "text_completion",
             "created": self.created,
             "model": self.model,
             "choices": [{"index": index, "text": text,
-                         "finish_reason": finish_reason, "logprobs": None}],
+                         "finish_reason": finish_reason,
+                         "logprobs": logprobs}],
         })

@@ -375,3 +375,116 @@ def test_chat_via_lockstep_engine(model_dir):
             assert "blazr_tpu_queue_depth" in (await m.text())
         assert engine.steps > 0
     run(main())
+
+
+def test_completions_logprobs_direct(model_dir):
+    """Classic /v1/completions logprobs shape (reference completions.rs +
+    sampling.rs:197-256): parallel tokens / token_logprobs / top_logprobs /
+    text_offset arrays, int `logprobs` = alternatives per token."""
+    async def main():
+        async with _client(model_dir) as c:
+            r = await c.post("/v1/completions", json={
+                "prompt": "hello", "max_tokens": 4, "temperature": 0.0,
+                "logprobs": 2,
+            })
+            assert r.status == 200
+            lp = (await r.json())["choices"][0]["logprobs"]
+            assert lp is not None
+            n = len(lp["tokens"])
+            assert n > 0
+            assert len(lp["token_logprobs"]) == n
+            assert len(lp["top_logprobs"]) == n
+            assert len(lp["text_offset"]) == n
+            assert all(v <= 0.0 for v in lp["token_logprobs"])
+            assert all(t is None or len(t) <= 2 for t in lp["top_logprobs"])
+    run(main())
+
+
+def test_chat_logprobs_direct(model_dir):
+    """OpenAI chat logprobs content block through the direct executor."""
+    async def main():
+        async with _client(model_dir) as c:
+            r = await c.post("/v1/chat/completions", json={
+                "messages": [{"role": "user", "content": "hi"}],
+                "max_tokens": 4, "temperature": 0.0,
+                "logprobs": True, "top_logprobs": 3,
+            })
+            assert r.status == 200
+            lp = (await r.json())["choices"][0]["logprobs"]
+            assert lp and lp["content"]
+            entry = lp["content"][0]
+            assert "token" in entry and "logprob" in entry
+            assert entry["logprob"] <= 0.0
+            assert len(entry["top_logprobs"]) <= 3
+            # the chosen token's logprob must appear no better than the best
+            # alternative (top-1 is the argmax of the distribution)
+            assert entry["logprob"] <= entry["top_logprobs"][0]["logprob"] + 1e-5
+    run(main())
+
+
+def test_logprobs_via_batch_engine(model_dir):
+    """Logprobs through the continuous-batching engine: the fused top-K
+    fetch in the batched decode/prefill programs (non-streaming chat,
+    completions, and a streaming request carrying per-chunk logprobs)."""
+    from blazr_tpu.engine.batch_engine import BatchEngine
+
+    async def main():
+        scheduler = ModelScheduler(model_dir, dtype="f32")
+        ex = scheduler.get_executor("default")
+        ex.app_cfg.inference.max_seq_len = 128
+        ex.app_cfg.inference.prefix_cache = True
+        engine = BatchEngine(ex.model, ex.tokenizer, ex.app_cfg)
+        app = create_app(scheduler, ServerConfig(), batch_engine=engine)
+        async with TestClient(TestServer(app)) as c:
+            r = await c.post("/v1/chat/completions", json={
+                "messages": [{"role": "user", "content": "hi"}],
+                "max_tokens": 4, "temperature": 0.0,
+                "logprobs": True, "top_logprobs": 4,
+            })
+            assert r.status == 200
+            lp = (await r.json())["choices"][0]["logprobs"]
+            assert lp and lp["content"]
+            for entry in lp["content"]:
+                assert entry["logprob"] <= 0.0
+                assert 1 <= len(entry["top_logprobs"]) <= 4
+                # entries are sorted best-first
+                lps = [t["logprob"] for t in entry["top_logprobs"]]
+                assert lps == sorted(lps, reverse=True)
+
+            r2 = await c.post("/v1/completions", json={
+                "prompt": "hey", "max_tokens": 3, "temperature": 0.0,
+                "logprobs": 1,
+            })
+            assert r2.status == 200
+            lp2 = (await r2.json())["choices"][0]["logprobs"]
+            assert lp2 is not None and len(lp2["tokens"]) > 0
+            assert all(t is None or len(t) <= 1 for t in lp2["top_logprobs"])
+
+            r3 = await c.post("/v1/chat/completions", json={
+                "messages": [{"role": "user", "content": "hi"}],
+                "max_tokens": 3, "temperature": 0.0, "stream": True,
+                "logprobs": True, "top_logprobs": 2,
+            })
+            raw = (await r3.read()).decode()
+            assert raw.strip().endswith("data: [DONE]")
+            chunks = [json.loads(ln[len("data: "):])
+                      for ln in raw.splitlines()
+                      if ln.startswith("data: ") and ln != "data: [DONE]"]
+            lp_chunks = [ch for ch in chunks
+                         if ch["choices"][0].get("logprobs")]
+            assert lp_chunks, "no streamed chunk carried logprobs"
+            entry = lp_chunks[0]["choices"][0]["logprobs"]["content"][0]
+            assert len(entry["top_logprobs"]) <= 2
+
+            # mixed batch: one logprobs row + one plain row concurrently
+            async def one(i, want_lp):
+                body = {"prompt": f"m{i}", "max_tokens": 3,
+                        "temperature": 0.0}
+                if want_lp:
+                    body["logprobs"] = 2
+                r = await c.post("/v1/completions", json=body)
+                assert r.status == 200
+                return (await r.json())["choices"][0]["logprobs"]
+            outs = await asyncio.gather(one(0, True), one(1, False))
+            assert outs[0] is not None and outs[1] is None
+    run(main())
