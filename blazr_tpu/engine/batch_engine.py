@@ -210,6 +210,9 @@ class BatchEngine:
             else 0)
         self.spec_drafted = 0
         self.spec_accepted = 0
+        # Horizon telemetry (/metrics horizon_steps_per_dispatch).
+        self.horizon_dispatches = 0
+        self.horizon_steps = 0
 
         # Draft-MODEL speculation under continuous batching (reference
         # speculative.rs driven from the batch engine): the draft keeps
@@ -1445,6 +1448,8 @@ class BatchEngine:
         self._pipe = {"out": out_dev, "tok": tok_f, "win": win_f,
                       "gs": gs_f, "rows": rows, "t": t_steps,
                       "bmax": bmax, "gkey": gkey, "topk": use_topk}
+        self.horizon_dispatches += 1
+        self.horizon_steps += t_steps
         if prev is not None:
             self._emit_round(prev)
         # If nothing survives, the in-flight round is pure overrun —

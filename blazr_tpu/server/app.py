@@ -285,6 +285,17 @@ async def metrics_handler(request: web.Request) -> web.Response:
         if bs["total_blocks"]:
             state.metrics.kv_block_utilization.set(
                 bs["allocated_blocks"] / bs["total_blocks"])
+        inner = getattr(eng, "engine", eng)   # LockstepEngine wraps
+        drafted = getattr(inner, "spec_drafted", 0)
+        accepted = getattr(inner, "spec_accepted", 0)
+        state.metrics.spec_drafted.set(drafted)
+        state.metrics.spec_accepted.set(accepted)
+        if drafted:
+            state.metrics.spec_acceptance_rate.set(accepted / drafted)
+        dispatches = getattr(inner, "horizon_dispatches", 0)
+        if dispatches:
+            state.metrics.horizon_steps_per_dispatch.set(
+                getattr(inner, "horizon_steps", 0) / dispatches)
     return web.Response(body=state.metrics.render(),
                         content_type="text/plain", charset="utf-8")
 

@@ -61,6 +61,21 @@ class Metrics:
         self.slo_violations = c("slo_violations_total", "SLO violations",
                                 labelnames=("metric",))
         self.hbm_used_bytes = g("hbm_used_bytes", "Device memory in use")
+        # Speculative-decode + horizon telemetry (reference logs acceptance
+        # stats, speculative.rs:131-136; here exported as gauges refreshed
+        # from the engine's counters at render time).
+        self.spec_drafted = g("spec_drafted_total",
+                              "Speculative tokens drafted")
+        self.spec_accepted = g("spec_accepted_total",
+                               "Speculative tokens accepted")
+        self.spec_acceptance_rate = g("spec_acceptance_rate",
+                                      "Draft acceptance fraction")
+        self.horizon_steps_per_dispatch = g(
+            "horizon_steps_per_dispatch",
+            "Mean decode steps fused per horizon dispatch")
+        self.moe_tokens_dropped = g(
+            "moe_ep_tokens_dropped_total",
+            "MoE tokens dropped at expert capacity (EP dispatch)")
 
     def render(self) -> bytes:
         return generate_latest(self.registry)

@@ -335,6 +335,16 @@ def test_chat_via_batch_engine(model_dir):
                 return (await r.json())["choices"][0]["text"]
             outs = await asyncio.gather(*[one(i) for i in range(3)])
             assert len(outs) == 3
+
+            # Horizon telemetry surfaces on /metrics (VERDICT r2 #7;
+            # reference logs speculative stats, speculative.rs:131-136).
+            m = await c.get("/metrics")
+            text = await m.text()
+            assert "blazr_tpu_spec_drafted_total" in text
+            hline = next(ln for ln in text.splitlines()
+                         if ln.startswith(
+                             "blazr_tpu_horizon_steps_per_dispatch"))
+            assert float(hline.split()[-1]) >= 1.0
     run(main())
 
 
