@@ -68,8 +68,18 @@ def load_tokenizer(model_dir: str | Path,
 
         with Gguf.open(ggufs[0]) as g:
             return tokenizer_from_gguf(g)
+    # No tokenizer artifact at all. The reference ships pretrained vocab
+    # TABLES in-crate (splintr_tokenizer.rs:42-48: cl100k/o200k/llama3/
+    # deepseek_v3/mistral) so a bare checkpoint still tokenizes; this
+    # build has no bundled vocab data (zero-egress environment), so the
+    # only sources are checkpoint-local files — name them explicitly.
     raise FileNotFoundError(
-        f"No tokenizer found in {model_dir} (tokenizer.json or GGUF)"
+        f"No tokenizer found for {model_dir}: expected one of "
+        f"'{model_dir / 'tokenizer.json'}' (HF fast-tokenizer JSON), a "
+        f"'*.gguf' file with an embedded tokenizer (tokenizer.ggml.* "
+        f"metadata), or an explicit gguf_path argument. Unlike the "
+        f"reference (splintr), no pretrained vocab tables are bundled — "
+        f"copy the model's tokenizer.json next to the weights."
     )
 
 

@@ -44,8 +44,11 @@ def _falcon(**kw):
     # path applies the ALiBi bias twice (folded into the causal mask as
     # alibi/sqrt(d) in _update_causal_mask AND added to the raw scores
     # before inv_norm_factor), doubling the effective slope. The sdpa
-    # path applies it once — the canonical Press-et-al/ggml semantics
-    # this framework implements (models/layers.py attend()).
+    # path applies it once, as (qk + alibi)/sqrt(d) — the falcon-rw
+    # training semantics this framework implements (slopes pre-scaled by
+    # 1/sqrt(head_dim); see models/llama.py:136-138). Note this differs
+    # from Press-et-al/ggml, which add slope*distance to already-scaled
+    # scores.
     impl = "sdpa" if kw.get("alibi") else "eager"
     cfg = FalconConfig(
         vocab_size=128, hidden_size=64, num_hidden_layers=2,
