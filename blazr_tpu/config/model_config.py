@@ -131,6 +131,9 @@ class MoeConfig:
     # MoE forwards through the expert-parallel all-to-all path when the
     # serving mesh has an ``ep`` axis.
     use_ep: bool = False
+    # Opt-in host-side counting of EP capacity drops (parallel/ep.py
+    # DROPPED_TOKENS, surfaced as /metrics moe_ep_tokens_dropped_total).
+    ep_count_drops: bool = False
 
 
 @dataclass

@@ -30,12 +30,26 @@ from ..config.model_config import MoeConfig
 from ..models.moe import route
 
 
+# Host-side accumulator for capacity drops (io_callback target; read by
+# the /metrics gauge ``moe_ep_tokens_dropped_total``). Counting is OPT-IN
+# per MoeConfig.ep_count_drops — a scalar callback per MoE layer per step
+# is observability cost the hot path shouldn't pay by default.
+DROPPED_TOKENS = {"count": 0}
+
+
+def _accum_dropped(n) -> None:
+    DROPPED_TOKENS["count"] += int(n)
+
+
 def make_dispatch(topk_idx: jax.Array, topk_w: jax.Array, num_experts: int,
-                  capacity: int) -> tuple[jax.Array, jax.Array]:
-    """Build (dispatch [T, E, C] bool, combine [T, E, C] f32).
+                  capacity: int
+                  ) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Build (dispatch [T, E, C] bool, combine [T, E, C] f32,
+    dropped scalar int32).
 
     Slot assignment = order of arrival per expert (cumsum over the token
-    axis); tokens past ``capacity`` are dropped.
+    axis); (token, choice) pairs past ``capacity`` are dropped — the
+    dropped count is returned so callers can surface it.
     """
     t, k = topk_idx.shape
     e = num_experts
@@ -53,7 +67,8 @@ def make_dispatch(topk_idx: jax.Array, topk_w: jax.Array, num_experts: int,
             * keep.astype(jnp.float32)[:, :, None, None])           # [T,K,E,C]
     combine = jnp.einsum("tkec,tk->tec", disp, topk_w.astype(jnp.float32))
     dispatch = disp.sum(axis=1)                                     # [T,E,C]
-    return dispatch, combine
+    dropped = jnp.sum(~keep).astype(jnp.int32)
+    return dispatch, combine, dropped
 
 
 def moe_ffn_ep(x: jax.Array, p: dict[str, Any], moe: MoeConfig,
@@ -76,7 +91,10 @@ def moe_ffn_ep(x: jax.Array, p: dict[str, Any], moe: MoeConfig,
         # static shapes: round capacity up to a multiple of 8 sublanes
         capacity = (capacity + 7) // 8 * 8
 
-    dispatch, combine = make_dispatch(topk_idx, topk_w, e, capacity)
+    dispatch, combine, dropped = make_dispatch(topk_idx, topk_w, e, capacity)
+    if getattr(moe, "ep_count_drops", False):
+        jax.experimental.io_callback(_accum_dropped, None, dropped,
+                                     ordered=False)
 
     def dense(w):
         # Quantized expert stacks dequant per-expert (elementwise over the

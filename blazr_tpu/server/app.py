@@ -296,6 +296,9 @@ async def metrics_handler(request: web.Request) -> web.Response:
         if dispatches:
             state.metrics.horizon_steps_per_dispatch.set(
                 getattr(inner, "horizon_steps", 0) / dispatches)
+        from ..parallel.ep import DROPPED_TOKENS
+
+        state.metrics.moe_tokens_dropped.set(DROPPED_TOKENS["count"])
     return web.Response(body=state.metrics.render(),
                         content_type="text/plain", charset="utf-8")
 

@@ -31,10 +31,12 @@ def _moe_params(rng, e=8, h=32, inter=64):
 def test_dispatch_shapes_and_weights(rng):
     idx = jnp.asarray([[0, 1], [1, 2], [1, 0]])
     w = jnp.asarray([[0.6, 0.4], [0.9, 0.1], [0.5, 0.5]])
-    dispatch, combine = make_dispatch(idx, w, num_experts=4, capacity=2)
+    dispatch, combine, dropped = make_dispatch(idx, w, num_experts=4,
+                                               capacity=2)
     assert dispatch.shape == (3, 4, 2)
     # expert 1 got tokens 0,1,2 → capacity 2 keeps tokens 0 and 1
     assert float(dispatch[:, 1].sum()) == 2.0
+    assert int(dropped) == 1
     # combine weights carried through
     assert float(combine[0, 0].sum()) == pytest.approx(0.6)
 
@@ -120,3 +122,51 @@ def test_ring_attention_jits_under_mesh(rng):
     ref = reference_causal_attention(q, q, q)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_ep_adversarial_imbalance(rng):
+    """Hot-expert workload (VERDICT r2 #8): with EVERY token routed to one
+    expert, ample capacity still matches dense exactly; tight capacity
+    drops the overflow with documented semantics (first-arrival kept,
+    dropped tokens contribute zero) and surfaces the count."""
+    from blazr_tpu.parallel import ep as ep_mod
+
+    e, h, inter, tokens = 8, 32, 64, 24
+    moe = MoeConfig(num_experts=e, experts_per_tok=1, norm_topk_prob=True,
+                    ep_count_drops=True)
+    p = _moe_params(rng, e=e, h=h, inter=inter)
+    # Router forced input-independently: zero logits + a huge selection
+    # bias on expert 0 (a weight pattern alone can flip sign with x).
+    bias = np.zeros((e,), dtype=np.float32)
+    bias[0] = 100.0
+    p = dict(p, router=jnp.zeros((h, e)),
+             correction_bias=jnp.asarray(bias))
+    x = jnp.asarray(rng.standard_normal((1, tokens, h)).astype(np.float32))
+
+    dense = moe_ffn(x, p, moe)
+
+    # Ample capacity: exact parity even at 100% imbalance.
+    ep_mod.DROPPED_TOKENS["count"] = 0
+    full = moe_ffn_ep(x, p, moe, capacity=tokens)
+    np.testing.assert_allclose(np.asarray(full), np.asarray(dense),
+                               rtol=2e-5, atol=2e-5)
+    assert ep_mod.DROPPED_TOKENS["count"] == 0
+
+    # Tight capacity: first 8 arrivals kept (cumsum order), the other 16
+    # dropped — their FFN contribution is exactly zero.
+    ep_mod.DROPPED_TOKENS["count"] = 0
+    cap = 8
+    tight = moe_ffn_ep(x, p, moe, capacity=cap)
+    jax.block_until_ready(tight)
+    got, want = np.asarray(tight)[0], np.asarray(dense)[0]
+    np.testing.assert_allclose(got[:cap], want[:cap], rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(got[cap:], 0.0, atol=1e-6)
+    assert ep_mod.DROPPED_TOKENS["count"] == tokens - cap
+
+    # Default capacity_factor sizing also drops under this workload and
+    # reports it (the engine's /metrics gauge reads the same counter).
+    ep_mod.DROPPED_TOKENS["count"] = 0
+    auto = moe_ffn_ep(x, p, moe)
+    jax.block_until_ready(auto)
+    assert ep_mod.DROPPED_TOKENS["count"] > 0
+    ep_mod.DROPPED_TOKENS["count"] = 0
