@@ -292,30 +292,58 @@ class BatchEngine:
             return jnp.concatenate(cols, axis=1)
 
         # Params as explicit jit args (avoid constant-embedding the weights).
-        @partial(jax.jit, donate_argnums=(1,),
-                 static_argnames=("use_mask", "use_topk"))
-        def prefill_step(params, cache, tokens, positions, slots, block_tables,
-                         seq_lens, last_idx, state_rows, window, sp_packed,
-                         sp_keys, bias_ids, bias_vals, grammar_mask,
-                         use_mask=False, use_topk=False):
-            # First-token sampling is FUSED into the prefill program: one
-            # dispatch and one packed [P, 2(+2K)] fetch cover a whole
-            # prefill group (a separate sample call was an extra dispatch
-            # plus two blocking fetches per sequence).
-            logits, cache = fwd(params, cfg, tokens, cache,
-                                positions, slots, block_tables,
-                                seq_lens, state_rows)
-            last = jnp.take_along_axis(logits, last_idx[:, None, None],
-                                       axis=1)[:, 0, :]
-            sp = unpack_sampling(sp_packed, sp_keys)
-            tok, logprobs = sample_tokens(
-                last, sp, window_tokens=window,
-                logit_bias_ids=bias_ids, logit_bias_vals=bias_vals,
-                grammar_mask=grammar_mask if use_mask else None,
-            )
-            lp = jnp.take_along_axis(logprobs, tok[:, None], axis=1)[:, 0]
-            packed = _pack_row(tok, lp, logprobs, use_topk)
-            return packed, last, cache
+        def make_prefill_step(step_cfg):
+            @partial(jax.jit, donate_argnums=(1,),
+                     static_argnames=("use_mask", "use_topk"))
+            def prefill_step(params, cache, tokens, positions, slots,
+                             block_tables, seq_lens, last_idx, state_rows,
+                             window, sp_packed, sp_keys, bias_ids, bias_vals,
+                             grammar_mask, use_mask=False, use_topk=False):
+                # First-token sampling is FUSED into the prefill program:
+                # one dispatch and one packed [P, 2(+2K)] fetch cover a
+                # whole prefill group (a separate sample call was an extra
+                # dispatch plus two blocking fetches per sequence).
+                logits, cache = fwd(params, step_cfg, tokens, cache,
+                                    positions, slots, block_tables,
+                                    seq_lens, state_rows)
+                last = jnp.take_along_axis(logits, last_idx[:, None, None],
+                                           axis=1)[:, 0, :]
+                sp = unpack_sampling(sp_packed, sp_keys)
+                tok, logprobs = sample_tokens(
+                    last, sp, window_tokens=window,
+                    logit_bias_ids=bias_ids, logit_bias_vals=bias_vals,
+                    grammar_mask=grammar_mask if use_mask else None,
+                )
+                lp = jnp.take_along_axis(logprobs, tok[:, None],
+                                         axis=1)[:, 0]
+                packed = _pack_row(tok, lp, logprobs, use_topk)
+                return packed, last, cache
+            return prefill_step
+
+        prefill_step = make_prefill_step(cfg)
+
+        # Sequence-parallel (ring attention) prefill under continuous
+        # batching (VERDICT r2 #4; green-field SURVEY §5.7): long prompts
+        # starting at position 0 shard the sequence over the mesh's ``sp``
+        # axis — a SEPARATE jit whose closed-over config carries the ring
+        # mesh, writing into the SAME paged cache. Same eligibility as the
+        # single-stream path (executor.py ring_ok): llama family, no
+        # sliding window / softcap / ALiBi, no recurrent state.
+        sp_prefill_step = None
+        self._sp = self.mesh.shape.get("sp", 1) if self.mesh else 1
+        if self._sp > 1 and not self._needs_state_rows:
+            from ..models.paged_multi import resolve_paged_kind
+
+            att = cfg.attention
+            if (resolve_paged_kind(cfg) == "llama" and att is not None
+                    and not att.sliding_window
+                    and not att.use_alibi
+                    and not cfg.attn_logit_softcapping):
+                import copy as _copy
+
+                ring_cfg = _copy.copy(cfg)
+                ring_cfg._sp_ring_mesh = self.mesh
+                sp_prefill_step = make_prefill_step(ring_cfg)
 
         @partial(jax.jit, donate_argnums=(1,),
                  static_argnames=("use_mask", "use_topk"))
@@ -578,6 +606,8 @@ class BatchEngine:
             return call
 
         self._prefill_step = bind(prefill_step)
+        self._sp_prefill_step = (bind(sp_prefill_step)
+                                 if sp_prefill_step is not None else None)
         self._decode_step = bind(decode_step)
         self._horizon_step = bind(horizon_step)
         self._verify_step = bind(verify_step)
@@ -896,6 +926,21 @@ class BatchEngine:
                 self._process_prefill_ssm(seq)
             return
         chunk_cfg = self._chunk
+        # Sequence-parallel rows: long whole-prompt prefills ride the
+        # ring-attention program (sequence sharded over ``sp``), one row
+        # per dispatch, UNCHUNKED — sp exists precisely so one pass covers
+        # the prompt that chunking would split.
+        sp_rows: list[Sequence] = []
+        if self._sp_prefill_step is not None:
+            thr = self.app_cfg.inference.sp_prefill_threshold
+            rest = []
+            for seq in seqs:
+                if (seq.prefilled_tokens == 0
+                        and len(seq.prompt_tokens) >= thr):
+                    sp_rows.append(seq)
+                else:
+                    rest.append(seq)
+            seqs = rest
         groups: dict[int, list[Sequence]] = {}
         for seq in seqs:
             remaining = len(seq.prompt_tokens) - seq.prefilled_tokens
@@ -908,6 +953,11 @@ class BatchEngine:
         # (measured 836 ms for 4 groups of [8, 128] on the remote chip,
         # ~2x the device time).
         pending = []
+        for seq in sp_rows:
+            n = len(seq.prompt_tokens)
+            bucket = _next_pow2(n, minimum=max(16, self._sp * 16))
+            pending.append(self._prefill_group(
+                [seq], bucket, n, step=self._sp_prefill_step))
         for bucket in sorted(groups):
             group = groups[bucket]
             for off in range(0, len(group), _PREFILL_GROUP):
@@ -932,9 +982,10 @@ class BatchEngine:
                                top=self._top_row(seq, out[i]))
 
     def _prefill_group(self, group: list[Sequence], bucket: int,
-                       chunk_cfg: int):
+                       chunk_cfg: int, step=None):
         """Dispatch one [P, T] prefill step over same-bucket chunks,
-        first-token sampling fused in; returns the un-fetched outputs."""
+        first-token sampling fused in; returns the un-fetched outputs.
+        ``step`` overrides the compiled program (sp ring-prefill rows)."""
         p2 = _next_pow2(len(group), minimum=1)
         mb = self.max_blocks_per_seq
         toks = np.zeros((p2, bucket), dtype=np.int32)
@@ -982,7 +1033,7 @@ class BatchEngine:
                 else np.ones((1, 1), dtype=bool))
         use_topk = any((s, i) in finishing and s.gen_cfg.logprobs
                        for i, s in enumerate(group))
-        packed, last, self.cache = self._prefill_step(
+        packed, last, self.cache = (step or self._prefill_step)(
             self.cache, jnp.asarray(toks), jnp.asarray(positions),
             jnp.asarray(slots), jnp.asarray(bts), jnp.asarray(seq_lens),
             jnp.asarray(last_idx), jnp.asarray(rows),

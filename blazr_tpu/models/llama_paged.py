@@ -88,6 +88,25 @@ def _paged_attention_block(
 
     cache = write_paged_layer(cache, layer, k, v, slot_mapping)
 
+    ring_mesh = getattr(cfg, "_sp_ring_mesh", None)
+    if ring_mesh is not None and t > 1:
+        # Sequence-parallel prefill under continuous batching: the whole
+        # prompt is one chunk from position 0, so attention is pure
+        # in-chunk causal — ring attention over the ``sp`` axis instead
+        # of the page gather (K/V were still written to their pages above
+        # for the decode steps that follow). The engine only installs
+        # _sp_ring_mesh on its dedicated sp-prefill jit (llama family, no
+        # sliding window / softcap / ALiBi, start_pos == 0). Same design
+        # as the single-stream path (llama.py:82-95).
+        from ..parallel.ring_attention import ring_attention
+        from .layers import repeat_kv
+
+        rep = n_heads // n_kv
+        out = ring_attention(q, repeat_kv(k, rep), repeat_kv(v, rep),
+                             ring_mesh, axis_name="sp")
+        out = out.reshape(b, t, n_heads * head_dim).astype(x.dtype)
+        return linear(out, p["o"], p.get("o_bias")), cache
+
     # Decode fast path: the Pallas paged-attention kernel streams KV blocks
     # directly (no page gather materialization) on TPU.
     if t == 1 and _use_pa_kernel(head_dim, cfg):

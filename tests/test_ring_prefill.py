@@ -96,3 +96,76 @@ def test_sp_tp_combined_mesh(ckpt):
     assert ex._ring_prefill_step is not None
     out = [t.token_id for t in ex.generate(prompt, cfg)]
     assert out == ref
+
+
+# ---------------------------------------------------------------------------
+# SP prefill under CONTINUOUS BATCHING (VERDICT r2 #4): long prompts in the
+# BatchEngine ride the ring-attention program, writing into the paged cache;
+# decode then proceeds against those pages.
+# ---------------------------------------------------------------------------
+
+def _engine(ckpt, **overrides):
+    import asyncio
+
+    from blazr_tpu.engine.batch_engine import BatchEngine
+
+    model, app_cfg = load_model(ckpt, dtype="f32")
+    app_cfg.inference.max_seq_len = 512
+    app_cfg.inference.max_batch_size = 4
+    for k, v in overrides.items():
+        setattr(app_cfg.inference, k, v)
+    return BatchEngine(model, ByteTokenizer(), app_cfg)
+
+
+def _run_engine(eng, prompts, n=8):
+    import asyncio
+
+    async def main():
+        task = asyncio.create_task(eng.run())
+        handles = [eng.submit(list(p),
+                              GenerationConfig(max_tokens=n, temperature=0.0))
+                   for p in prompts]
+
+        async def collect(h):
+            return [tok.token_id async for tok in h.tokens()]
+
+        res = await asyncio.gather(*[
+            asyncio.wait_for(collect(h), timeout=300) for h in handles])
+        eng.stop()
+        await task
+        return res
+
+    return asyncio.run(main())
+
+
+def test_batch_engine_sp_prefill_parity(ckpt):
+    """Long-prompt continuous batching on the sp=4 mesh matches the
+    single-device engine token-for-token; a short prompt in the same
+    batch takes the ordinary grouped-prefill path."""
+    long_p = _prompt(300)
+    short_p = [5, 6, 7, 8]
+    ref = _run_engine(_engine(ckpt), [long_p, short_p])
+
+    eng = _engine(ckpt, sequence_parallel_size=4, sp_prefill_threshold=64)
+    assert eng._sp_prefill_step is not None
+    assert eng.mesh is not None and eng.mesh.shape["sp"] == 4
+    calls = []
+    orig = eng._sp_prefill_step
+    eng._sp_prefill_step = lambda *a, **kw: calls.append(1) or orig(*a, **kw)
+    out = _run_engine(eng, [long_p, short_p])
+    assert len(calls) == 1, "exactly the long prompt rides the sp program"
+    assert out == ref
+
+
+def test_batch_engine_sp_windowed_model_excluded(ckpt):
+    """Sliding-window configs keep the chunked path (ring attention is
+    whole-prompt causal only)."""
+    model, app_cfg = load_model(ckpt, dtype="f32")
+    from blazr_tpu.engine.batch_engine import BatchEngine
+
+    model.cfg.attention.sliding_window = 64
+    app_cfg.inference.max_seq_len = 512
+    app_cfg.inference.sequence_parallel_size = 4
+    eng = BatchEngine(model, ByteTokenizer(), app_cfg)
+    assert eng._sp_prefill_step is None
+    model.cfg.attention.sliding_window = 0
