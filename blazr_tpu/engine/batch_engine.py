@@ -213,6 +213,11 @@ class BatchEngine:
         # Horizon telemetry (/metrics horizon_steps_per_dispatch).
         self.horizon_dispatches = 0
         self.horizon_steps = 0
+        # Wall-time breakdown by phase (seconds; perf["<phase>_n"] counts
+        # calls). Near-zero cost; read by tools/bench_engine_serving.py.
+        from collections import defaultdict
+
+        self.perf: dict[str, float] = defaultdict(float)
 
         # Draft-MODEL speculation under continuous batching (reference
         # speculative.rs driven from the batch engine): the draft keeps
@@ -864,19 +869,27 @@ class BatchEngine:
         empty. Deterministic given engine state — the multi-host lockstep
         driver (distributed/lockstep.py) replays the identical iteration on
         every process so all hosts issue the same SPMD calls."""
+        t0 = time.perf_counter()
         batch = self.scheduler.schedule()
+        self.perf["schedule"] += time.perf_counter() - t0
         if batch.is_empty:
             return False
         if batch.prefill_sequences:
             with tracing_span("prefill", backend="paged",
                               batch=len(batch.prefill_sequences)):
+                t0 = time.perf_counter()
                 await asyncio.to_thread(self._process_prefills,
                                         batch.prefill_sequences)
+                self.perf["prefill"] += time.perf_counter() - t0
+                self.perf["prefill_n"] += 1
         decodes = [s for s in batch.decode_sequences
                    if s.state == SequenceState.RUNNING]
         if decodes:
             with tracing_span("decode", backend="paged", batch=len(decodes)):
+                t0 = time.perf_counter()
                 await asyncio.to_thread(self._process_decode_batch, decodes)
+                self.perf["decode"] += time.perf_counter() - t0
+                self.perf["decode_n"] += 1
         moe_rt = getattr(self.model, "moe_offload_rt", None)
         if moe_rt is not None:
             # Offload-transformed params (installed by the Executor that
@@ -953,6 +966,7 @@ class BatchEngine:
         # (measured 836 ms for 4 groups of [8, 128] on the remote chip,
         # ~2x the device time).
         pending = []
+        t0 = time.perf_counter()
         for seq in sp_rows:
             n = len(seq.prompt_tokens)
             bucket = _next_pow2(n, minimum=max(16, self._sp * 16))
@@ -963,12 +977,17 @@ class BatchEngine:
             for off in range(0, len(group), _PREFILL_GROUP):
                 pending.append(self._prefill_group(
                     group[off:off + _PREFILL_GROUP], bucket, chunk_cfg))
+        t1 = time.perf_counter()
+        self.perf["p_dispatch"] += t1 - t0
         for group, chunks, finishing, packed, last in pending:
             for i, seq in enumerate(group):
                 self.scheduler.prefill_complete(seq.seq_id, chunks[i])
             if not finishing:
                 continue
+            t2 = time.perf_counter()
             out = np.array(self._to_host(packed))          # ONE fetch
+            self.perf["p_fetch"] += time.perf_counter() - t2
+            self.perf["p_fetch_n"] += 1
             lps = out[:, 1].copy().view(np.float32)
             host_rows = [i for seq, i in finishing
                          if seq.seq_id in self._host_states]
@@ -1489,6 +1508,7 @@ class BatchEngine:
                                             dtype=np.int32))
             carry_gs = jnp.asarray(np.zeros((bmax,), dtype=np.int32))
 
+        t0 = time.perf_counter()
         out_dev, tok_f, win_f, gs_f, self.cache = self._horizon_step(
             self.cache, jnp.asarray(itab), jnp.asarray(sp_packed),
             jnp.asarray(sp_keys), jnp.asarray(bias_ids),
@@ -1496,6 +1516,7 @@ class BatchEngine:
             gnext_dev, jnp.asarray(gstate0), jnp.asarray(has_g),
             carry_tok, carry_win, carry_gs, jnp.asarray(fresh),
             use_grammar=g_tables is not None, use_topk=use_topk)
+        self.perf["h_dispatch"] += time.perf_counter() - t0
         self._pipe = {"out": out_dev, "tok": tok_f, "win": win_f,
                       "gs": gs_f, "rows": rows, "t": t_steps,
                       "bmax": bmax, "gkey": gkey, "topk": use_topk}
@@ -1512,7 +1533,11 @@ class BatchEngine:
 
     def _emit_round(self, p: dict) -> None:
         """Fetch a dispatched horizon round and emit its tokens."""
+        t0 = time.perf_counter()
         out = np.array(self._to_host(p["out"]))   # [H, B, 2(+2K)], ONE fetch
+        t1 = time.perf_counter()
+        self.perf["h_fetch"] += t1 - t0
+        self.perf["h_fetch_n"] += 1
         lps_h = out[:, :, 1].copy().view(np.float32)
         for s_i in range(p["t"]):
             for i, seq in enumerate(p["rows"]):
@@ -1521,6 +1546,7 @@ class BatchEngine:
                 self._emit(seq, int(out[s_i, i, 0]),
                            float(lps_h[s_i, i]),
                            top=self._top_row(seq, out[s_i, i]))
+        self.perf["h_emit"] += time.perf_counter() - t1
 
     def _flush_pipe(self) -> None:
         p = self._pipe

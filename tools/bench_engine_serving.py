@@ -124,6 +124,15 @@ async def main():
         print(f"spec drafted {eng.spec_drafted} accepted "
               f"{eng.spec_accepted} "
               f"({100*eng.spec_accepted/eng.spec_drafted:.0f}%)", flush=True)
+    if eng.perf:
+        parts = []
+        for k in sorted(eng.perf):
+            if k.endswith("_n"):
+                continue
+            n = eng.perf.get(k + "_n")
+            parts.append(f"{k}={eng.perf[k]*1e3:.0f}ms"
+                         + (f"/{int(n)}" if n else ""))
+        print("PERF " + "  ".join(parts), flush=True)
 
 asyncio.run(main())
 print("done", flush=True)
