@@ -185,15 +185,23 @@ def _child(name: str) -> None:
     single = fl.bench_decode(batch=1)
     best = dict(single)
     per_batch = {"1": round(single["toks_per_s"], 2)}
+    sweep_notes: dict = {}
     if on_tpu:
-        # B=64 is the HBM ceiling at ctx 1024 (KV ~8.6 GB + 3.8 GB params);
-        # the try/except below degrades gracefully if it doesn't fit.
-        for b in (8, 16, 32, 64):
+        # B=64@ctx1024 is KV ~8.6 GB + 3.8 GB params — near the HBM edge;
+        # failures are LOGGED per batch point (VERDICT r2 #6), and the
+        # B>=64 regime is probed again at smaller ctx to test the
+        # wave-flat-to-B~128 prediction.
+        for b, ctx in ((8, 1024), (16, 1024), (32, 1024), (64, 1024),
+                       (64, 512), (128, 256)):
+            key = str(b) if ctx == 1024 else f"{b}@ctx{ctx}"
+            if ctx != 1024 and str(b) in per_batch:
+                continue                  # full-ctx point worked; skip retry
             try:
-                r = fl.bench_decode(batch=b)
-            except Exception:
-                break
-            per_batch[str(b)] = round(r["toks_per_s"], 2)
+                r = fl.bench_decode(batch=b, ctx=ctx)
+            except Exception as e:
+                sweep_notes[key] = f"{type(e).__name__}: {str(e)[:120]}"
+                continue
+            per_batch[key] = round(r["toks_per_s"], 2)
             if r["toks_per_s"] > best["toks_per_s"]:
                 best = r
         ttft_p50_ms = fl.bench_ttft() * 1e3
@@ -213,6 +221,7 @@ def _child(name: str) -> None:
             single["toks_per_s"] / roofline_b1, 4),
         "ttft_p50_ms": round(ttft_p50_ms, 1),
         "batch_sweep_tok_s": per_batch,
+        **({"batch_sweep_errors": sweep_notes} if sweep_notes else {}),
         "weight_gb": round(fl.weight_bytes / 1e9, 2),
         "note": "single-stream is MXU-wave-bound on this chip "
                 "(int_matmul.py PERF LOG); batched aggregate is the "
@@ -302,11 +311,21 @@ def main() -> None:
         if r.returncode == 0 and line:
             d = json.loads(line)
             if platform == "tpu":
-                # END-TO-END serving numbers through the real BatchEngine
-                # (continuous batching, scheduler, every host overhead) —
-                # best-effort extra fields; the flagship line stands alone
-                # if the serving probe fails or times out.
-                d.update(_serving_probe())
+                # THE HEADLINE IS THE SERVING PATH (VERDICT r2 #1): the
+                # real BatchEngine aggregate — continuous batching,
+                # scheduler, paged KV, every host overhead — with the
+                # model-level numbers kept as supporting fields. Falls
+                # back to the model-level headline if the probe fails.
+                s = _serving_probe()
+                d.update(s)
+                if "serving_agg_tok_s" in s:
+                    d["model_level_metric"] = d["metric"]
+                    d["model_level_tok_s"] = d["value"]
+                    d["metric"] = ("serving_agg_tok_s_mistral7b_awq_int4"
+                                   "_32req_b32")
+                    d["value"] = s["serving_agg_tok_s"]
+                    d["vs_baseline"] = round(
+                        s["serving_agg_tok_s"] / d["roofline_tok_s_b1"], 4)
             print(json.dumps(d))
             return
         err = (r.stderr or r.stdout)[-200:] or f"attempt {name} failed"
