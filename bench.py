@@ -241,8 +241,11 @@ def _serving_probe() -> dict:
     tool = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "tools", "bench_engine_serving.py")
     try:
+        # Budget covers a cold compile of the serving shapes through the
+        # remote tunnel (~25-40 s per program; the probe warms only the
+        # 128-token bucket) plus the run itself.
         r = subprocess.run([sys.executable, tool, "32", "32"],
-                           capture_output=True, text=True, timeout=900)
+                           capture_output=True, text=True, timeout=1800)
     except subprocess.TimeoutExpired:
         return {}
     agg = re.search(r"AGG ([\d.]+) tok/s", r.stdout)

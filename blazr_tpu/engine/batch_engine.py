@@ -636,7 +636,7 @@ class BatchEngine:
             self._to_host = np.asarray
 
     # ------------------------------------------------------------------
-    def warmup(self) -> float:
+    def warmup(self, t_buckets: Optional[list[int]] = None) -> float:
         """Pre-compile EVERY serve-time shape: the full prefill grid
         (pow-2 group sizes × pow-2 token buckets up to the chunk), every
         pow-2 decode bucket, the horizon program, and speculative
@@ -647,7 +647,11 @@ class BatchEngine:
         a cold compile is minutes through the remote link; one mid-burst
         prefill compile measured a 23 s TTFT p50 where warm steady-state
         is ~100 ms. The persistent compilation cache makes this a
-        once-per-machine cost."""
+        once-per-machine cost.
+
+        ``t_buckets`` restricts the prefill grid to the given pow-2 token
+        buckets (benchmarks with a known prompt length warm only their
+        own shapes)."""
         t0 = time.time()
         chunk = min(_next_pow2(self._chunk), _next_pow2(self.max_seq_len))
         mb = self.max_blocks_per_seq
@@ -662,11 +666,12 @@ class BatchEngine:
             while p <= _PREFILL_GROUP:
                 p_values.append(p)
                 p *= 2
-        t_buckets = []
-        t = 16
-        while t <= chunk:
-            t_buckets.append(t)
-            t *= 2
+        if t_buckets is None:
+            t_buckets = []
+            t = 16
+            while t <= chunk:
+                t_buckets.append(t)
+                t *= 2
         for t in t_buckets:
             # Grouped bursts of very long chunks are rare; warming every
             # p at t > 1024 would dominate warmup wall time (a [8, 4096]
