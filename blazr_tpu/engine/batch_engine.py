@@ -63,10 +63,44 @@ TOPK_K = 20
 # Packed decode-table (itab) column layout — shared by decode_step,
 # horizon_step, warmup, and the host-side batch builders:
 #   0 token | 1 position | 2 slot | 3 seq_len | 4 state_row |
-#   _ITAB_WIN penalty window | _ITAB_BT.. block table
+#   _ITAB_WIN penalty window | _ITAB_BT.. block table (mb cols) |
+# then the per-row sampling/config tail (appended so ONE int32 upload
+# carries the whole step — on the remote-tunnel link every extra
+# host→device array is a blocking ~15 ms round-trip, measured PERF r3:
+# ~12 uploads cost 165 ms of the 264 ms decode round):
+#   _M_SP sampling f32 bits (8) | _M_KEYS (seed, step) (2) |
+#   _M_BIAS bias ids (16) | _M_BIASV bias f32 bits (16) |
+#   _M_GST grammar state | _M_HASG | _M_FRESH | _M_T t_steps (row 0)
 _ITAB_WIN_START = 5
 _ITAB_BT = _ITAB_WIN_START + 64          # == 5 + PENALTY_WINDOW
 _ITAB_WIN = slice(_ITAB_WIN_START, _ITAB_BT)
+_BIAS_W = 16                             # make_bias_rows fixed width
+
+
+def _mtab_offsets(mb: int) -> dict:
+    """Column offsets of the sampling/config tail appended after the
+    [mb]-wide block table."""
+    sp = _ITAB_BT + mb
+    keys = sp + 8
+    bias = keys + 2
+    biasv = bias + _BIAS_W
+    gst = biasv + _BIAS_W
+    hasg = gst + 1
+    fresh = hasg + 1
+    t = fresh + 1
+    return {"sp": sp, "keys": keys, "bias": bias, "biasv": biasv,
+            "gst": gst, "hasg": hasg, "fresh": fresh, "t": t, "w": t + 1}
+
+
+def _ptab_offsets(mb: int) -> dict:
+    """Prefill metadata table: 0 start | 1 chunk_len | 2 state_row |
+    3.. penalty window (64) | block table (mb) | sampling tail (8+2+32).
+    Positions / slots / seq_lens / last_idx all derive in-jit from
+    (start, chunk_len, block table) — they were 5 of the 11 per-group
+    uploads."""
+    bt = 3 + 64
+    sp = bt + mb
+    return {"win": 3, "bt": bt, "sp": sp, "w": sp + 10 + 2 * _BIAS_W}
 
 
 def _next_pow2(n: int, minimum: int = 16) -> int:
@@ -282,6 +316,24 @@ class BatchEngine:
 
         cfg = model.cfg
         fwd = self._fwd
+        mo = _mtab_offsets(self.max_blocks_per_seq)
+        self._mo = mo
+        po = _ptab_offsets(self.max_blocks_per_seq)
+        self._po = po
+
+        def unpack_tail(tab, off):
+            """In-jit unpack of the sampling/config tail at column ``off``
+            (see _mtab_offsets): sampling f32 bits, (seed, step) keys,
+            logit-bias ids/values."""
+            sp_packed = jax.lax.bitcast_convert_type(
+                tab[:, off : off + 8], jnp.float32)
+            sp_keys = jax.lax.bitcast_convert_type(
+                tab[:, off + 8 : off + 10], jnp.uint32)
+            bias_ids = tab[:, off + 10 : off + 10 + _BIAS_W]
+            bias_vals = jax.lax.bitcast_convert_type(
+                tab[:, off + 10 + _BIAS_W : off + 10 + 2 * _BIAS_W],
+                jnp.float32)
+            return sp_packed, sp_keys, bias_ids, bias_vals
 
         def _pack_row(tok, lp, logprobs, use_topk):
             """[B, 2] (token, lp-bits) — or [B, 2+2K] with the top-K
@@ -296,23 +348,55 @@ class BatchEngine:
                          jax.lax.bitcast_convert_type(top_lp, jnp.int32)]
             return jnp.concatenate(cols, axis=1)
 
+        block_size = self.block_size
+        mb_static = self.max_blocks_per_seq
+        trash = self._trash
+        max_pos = self.max_seq_len - 1
+
+        def _prefill_derive(ptab, t):
+            """Positions / slots / seq_lens / last_idx from (start,
+            chunk_len, block table) — exactly the host-side math the
+            builders used to upload."""
+            start = ptab[:, 0:1]
+            chunk = ptab[:, 1:2]
+            bt = ptab[:, po["bt"] : po["bt"] + mb_static]
+            p = ptab.shape[0]
+            idx = jax.lax.broadcasted_iota(jnp.int32, (p, t), 1)
+            live = idx < chunk
+            pos = jnp.where(live, start + idx, 0)
+            blk = jnp.take_along_axis(
+                bt, jnp.minimum(pos // block_size, mb_static - 1), axis=1)
+            slots = jnp.where(
+                live & (blk != 0x7FFFFFFF)
+                & (pos < mb_static * block_size),
+                blk * block_size + pos % block_size, trash)
+            seq_lens = (start + chunk)[:, 0]
+            last_idx = jnp.maximum(chunk - 1, 0)[:, 0]
+            return pos, slots, bt, seq_lens, last_idx
+
         # Params as explicit jit args (avoid constant-embedding the weights).
         def make_prefill_step(step_cfg):
             @partial(jax.jit, donate_argnums=(1,),
                      static_argnames=("use_mask", "use_topk"))
-            def prefill_step(params, cache, tokens, positions, slots,
-                             block_tables, seq_lens, last_idx, state_rows,
-                             window, sp_packed, sp_keys, bias_ids, bias_vals,
-                             grammar_mask, use_mask=False, use_topk=False):
+            def prefill_step(params, cache, tokens, ptab, grammar_mask,
+                             use_mask=False, use_topk=False):
                 # First-token sampling is FUSED into the prefill program:
                 # one dispatch and one packed [P, 2(+2K)] fetch cover a
                 # whole prefill group (a separate sample call was an extra
-                # dispatch plus two blocking fetches per sequence).
+                # dispatch plus two blocking fetches per sequence). TWO
+                # uploads per group (tokens + ptab): per-array transfers
+                # are blocking round-trips on the remote link.
+                positions, slots, bts, seq_lens, last_idx = _prefill_derive(
+                    ptab, tokens.shape[1])
+                state_rows = ptab[:, 2]
+                window = ptab[:, po["win"] : po["win"] + 64]
                 logits, cache = fwd(params, step_cfg, tokens, cache,
-                                    positions, slots, block_tables,
+                                    positions, slots, bts,
                                     seq_lens, state_rows)
                 last = jnp.take_along_axis(logits, last_idx[:, None, None],
                                            axis=1)[:, 0, :]
+                sp_packed, sp_keys, bias_ids, bias_vals = unpack_tail(
+                    ptab, po["sp"])
                 sp = unpack_sampling(sp_packed, sp_keys)
                 tok, logprobs = sample_tokens(
                     last, sp, window_tokens=window,
@@ -352,21 +436,23 @@ class BatchEngine:
 
         @partial(jax.jit, donate_argnums=(1,),
                  static_argnames=("use_mask", "use_topk"))
-        def decode_step(params, cache, itab, sp_packed, sp_keys,
-                        bias_ids, bias_vals, grammar_mask, use_mask=False,
+        def decode_step(params, cache, mtab, grammar_mask, use_mask=False,
                         use_topk=False):
-            # ONE packed int32 upload per step instead of seven: columns
-            # 0 token | 1 position | 2 slot | 3 seq_len | 4 state_row |
-            # _ITAB_WIN penalty window | _ITAB_BT: block table. Per-array H2D
-            # transfers are pure dispatch overhead (and dominate step
-            # latency on high-RTT links).
-            tokens = itab[:, 0:1]
-            positions = itab[:, 1:2]
-            slots = itab[:, 2:3]
-            seq_lens = itab[:, 3]
-            state_rows = itab[:, 4]
-            window = itab[:, _ITAB_WIN]
-            block_tables = itab[:, _ITAB_BT:]
+            # ONE packed int32 upload per step: columns 0 token |
+            # 1 position | 2 slot | 3 seq_len | 4 state_row | _ITAB_WIN
+            # penalty window | _ITAB_BT: block table | sampling tail
+            # (_mtab_offsets). Per-array H2D transfers are pure dispatch
+            # overhead (and dominate step latency on high-RTT links —
+            # measured ~15 ms per array through the tunnel).
+            tokens = mtab[:, 0:1]
+            positions = mtab[:, 1:2]
+            slots = mtab[:, 2:3]
+            seq_lens = mtab[:, 3]
+            state_rows = mtab[:, 4]
+            window = mtab[:, _ITAB_WIN]
+            block_tables = mtab[:, _ITAB_BT : _ITAB_BT + mb_static]
+            sp_packed, sp_keys, bias_ids, bias_vals = unpack_tail(
+                mtab, mo["sp"])
             sp = unpack_sampling(sp_packed, sp_keys)
             logits, cache = fwd(params, cfg, tokens, cache,
                                 positions, slots, block_tables,
@@ -382,17 +468,12 @@ class BatchEngine:
             return packed, last, cache
 
         horizon = self._horizon
-        block_size = self.block_size
-        mb_static = self.max_blocks_per_seq
-        trash = self._trash
-        max_pos = self.max_seq_len - 1
 
         @partial(jax.jit, donate_argnums=(1,),
                  static_argnames=("use_grammar", "use_topk"))
-        def horizon_step(params, cache, itab, sp_packed, sp_keys,
-                         bias_ids, bias_vals, t_steps, gmask, gnext,
-                         gstate0, has_g, carry_tok, carry_win, carry_gstate,
-                         fresh, use_grammar=False, use_topk=False):
+        def horizon_step(params, cache, mtab, gmask, gnext,
+                         carry_tok, carry_win, carry_gstate,
+                         use_grammar=False, use_topk=False):
             # Multi-step decode: up to `horizon` decode iterations in ONE
             # device program with ON-DEVICE token feedback (while_loop,
             # dynamic trip count). The host fetches a single packed
@@ -414,15 +495,20 @@ class BatchEngine:
             # output is fetched (the host never needs the tokens to keep
             # the device busy). fresh=True rows (newly prefilled, or after
             # a pipeline flush) read token/window/grammar-state from the
-            # host-built itab instead.
-            b = itab.shape[0]
-            pos0 = itab[:, 1]
-            state_rows = itab[:, 4]
-            tok0 = jnp.where(fresh, itab[:, 0], carry_tok)
-            window0 = jnp.where(fresh[:, None], itab[:, _ITAB_WIN],
+            # host-built mtab instead.
+            b = mtab.shape[0]
+            pos0 = mtab[:, 1]
+            state_rows = mtab[:, 4]
+            fresh = mtab[:, mo["fresh"]] != 0
+            has_g = mtab[:, mo["hasg"]] != 0
+            t_steps = mtab[0, mo["t"]]
+            tok0 = jnp.where(fresh, mtab[:, 0], carry_tok)
+            window0 = jnp.where(fresh[:, None], mtab[:, _ITAB_WIN],
                                 carry_win)
-            gstate0 = jnp.where(fresh, gstate0, carry_gstate)
-            bt = itab[:, _ITAB_BT:]
+            gstate0 = jnp.where(fresh, mtab[:, mo["gst"]], carry_gstate)
+            bt = mtab[:, _ITAB_BT : _ITAB_BT + mb_static]
+            sp_packed, sp_keys, bias_ids, bias_vals = unpack_tail(
+                mtab, mo["sp"])
             rln = jnp.minimum(sp_packed[:, 7].astype(jnp.int32),
                               window0.shape[1])
             sp_base = unpack_sampling(sp_packed, sp_keys)
@@ -493,11 +579,15 @@ class BatchEngine:
             spec_k = self._spec_k
 
             @partial(jax.jit, donate_argnums=(1,))
-            def draft_chain(d_params, d_cache, tok0, pos0, bt):
+            def draft_chain(d_params, d_cache, dtab):
                 # k greedy draft steps with ON-DEVICE token feedback —
                 # the whole chain is one dispatch; the host fetches only
                 # the [B, k] proposals. Slots derive from the target's
                 # block tables (the draft cache shares block geometry).
+                # dtab: 0 tok0 | 1 pos0 | 2.. block table — one upload.
+                tok0 = dtab[:, 0]
+                pos0 = dtab[:, 1]
+                bt = dtab[:, 2:]
                 b = tok0.shape[0]
                 rows = jnp.arange(b)
                 zero_rows = jnp.zeros((b,), dtype=jnp.int32)
@@ -522,14 +612,16 @@ class BatchEngine:
                 return jnp.stack(drafts, axis=1), cache
 
             @partial(jax.jit, donate_argnums=(1,))
-            def draft_prefill(d_params, d_cache, tokens, positions, slots,
-                              block_tables, seq_lens):
-                # Mirror of the target prefill: keeps the draft cache in
-                # sync over the same blocks. Logits are discarded.
+            def draft_prefill(d_params, d_cache, tokens, ptab):
+                # Mirror of the target prefill (same ptab, zero re-upload):
+                # keeps the draft cache in sync over the same blocks.
+                # Logits are discarded.
                 b = tokens.shape[0]
                 zero_rows = jnp.zeros((b,), dtype=jnp.int32)
+                positions, slots, bts, seq_lens, _ = _prefill_derive(
+                    ptab, tokens.shape[1])
                 _, d_cache = dfwd(d_params, d_cfg, tokens, d_cache,
-                                  positions, slots, block_tables,
+                                  positions, slots, bts,
                                   seq_lens, zero_rows)
                 return d_cache
 
@@ -577,12 +669,14 @@ class BatchEngine:
             return logits, cache
 
         @partial(jax.jit, static_argnames=("use_mask",))
-        def spec_finish(logits, window, sp_packed, sp_keys, bias_ids,
-                        bias_vals, grammar_mask, use_mask=False):
+        def spec_finish(logits, stab, grammar_mask, use_mask=False):
             # Post-verify fusion: position-0 sampling + the full argmax
             # chain in one program, packed [B, k+3] (argmax…, tok,
             # lp-bits) so the accept loop costs ONE fetch (it was three
-            # plus two eager device ops).
+            # plus two eager device ops). stab = [window 64 | sampling
+            # tail] — one upload.
+            window = stab[:, :64]
+            sp_packed, sp_keys, bias_ids, bias_vals = unpack_tail(stab, 64)
             sp = unpack_sampling(sp_packed, sp_keys)
             last0 = logits[:, 0, :]
             tok, logprobs = sample_tokens(
@@ -635,6 +729,33 @@ class BatchEngine:
         else:
             self._to_host = np.asarray
 
+        # Device-cached constants: the dummy grammar mask/tables and the
+        # fresh-round carry zeros. Re-uploading them every round is a
+        # blocking round-trip apiece on the remote link.
+        self._dummy_mask = jnp.asarray(np.ones((1, 1), dtype=bool))
+        self._gdummy = (jnp.asarray(np.ones((1, 1), dtype=bool)),
+                        jnp.asarray(np.zeros((1, 1), dtype=np.int32)))
+        self._carry_zeros: dict[int, tuple] = {}
+
+    def _carry_zero(self, bmax: int) -> tuple:
+        z = self._carry_zeros.get(bmax)
+        if z is None:
+            z = (jnp.asarray(np.zeros((bmax,), np.int32)),
+                 jnp.asarray(np.full((bmax, 64), PAD_TOKEN, np.int32)),
+                 jnp.asarray(np.zeros((bmax,), np.int32)))
+            self._carry_zeros[bmax] = z
+        return z
+
+    def _fill_tail(self, tab: np.ndarray, off: int, cfgs, steps) -> None:
+        """Host-side fill of the sampling/config tail (see unpack_tail)."""
+        sp, keys = pack_sampling_host(cfgs, step=steps)
+        tab[:, off : off + 8] = sp.view(np.int32)
+        tab[:, off + 8 : off + 10] = keys.view(np.int32)
+        ids, vals = make_bias_rows(cfgs)
+        tab[:, off + 10 : off + 10 + _BIAS_W] = ids
+        tab[:, off + 10 + _BIAS_W : off + 10 + 2 * _BIAS_W] = \
+            vals.view(np.int32)
+
     # ------------------------------------------------------------------
     def warmup(self, t_buckets: Optional[list[int]] = None) -> float:
         """Pre-compile EVERY serve-time shape: the full prefill grid
@@ -678,73 +799,51 @@ class BatchEngine:
             # prefill executes 32k tokens). One runtime compile for that
             # corner beats minutes of warmup for everyone.
             for p in (p_values if t <= 1024 else p_values[:1]):
-                rows = np.zeros((p,), dtype=np.int32)
+                cfgs_p = [GenerationConfig() for _ in range(p)]
+                toks = np.zeros((p, t), dtype=np.int32)
+                ptab = np.zeros((p, self._po["w"]), dtype=np.int32)
+                ptab[:, 1] = t                    # chunk_len
                 if self._needs_state_rows:
                     # SSM prefill uses exact pow-2 sub-chunks — same shapes.
-                    rows[:] = self.max_batch
-                toks = np.zeros((p, t), dtype=np.int32)
-                positions = np.zeros((p, t), dtype=np.int32)
-                slots = np.full((p, t), self._trash, dtype=np.int32)
-                bt = np.full((p, mb), 0x7FFFFFFF, dtype=np.int32)
-                seq_lens = np.full((p,), t, dtype=np.int32)
-                cfgs_p = [GenerationConfig() for _ in range(p)]
-                sp_p, keys_p = pack_sampling_host(cfgs_p, step=0)
-                bias_p = make_bias_rows(cfgs_p)
-                win_p = np.full((p, 64), PAD_TOKEN, dtype=np.int32)
+                    ptab[:, 2] = self.max_batch
+                ptab[:, self._po["win"] : self._po["win"] + 64] = PAD_TOKEN
+                ptab[:, self._po["bt"] : self._po["bt"] + mb] = 0x7FFFFFFF
+                self._fill_tail(ptab, self._po["sp"], cfgs_p, 0)
                 _, _, self.cache = self._prefill_step(
-                    self.cache, jnp.asarray(toks), jnp.asarray(positions),
-                    jnp.asarray(slots), jnp.asarray(bt),
-                    jnp.asarray(seq_lens),
-                    jnp.asarray(np.full((p,), t - 1, dtype=np.int32)),
-                    jnp.asarray(rows), jnp.asarray(win_p),
-                    jnp.asarray(sp_p), jnp.asarray(keys_p),
-                    jnp.asarray(bias_p[0]), jnp.asarray(bias_p[1]),
-                    jnp.asarray(np.ones((1, 1), dtype=bool)),
-                    use_mask=False)
+                    self.cache, jnp.asarray(toks), jnp.asarray(ptab),
+                    self._dummy_mask, use_mask=False)
                 if self._draft is not None:
                     self._draft_cache = self._draft_prefill(
                         self._draft_cache, jnp.asarray(toks),
-                        jnp.asarray(positions), jnp.asarray(slots),
-                        jnp.asarray(bt), jnp.asarray(seq_lens))
+                        jnp.asarray(ptab))
 
         # Decode at every pow-2 batch bucket (and spec verify if enabled).
         b = 1
         while b <= self.max_batch:
             cfgs = [GenerationConfig() for _ in range(b)]
-            sp_packed, sp_keys = pack_sampling_host(cfgs)
-            bias = make_bias_rows(cfgs)
-            itab = np.zeros((b, _ITAB_BT + mb), dtype=np.int32)
-            itab[:, 2] = self._trash
-            itab[:, 4] = self.max_batch
-            itab[:, _ITAB_WIN] = PAD_TOKEN
-            itab[:, _ITAB_BT:] = 0x7FFFFFFF
-            itab[:, 3] = 1
-            mask = jnp.asarray(np.ones((1, 1), dtype=bool))
+            mtab = np.zeros((b, self._mo["w"]), dtype=np.int32)
+            mtab[:, 2] = self._trash
+            mtab[:, 4] = self.max_batch
+            mtab[:, _ITAB_WIN] = PAD_TOKEN
+            mtab[:, _ITAB_BT : _ITAB_BT + mb] = 0x7FFFFFFF
+            mtab[:, 3] = 1
+            mtab[:, self._mo["fresh"]] = 1
+            mtab[0, self._mo["t"]] = 1
+            self._fill_tail(mtab, self._mo["sp"], cfgs, 0)
             tok_dev, _, self.cache = self._decode_step(
-                self.cache, jnp.asarray(itab), jnp.asarray(sp_packed),
-                jnp.asarray(sp_keys), jnp.asarray(bias[0]),
-                jnp.asarray(bias[1]), mask, use_mask=False)
+                self.cache, jnp.asarray(mtab), self._dummy_mask,
+                use_mask=False)
             if self._horizon > 1:
-                zi = jnp.asarray(np.zeros((b,), dtype=np.int32))
+                ct, cw, cg = self._carry_zero(b)
                 out_dev, _, _, _, self.cache = self._horizon_step(
-                    self.cache, jnp.asarray(itab), jnp.asarray(sp_packed),
-                    jnp.asarray(sp_keys), jnp.asarray(bias[0]),
-                    jnp.asarray(bias[1]), np.int32(1),
-                    np.ones((1, 1), dtype=bool),
-                    np.zeros((1, 1), dtype=np.int32),
-                    zi, jnp.asarray(np.zeros((b,), dtype=bool)),
-                    zi, jnp.asarray(np.full((b, 64), PAD_TOKEN,
-                                            dtype=np.int32)),
-                    zi, jnp.asarray(np.ones((b,), dtype=bool)),
-                    use_grammar=False)
+                    self.cache, jnp.asarray(mtab), *self._gdummy,
+                    ct, cw, cg, use_grammar=False)
                 tok_dev = out_dev
             if self._draft is not None:
+                dtab = np.full((b, 2 + mb), 0x7FFFFFFF, dtype=np.int32)
+                dtab[:, :2] = 0
                 _, self._draft_cache = self._draft_chain(
-                    self._draft_cache,
-                    jnp.asarray(np.zeros((b,), dtype=np.int32)),
-                    jnp.asarray(np.zeros((b,), dtype=np.int32)),
-                    jnp.asarray(np.full((b, mb), 0x7FFFFFFF,
-                                        dtype=np.int32)))
+                    self._draft_cache, jnp.asarray(dtab))
             if self._spec_k:
                 k1 = self._spec_k + 1
                 vtab = np.zeros((b, 3 + k1 + mb), dtype=np.int32)
@@ -753,12 +852,11 @@ class BatchEngine:
                 vtab[:, 3 + k1:] = 0x7FFFFFFF
                 lg, self.cache = self._verify_step(
                     self.cache, jnp.asarray(vtab))
+                stab = np.zeros((b, 64 + 10 + 2 * _BIAS_W), dtype=np.int32)
+                stab[:, :64] = PAD_TOKEN
+                self._fill_tail(stab, 64, cfgs, 0)
                 tok_dev, _ = self._spec_finish(
-                    lg, jnp.asarray(itab[:, _ITAB_WIN]),
-                    jnp.asarray(sp_packed), jnp.asarray(sp_keys),
-                    jnp.asarray(bias[0]), jnp.asarray(bias[1]),
-                    jnp.asarray(np.ones((1, 1), dtype=bool)),
-                    use_mask=False)
+                    lg, jnp.asarray(stab), self._dummy_mask, use_mask=False)
             b *= 2
         self._to_host(tok_dev)          # one sync: all compiles flushed
         dt = time.time() - t0
@@ -879,12 +977,18 @@ class BatchEngine:
         self.perf["schedule"] += time.perf_counter() - t0
         if batch.is_empty:
             return False
+        # Prefill DISPATCH → decode dispatch+fetch → prefill FETCH: the
+        # prefill programs execute (and their outputs transfer) while the
+        # host runs the decode round — the donated-cache threading keeps
+        # device execution in dispatch order, so the decode round simply
+        # queues behind the prefills it must observe.
+        pending: list = []
         if batch.prefill_sequences:
             with tracing_span("prefill", backend="paged",
                               batch=len(batch.prefill_sequences)):
                 t0 = time.perf_counter()
-                await asyncio.to_thread(self._process_prefills,
-                                        batch.prefill_sequences)
+                pending = await asyncio.to_thread(self._dispatch_prefills,
+                                                  batch.prefill_sequences)
                 self.perf["prefill"] += time.perf_counter() - t0
                 self.perf["prefill_n"] += 1
         decodes = [s for s in batch.decode_sequences
@@ -895,6 +999,10 @@ class BatchEngine:
                 await asyncio.to_thread(self._process_decode_batch, decodes)
                 self.perf["decode"] += time.perf_counter() - t0
                 self.perf["decode_n"] += 1
+        if pending:
+            t0 = time.perf_counter()
+            await asyncio.to_thread(self._finish_prefills, pending)
+            self.perf["p_finish"] += time.perf_counter() - t0
         moe_rt = getattr(self.model, "moe_offload_rt", None)
         if moe_rt is not None:
             # Offload-transformed params (installed by the Executor that
@@ -930,9 +1038,16 @@ class BatchEngine:
 
     # ------------------------------------------------------------------
     def _process_prefills(self, seqs: list[Sequence]) -> None:
-        """Run this step's prefill chunks, batching same-bucket chunks
-        into ONE [P ≤ 8, T] step, then sample every finishing sequence's
-        first token in ONE fused call with a single fetch.
+        """Dispatch + finish in one call (non-overlapped path)."""
+        pending = self._dispatch_prefills(seqs)
+        if pending:
+            self._finish_prefills(pending)
+
+    def _dispatch_prefills(self, seqs: list[Sequence]) -> list:
+        """Dispatch this step's prefill chunks, batching same-bucket
+        chunks into ONE [P ≤ 8, T] step; first-token sampling is fused
+        into each program. Returns the un-fetched outputs so the fetch
+        (+ emit) can overlap this step's decode dispatch.
 
         Per-sequence prefill was a dispatch plus two blocking fetches
         each; with 64 concurrent 128-token prompts that serialized to a
@@ -942,7 +1057,7 @@ class BatchEngine:
         if self._needs_state_rows:
             for seq in seqs:
                 self._process_prefill_ssm(seq)
-            return
+            return []
         chunk_cfg = self._chunk
         # Sequence-parallel rows: long whole-prompt prefills ride the
         # ring-attention program (sequence sharded over ``sp``), one row
@@ -984,6 +1099,10 @@ class BatchEngine:
                     group[off:off + _PREFILL_GROUP], bucket, chunk_cfg))
         t1 = time.perf_counter()
         self.perf["p_dispatch"] += t1 - t0
+        return pending
+
+    def _finish_prefills(self, pending: list) -> None:
+        """Fetch dispatched prefill outputs and emit first tokens."""
         for group, chunks, finishing, packed, last in pending:
             for i, seq in enumerate(group):
                 self.scheduler.prefill_complete(seq.seq_id, chunks[i])
@@ -1012,14 +1131,12 @@ class BatchEngine:
         ``step`` overrides the compiled program (sp ring-prefill rows)."""
         p2 = _next_pow2(len(group), minimum=1)
         mb = self.max_blocks_per_seq
+        po = self._po
         toks = np.zeros((p2, bucket), dtype=np.int32)
-        positions = np.zeros((p2, bucket), dtype=np.int32)
-        slots = np.full((p2, bucket), self._trash, dtype=np.int32)
-        bts = np.full((p2, mb), 0x7FFFFFFF, dtype=np.int32)
-        seq_lens = np.ones((p2,), dtype=np.int32)
-        last_idx = np.zeros((p2,), dtype=np.int32)
-        rows = np.zeros((p2,), dtype=np.int32)
-        windows = np.full((p2, 64), PAD_TOKEN, dtype=np.int32)
+        ptab = np.zeros((p2, po["w"]), dtype=np.int32)
+        ptab[:, 1] = 1                     # pad rows: chunk_len 1
+        ptab[:, po["win"] : po["win"] + 64] = PAD_TOKEN
+        ptab[:, po["bt"] : po["bt"] + mb] = 0x7FFFFFFF
         finishing: list[tuple[Sequence, int]] = []
         chunks: list[int] = []
         cfgs: list[GenerationConfig] = []
@@ -1032,15 +1149,12 @@ class BatchEngine:
             piece = prompt[start : start + chunk]
             chunks.append(len(piece))
             toks[i, : len(piece)] = piece
-            positions[i, : len(piece)] = np.arange(start, start + len(piece))
-            slots[i, : len(piece)] = compute_slot_mapping(
-                seq.block_table, start, len(piece), self.block_size,
-                self._trash)
-            bts[i] = pad_block_table(seq.block_table, mb)
-            seq_lens[i] = start + len(piece)
-            last_idx[i] = len(piece) - 1
-            windows[i] = make_window(self._windows[seq.seq_id],
-                                     seq.gen_cfg.repeat_last_n)
+            ptab[i, 0] = start
+            ptab[i, 1] = len(piece)
+            ptab[i, po["bt"] : po["bt"] + mb] = pad_block_table(
+                seq.block_table, mb)
+            ptab[i, po["win"] : po["win"] + 64] = make_window(
+                self._windows[seq.seq_id], seq.gen_cfg.repeat_last_n)
             cfgs.append(seq.gen_cfg)
             if start + chunk >= len(prompt):
                 finishing.append((seq, i))
@@ -1051,27 +1165,23 @@ class BatchEngine:
         for _ in range(len(group), p2):
             cfgs.append(GenerationConfig())
             ids.append(-1)
-        sp_packed, sp_keys = pack_sampling_host(cfgs, step=0)
-        bias_ids, bias_vals = make_bias_rows(cfgs)
-        mask = (self._grammar_mask(ids, p2) if any_mask
-                else np.ones((1, 1), dtype=bool))
+        self._fill_tail(ptab, po["sp"], cfgs, 0)
+        mask = (jnp.asarray(self._grammar_mask(ids, p2)) if any_mask
+                else self._dummy_mask)
         use_topk = any((s, i) in finishing and s.gen_cfg.logprobs
                        for i, s in enumerate(group))
+        toks_dev = jnp.asarray(toks)
+        ptab_dev = jnp.asarray(ptab)
         packed, last, self.cache = (step or self._prefill_step)(
-            self.cache, jnp.asarray(toks), jnp.asarray(positions),
-            jnp.asarray(slots), jnp.asarray(bts), jnp.asarray(seq_lens),
-            jnp.asarray(last_idx), jnp.asarray(rows),
-            jnp.asarray(windows), jnp.asarray(sp_packed),
-            jnp.asarray(sp_keys), jnp.asarray(bias_ids),
-            jnp.asarray(bias_vals), jnp.asarray(mask), use_mask=any_mask,
+            self.cache, toks_dev, ptab_dev, mask, use_mask=any_mask,
             use_topk=use_topk,
         )
         if self._draft is not None:
             # Keep the draft cache in sync over the same blocks (its
-            # chain attends the full history when proposing tokens).
+            # chain attends the full history when proposing tokens);
+            # reuses the already-uploaded tokens/ptab.
             self._draft_cache = self._draft_prefill(
-                self._draft_cache, jnp.asarray(toks), jnp.asarray(positions),
-                jnp.asarray(slots), jnp.asarray(bts), jnp.asarray(seq_lens))
+                self._draft_cache, toks_dev, ptab_dev)
         return group, chunks, finishing, packed, last
 
     def _process_prefill_ssm(self, seq: Sequence) -> None:
@@ -1087,21 +1197,24 @@ class BatchEngine:
         piece = prompt[start : start + chunk]
         is_last = start + chunk >= len(prompt)
 
-        rows = np.zeros((1,), dtype=np.int32)
-        rows[0] = self._row_for(seq.seq_id)
+        row = self._row_for(seq.seq_id)
         if start == 0:
             # Fresh admission or preemption restart: recurrent state
             # must start from zero.
-            self.cache = zero_state_rows(self.cache, int(rows[0]))
+            self.cache = zero_state_rows(self.cache, int(row))
 
-        bt = pad_block_table(seq.block_table, self.max_blocks_per_seq)[None, :]
-        window = make_window(self._windows[seq.seq_id],
-                             seq.gen_cfg.repeat_last_n)[None, :]
-        sp_packed, sp_keys = pack_sampling_host([seq.gen_cfg], step=0)
-        bias_ids, bias_vals = make_bias_rows([seq.gen_cfg])
+        po = self._po
+        mb = self.max_blocks_per_seq
+        ptab0 = np.zeros((1, po["w"]), dtype=np.int32)
+        ptab0[0, 2] = row
+        ptab0[0, po["win"] : po["win"] + 64] = make_window(
+            self._windows[seq.seq_id], seq.gen_cfg.repeat_last_n)
+        ptab0[0, po["bt"] : po["bt"] + mb] = pad_block_table(
+            seq.block_table, mb)
+        self._fill_tail(ptab0, po["sp"], [seq.gen_cfg], 0)
         any_mask = seq.seq_id in self._grammars
-        mask = (self._grammar_mask([seq.seq_id]) if any_mask
-                else np.ones((1, 1), dtype=bool))
+        mask = (jnp.asarray(self._grammar_mask([seq.seq_id])) if any_mask
+                else self._dummy_mask)
         sub_start = start
         packed = last = None
         while sub_start < start + len(piece):
@@ -1111,21 +1224,12 @@ class BatchEngine:
                 sub *= 2
             sp_ = prompt[sub_start : sub_start + sub]
             toks = np.asarray(sp_, dtype=np.int32)[None, :]
-            positions = np.arange(sub_start, sub_start + sub,
-                                  dtype=np.int32)[None, :]
-            slots = compute_slot_mapping(
-                seq.block_table, sub_start, sub, self.block_size,
-                self._trash)[None, :]
-            seq_lens = np.array([sub_start + sub], dtype=np.int32)
-            last_idx = np.array([sub - 1], dtype=np.int32)
+            ptab = ptab0.copy()
+            ptab[0, 0] = sub_start
+            ptab[0, 1] = sub
             packed, last, self.cache = self._prefill_step(
-                self.cache, jnp.asarray(toks), jnp.asarray(positions),
-                jnp.asarray(slots), jnp.asarray(bt),
-                jnp.asarray(seq_lens), jnp.asarray(last_idx),
-                jnp.asarray(rows), jnp.asarray(window),
-                jnp.asarray(sp_packed), jnp.asarray(sp_keys),
-                jnp.asarray(bias_ids), jnp.asarray(bias_vals),
-                jnp.asarray(mask), use_mask=any_mask,
+                self.cache, jnp.asarray(toks), jnp.asarray(ptab),
+                mask, use_mask=any_mask,
             )
             sub_start += sub
         self.scheduler.prefill_complete(seq.seq_id, len(piece))
@@ -1188,14 +1292,14 @@ class BatchEngine:
 
         device_drafts = None
         if self._draft is not None:
-            # One on-device greedy chain proposes k tokens for every row.
-            tok0 = np.zeros((bmax,), dtype=np.int32)
-            pos0 = np.zeros((bmax,), dtype=np.int32)
-            bts0 = np.full((bmax, self.max_blocks_per_seq), 0x7FFFFFFF,
+            # One on-device greedy chain proposes k tokens for every row
+            # (dtab: tok0 | pos0 | block table — one upload).
+            dtab = np.full((bmax, 2 + self.max_blocks_per_seq), 0x7FFFFFFF,
                            dtype=np.int32)
+            dtab[:, :2] = 0
             for i, seq in enumerate(decodes):
-                tok0[i] = seq.all_tokens[-1]
-                pos0[i] = seq.total_len - 1
+                dtab[i, 0] = seq.all_tokens[-1]
+                dtab[i, 1] = seq.total_len - 1
                 # Blocks for chain writes (pos..pos+k-1) and verify
                 # writes (pos..pos+k); clamped to the context limit so the
                 # table never outgrows max_blocks_per_seq (pad_block_table
@@ -1204,11 +1308,10 @@ class BatchEngine:
                 # (drafts degrade, verification stays exact).
                 self.scheduler._ensure_block_for(
                     seq, min(seq.total_len - 1 + k, self.max_seq_len - 1))
-                bts0[i] = pad_block_table(seq.block_table,
-                                          self.max_blocks_per_seq)
+                dtab[i, 2:] = pad_block_table(seq.block_table,
+                                              self.max_blocks_per_seq)
             d_dev, self._draft_cache = self._draft_chain(
-                self._draft_cache, jnp.asarray(tok0), jnp.asarray(pos0),
-                jnp.asarray(bts0))
+                self._draft_cache, jnp.asarray(dtab))
             device_drafts = np.array(self._to_host(d_dev))
 
         # ONE packed upload (see verify_step's column map): 0 pos0 |
@@ -1218,7 +1321,8 @@ class BatchEngine:
         vtab[:, 1] = 1
         vtab[:, 2] = self.max_batch      # pad rows → state-pool trash row
         vtab[:, 3 + (k + 1):] = 0x7FFFFFFF
-        windows = np.full((bmax, 64), PAD_TOKEN, dtype=np.int32)
+        stab = np.zeros((bmax, 64 + 10 + 2 * _BIAS_W), dtype=np.int32)
+        stab[:, :64] = PAD_TOKEN
         cfgs = []
         drafts: list[list[int]] = []
         any_mask = False
@@ -1246,8 +1350,8 @@ class BatchEngine:
             vtab[i, 3] = history[-1]
             vtab[i, 4 : 4 + len(draft)] = draft
             vtab[i, 3 + (k + 1):] = pad_block_table(seq.block_table, mb)
-            windows[i] = make_window(self._windows[seq.seq_id],
-                                     seq.gen_cfg.repeat_last_n)
+            stab[i, :64] = make_window(self._windows[seq.seq_id],
+                                       seq.gen_cfg.repeat_last_n)
             cfgs.append(seq.gen_cfg)
             any_mask |= seq.seq_id in self._grammars
         for i in range(n, bmax):
@@ -1261,14 +1365,12 @@ class BatchEngine:
         # fused with the argmax chain into ONE packed fetch.
         steps = [s.emitted for s in decodes]
         steps += [0] * (len(cfgs) - len(steps))
-        sp_packed, sp_keys = pack_sampling_host(cfgs, step=steps)
-        mask = (self._grammar_mask([s.seq_id for s in decodes], bmax)
-                if any_mask else np.ones((1, 1), dtype=bool))
-        bias_ids, bias_vals = make_bias_rows(cfgs)
+        self._fill_tail(stab, 64, cfgs, steps)
+        mask = (jnp.asarray(self._grammar_mask(
+                    [s.seq_id for s in decodes], bmax))
+                if any_mask else self._dummy_mask)
         packed_dev, last0_dev = self._spec_finish(
-            logits_dev, jnp.asarray(windows), jnp.asarray(sp_packed),
-            jnp.asarray(sp_keys), jnp.asarray(bias_ids),
-            jnp.asarray(bias_vals), jnp.asarray(mask), use_mask=any_mask)
+            logits_dev, jnp.asarray(stab), mask, use_mask=any_mask)
         out = np.array(self._to_host(packed_dev))     # [B, k+3], ONE fetch
         argmax_np = out[:, : k + 1]
         toks = out[:, k + 1].copy()
@@ -1340,26 +1442,23 @@ class BatchEngine:
         # (its tokens feed this step's itab).
         self._flush_pipe()
         n = len(decodes)
-        mb = self.max_blocks_per_seq
-        itab, cfgs = self._build_itab(
+        mtab, cfgs = self._build_itab(
             [s if i < n else None for i, s in
              enumerate(decodes + [None] * (bmax - n))],
             [0] * bmax)
         steps = [s.emitted for s in decodes]
         steps += [0] * (len(cfgs) - len(steps))
-        sp_packed, sp_keys = pack_sampling_host(cfgs, step=steps)
+        self._fill_tail(mtab, self._mo["sp"], cfgs, steps)
         if any_mask:
-            mask = self._grammar_mask([s.seq_id for s in decodes], bmax)
+            mask = jnp.asarray(
+                self._grammar_mask([s.seq_id for s in decodes], bmax))
         else:
-            # mask is unused under use_mask=False — upload one byte, not
-            # a [B, vocab] plane.
-            mask = np.ones((1, 1), dtype=bool)
-        bias_ids, bias_vals = make_bias_rows(cfgs)
+            # mask is unused under use_mask=False — the cached one-byte
+            # dummy, zero upload.
+            mask = self._dummy_mask
         use_topk = any(s.gen_cfg.logprobs for s in decodes)
         packed_dev, last_dev, self.cache = self._decode_step(
-            self.cache, jnp.asarray(itab), jnp.asarray(sp_packed),
-            jnp.asarray(sp_keys), jnp.asarray(bias_ids),
-            jnp.asarray(bias_vals), jnp.asarray(mask),
+            self.cache, jnp.asarray(mtab), mask,
             use_mask=any_mask, use_topk=use_topk,
         )
         out = np.array(self._to_host(packed_dev))
@@ -1387,11 +1486,11 @@ class BatchEngine:
         device carries instead (fresh=False)."""
         bmax = len(rows)
         mb = self.max_blocks_per_seq
-        itab = np.zeros((bmax, _ITAB_BT + mb), dtype=np.int32)
+        itab = np.zeros((bmax, self._mo["w"]), dtype=np.int32)
         itab[:, 2] = self._trash
         itab[:, 4] = self.max_batch      # pad rows → state-pool trash row
         itab[:, _ITAB_WIN] = PAD_TOKEN
-        itab[:, _ITAB_BT:] = 0x7FFFFFFF
+        itab[:, _ITAB_BT : _ITAB_BT + mb] = 0x7FFFFFFF
         cfgs: list[GenerationConfig] = []
         for i, seq in enumerate(rows):
             if seq is None:
@@ -1408,7 +1507,8 @@ class BatchEngine:
                 itab[i, 4] = self._row_for(seq.seq_id)
             itab[i, _ITAB_WIN] = make_window(self._windows[seq.seq_id],
                                              seq.gen_cfg.repeat_last_n)
-            itab[i, _ITAB_BT:] = pad_block_table(seq.block_table, mb)
+            itab[i, _ITAB_BT : _ITAB_BT + mb] = pad_block_table(
+                seq.block_table, mb)
             cfgs.append(seq.gen_cfg)
         return itab, cfgs
 
@@ -1483,43 +1583,34 @@ class BatchEngine:
         if not ok:
             t_steps = 1   # fresh round: pos0 is covered by schedule()
 
-        itab, cfgs = self._build_itab(rows, lag)
+        mo = self._mo
+        mtab, cfgs = self._build_itab(rows, lag)
         steps = [s.emitted + lag[i] if s is not None else 0
                  for i, s in enumerate(rows)]
-        sp_packed, sp_keys = pack_sampling_host(cfgs, step=steps)
-        bias_ids, bias_vals = make_bias_rows(cfgs)
+        self._fill_tail(mtab, mo["sp"], cfgs, steps)
+        mtab[:, mo["fresh"]] = fresh
+        mtab[0, mo["t"]] = t_steps
 
         if g_tables is not None:
             gmask_dev, gnext_dev = g_tables
-            gstate0 = np.zeros((bmax,), dtype=np.int32)
-            has_g = np.zeros((bmax,), dtype=bool)
             for i, s in enumerate(rows):
                 g = self._grammars.get(s.seq_id) if s is not None else None
                 if g is not None:
-                    gstate0[i] = g.state
-                    has_g[i] = True
+                    mtab[i, mo["gst"]] = g.state
+                    mtab[i, mo["hasg"]] = 1
         else:
-            gmask_dev = np.ones((1, 1), dtype=bool)
-            gnext_dev = np.zeros((1, 1), dtype=np.int32)
-            gstate0 = np.zeros((bmax,), dtype=np.int32)
-            has_g = np.zeros((bmax,), dtype=bool)
+            gmask_dev, gnext_dev = self._gdummy
 
         if chain:
             carry_tok, carry_win, carry_gs = (prev["tok"], prev["win"],
                                               prev["gs"])
         else:
-            carry_tok = jnp.asarray(np.zeros((bmax,), dtype=np.int32))
-            carry_win = jnp.asarray(np.full((bmax, 64), PAD_TOKEN,
-                                            dtype=np.int32))
-            carry_gs = jnp.asarray(np.zeros((bmax,), dtype=np.int32))
+            carry_tok, carry_win, carry_gs = self._carry_zero(bmax)
 
         t0 = time.perf_counter()
         out_dev, tok_f, win_f, gs_f, self.cache = self._horizon_step(
-            self.cache, jnp.asarray(itab), jnp.asarray(sp_packed),
-            jnp.asarray(sp_keys), jnp.asarray(bias_ids),
-            jnp.asarray(bias_vals), np.int32(t_steps), gmask_dev,
-            gnext_dev, jnp.asarray(gstate0), jnp.asarray(has_g),
-            carry_tok, carry_win, carry_gs, jnp.asarray(fresh),
+            self.cache, jnp.asarray(mtab), gmask_dev, gnext_dev,
+            carry_tok, carry_win, carry_gs,
             use_grammar=g_tables is not None, use_topk=use_topk)
         self.perf["h_dispatch"] += time.perf_counter() - t0
         self._pipe = {"out": out_dev, "tok": tok_f, "win": win_f,
