@@ -401,7 +401,15 @@ def universal_from_hf_config(cfg: dict[str, Any]) -> UniversalConfig:
             n_groups=cfg.get("n_groups", 1),
             conv_kernel=cfg.get("conv_kernel", 4),
             expand=expand,
+            # mamba3 knobs (reference config.rs:51-57; defaults resolved
+            # at use: complex_rope→True, mimo_rank→0, use_conv→False)
+            complex_rope=cfg.get("mamba3_complex_rope",
+                                 cfg.get("complex_rope")),
+            mimo_rank=cfg.get("mamba3_mimo_rank", cfg.get("mimo_rank")),
+            use_conv=cfg.get("mamba3_use_conv", cfg.get("use_conv")),
         )
+        if cfg.get("mamba3_enabled"):
+            ssm.variant = "mamba3"
 
     moe: Optional[MoeConfig] = None
     n_experts = cfg.get("n_routed_experts", cfg.get("num_local_experts", cfg.get("num_experts")))
@@ -434,6 +442,7 @@ def universal_from_hf_config(cfg: dict[str, Any]) -> UniversalConfig:
             "sliding_attention": LAYER_ATTENTION,
             "mamba": LAYER_MAMBA2,
             "mamba2": LAYER_MAMBA2,
+            "mamba3": LAYER_MAMBA2,   # variant carried by ssm.variant
             "recurrent": LAYER_MAMBA2,
         }
         types = [mapping.get(t, LAYER_ATTENTION) for t in cfg["layer_types"]]

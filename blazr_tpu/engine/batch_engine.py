@@ -1616,6 +1616,14 @@ class BatchEngine:
         self._pipe = {"out": out_dev, "tok": tok_f, "win": win_f,
                       "gs": gs_f, "rows": rows, "t": t_steps,
                       "bmax": bmax, "gkey": gkey, "topk": use_topk}
+        try:
+            # Queue the D2H transfer NOW: it starts the moment the round
+            # completes on device, overlapping the next round's dispatch +
+            # host work instead of paying transfer latency inside the
+            # blocking fetch one call later.
+            out_dev.copy_to_host_async()
+        except Exception:       # pragma: no cover — backend-optional
+            pass
         self.horizon_dispatches += 1
         self.horizon_steps += t_steps
         if prev is not None:

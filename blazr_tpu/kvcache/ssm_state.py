@@ -41,9 +41,21 @@ def init_ssm_state(cfg: UniversalConfig, batch: int, dtype=jnp.float32,
     assert ssm is not None
     d_inner = ssm.inner_size
     conv_dim = d_inner + 2 * ssm.n_groups * ssm.state_size
+    cols = ssm.conv_kernel - 1
+    if ssm.variant == "mamba3":
+        # MIMO-widened (x|B|C) plus one extra column carrying the previous
+        # token's post-activation (x|B) for the trapezoidal term; the conv
+        # window occupies the leading columns only when use_conv is on
+        # (models/mamba2.py _mamba3_mixer).
+        from ..models.mamba2 import _m3_widths
+
+        _, x_w, b_w, c_w = _m3_widths(ssm)
+        conv_dim = x_w + b_w + c_w
+        use_conv = False if ssm.use_conv is None else bool(ssm.use_conv)
+        cols = (ssm.conv_kernel - 1 if use_conv else 0) + 1
     layers = num_layers if num_layers is not None else cfg.num_layers
     return SSMState(
-        conv=jnp.zeros((layers, batch, conv_dim, ssm.conv_kernel - 1),
+        conv=jnp.zeros((layers, batch, conv_dim, cols),
                        dtype=dtype),
         ssm=jnp.zeros((layers, batch, ssm.num_heads, ssm.head_dim,
                        ssm.state_size), dtype=jnp.float32),

@@ -133,8 +133,13 @@ def test_chunked_scan_matches_associative(rng):
     a = jnp.asarray(-rng.uniform(0.5, 2.0, (H,)), dtype=jnp.float32)
     s0 = jnp.asarray(rng.standard_normal((B, H, HD, N)), dtype=jnp.float32)
 
-    y_ref, s_ref = m._scan_associative(xh, bh, ch, dt, a, s0)
-    y_chk, s_chk = m._scan_chunked(xh, bh, ch, dt, a, s0)
+    # Generalized scan signature: rank axis R=1, dt folded into the B
+    # side, per-step log-decay instead of (dt, a).
+    ldec = dt * a[None, None, :]
+    bw = (bh * dt[..., None])[:, :, :, None, :]
+    xr = xh[:, :, :, None, :]
+    y_ref, s_ref = m._scan_associative(xr, bw, ch, ldec, s0)
+    y_chk, s_chk = m._scan_chunked(xr, bw, ch, ldec, s0)
     np.testing.assert_allclose(np.asarray(y_chk), np.asarray(y_ref),
                                atol=2e-4, rtol=2e-4)
     np.testing.assert_allclose(np.asarray(s_chk), np.asarray(s_ref),
