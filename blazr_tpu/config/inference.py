@@ -80,6 +80,12 @@ class InferenceConfig:
     # B=32). 1 disables. Grammar- and host-sampler rows fall back to
     # single-step rounds automatically.
     decode_horizon: int = 8
+    # Decode pipeline depth: number of dispatched-but-unfetched horizon
+    # rounds kept in flight. Depth D hides (D-1) fetch round-trips behind
+    # later dispatches — the dominant per-round cost on remote-attached
+    # chips. Token delivery lags by (depth-1) rounds; 1 restores
+    # fetch-every-round.
+    decode_pipe_depth: int = 2
 
     # Speculative decoding
     speculative: Optional[SpeculativeDecodingConfig] = None

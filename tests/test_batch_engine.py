@@ -505,6 +505,48 @@ def test_horizon_matches_single_step(model):
     assert single == multi
 
 
+def test_pipe_depth_matches_depth1(model):
+    """Deeper decode pipelines (more dispatched-but-unfetched horizon
+    rounds) must be token-exact vs depth 1 across mixed gen lengths,
+    sampling configs and late joiners (exercises multi-round lag
+    accounting, the all-overrun guard and flush ordering)."""
+    from blazr_tpu.config import AppConfig
+
+    cfgs = [
+        GenerationConfig(max_tokens=11, temperature=0.0),
+        GenerationConfig(max_tokens=3, temperature=0.0),
+        GenerationConfig(max_tokens=9, temperature=0.8, seed=11, top_p=0.9),
+        GenerationConfig(max_tokens=6, temperature=0.0, repeat_penalty=1.3,
+                         repeat_last_n=4),
+    ]
+    prompts = [[1, 2, 3], [9, 8, 7, 6], [5, 5, 5], [100, 101]]
+
+    def run(depth):
+        async def main():
+            app = AppConfig(model=model.cfg)
+            app.inference.max_seq_len = 64
+            app.inference.max_batch_size = 4
+            app.inference.decode_horizon = 4
+            app.inference.decode_pipe_depth = depth
+            eng = BatchEngine(model, ByteTok(), app)
+            task = asyncio.create_task(eng.run())
+            handles = [eng.submit(p, c) for p, c in zip(prompts[:3],
+                                                        cfgs[:3])]
+            await asyncio.sleep(0.05)           # late joiner mid-pipeline
+            handles.append(eng.submit(prompts[3], cfgs[3]))
+            res = await asyncio.gather(*[
+                asyncio.wait_for(_collect(h), timeout=120)
+                for h in handles])
+            eng.stop()
+            await task
+            return res
+        return asyncio.run(main())
+
+    d1 = run(1)
+    assert run(2) == d1
+    assert run(4) == d1
+
+
 def test_horizon_respects_max_tokens(model):
     """max_tokens not divisible by the horizon must still emit exactly
     max_tokens (mid-horizon overrun is discarded)."""
