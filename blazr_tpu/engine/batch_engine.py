@@ -56,7 +56,11 @@ logger = logging.getLogger(__name__)
 
 # Max sequences per batched-prefill step: pow-2 padded, so the compiled
 # shape set stays bounded while bursts amortize the per-step weight stream.
-_PREFILL_GROUP = 8
+# Max same-bucket prefill rows fused into one program. Was 8 when the
+# program materialized [P,T,V] f32 logits; with the pre-head last_idx
+# slice the logits are [P,1,V], so a 32-concurrent burst prefills in ONE
+# dispatch (each dispatch is a blocking round-trip on remote links).
+_PREFILL_GROUP = 32
 # Top-K width of the fused logprobs fetch (the OpenAI top_logprobs cap;
 # rows slice to their requested k host-side).
 TOPK_K = 20
@@ -396,11 +400,13 @@ class BatchEngine:
                     ptab, tokens.shape[1])
                 state_rows = ptab[:, 2]
                 window = ptab[:, po["win"] : po["win"] + 64]
+                # last_idx slices the hidden state before the LM head —
+                # the [P,T,V] f32 logits buffer never materializes, which
+                # is what used to memory-cap prefill group width.
                 logits, cache = fwd(params, step_cfg, tokens, cache,
                                     positions, slots, bts,
-                                    seq_lens, state_rows)
-                last = jnp.take_along_axis(logits, last_idx[:, None, None],
-                                           axis=1)[:, 0, :]
+                                    seq_lens, state_rows, last_idx=last_idx)
+                last = logits[:, 0, :]
                 sp_packed, sp_keys, bias_ids, bias_vals = unpack_tail(
                     ptab, po["sp"])
                 sp = unpack_sampling(sp_packed, sp_keys)

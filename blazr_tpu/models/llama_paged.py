@@ -158,6 +158,7 @@ def forward_paged(
     slot_mapping: jax.Array,      # [B, T]
     block_tables: jax.Array,      # [B, MB]
     seq_lens: jax.Array,          # [B]
+    last_idx: Optional[jax.Array] = None,   # [B] — head on this pos only
 ) -> tuple[jax.Array, PagedKVCache]:
     x = jnp.take(params["embed"], tokens, axis=0)
     if cfg.scale_embeddings:
@@ -224,6 +225,11 @@ def forward_paged(
                                cfg.rms_norm_eps, norm_offset)
         x = x + mlp_out
 
+    if last_idx is not None:
+        # Prefill only needs the last position's logits: slice the hidden
+        # state BEFORE the head so the [B,T,V] f32 logits buffer (the
+        # reason prefill groups were memory-capped) never materializes.
+        x = jnp.take_along_axis(x, last_idx[:, None, None], axis=1)
     if ln:
         x = layer_norm(x, params["final_norm"], params.get("final_norm_bias"),
                        cfg.rms_norm_eps)

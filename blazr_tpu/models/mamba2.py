@@ -433,8 +433,9 @@ def forward(
     state: SSMState,
     positions: jax.Array,              # unused (O(1) state) — API parity
     seq_lens: Optional[jax.Array] = None,
+    last_idx: Optional[jax.Array] = None,   # [B] — head on this pos only
 ) -> tuple[jax.Array, SSMState]:
-    """Mamba2 LM forward (reference forward_with_ssm_state)."""
+    """Mamba2/Mamba3 LM forward (reference forward_with_ssm_state)."""
     x = jnp.take(params["embed"], tokens, axis=0)
     for i, p in enumerate(params["layers"]):
         h = rms_norm(x, p["input_norm"], cfg.rms_norm_eps)
@@ -442,6 +443,9 @@ def forward(
         x = x + out
     state = SSMState(conv=state.conv, ssm=state.ssm,
                      length=state.length + tokens.shape[1])
+    if last_idx is not None:
+        # prefill head slice (see llama_paged.forward_paged)
+        x = jnp.take_along_axis(x, last_idx[:, None, None], axis=1)
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
     lm_head = params.get("lm_head")
     if lm_head is None:

@@ -214,7 +214,7 @@ def _paged_mla_block(p, cfg, x, cache: PagedMLACache, layer, positions,
 
 def mla_forward_paged(params, cfg, tokens, cache: PagedMLACache, positions,
                       slot_mapping, block_tables, seq_lens,
-                      state_rows=None):
+                      state_rows=None, last_idx=None):
     from .moe import moe_ffn
 
     x = jnp.take(params["embed"], tokens, axis=0)
@@ -234,6 +234,9 @@ def mla_forward_paged(params, cfg, tokens, cache: PagedMLACache, positions,
         else:
             x = x + swiglu_mlp(h, p["gate"], p["up"], p["down"])
 
+    if last_idx is not None:
+        # head on the last position only (see llama_paged.forward_paged)
+        x = jnp.take_along_axis(x, last_idx[:, None, None], axis=1)
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
     lm_head = params.get("lm_head")
     if lm_head is None:
@@ -281,14 +284,15 @@ def _scatter_rows(pool: SSMState, batch_state: SSMState,
 
 def mamba2_forward_slots(params, cfg, tokens, pool: SSMState, positions,
                          slot_mapping, block_tables, seq_lens,
-                         state_rows=None):
+                         state_rows=None, last_idx=None):
     """Pure-Mamba2 batch step over state slots (pages unused — O(1) state,
     reference executor_generate.rs:123-181 forward_with_ssm_state)."""
     from . import mamba2
 
     batch_state = _gather_rows(pool, state_rows)
     logits, batch_state = mamba2.forward(params, cfg, tokens, batch_state,
-                                         positions, seq_lens)
+                                         positions, seq_lens,
+                                         last_idx=last_idx)
     return logits, _scatter_rows(pool, batch_state, state_rows)
 
 
@@ -334,7 +338,7 @@ def init_hybrid_paged_state(cfg: UniversalConfig, num_blocks: int,
 
 def hybrid_forward_paged(params, cfg, tokens, state: HybridPagedState,
                          positions, slot_mapping, block_tables, seq_lens,
-                         state_rows=None):
+                         state_rows=None, last_idx=None):
     from ..models.llama_paged import _paged_attention_block
     from .mamba2 import mamba2_block
 
@@ -385,6 +389,9 @@ def hybrid_forward_paged(params, cfg, tokens, state: HybridPagedState,
 
     ssm = SSMState(conv=ssm.conv, ssm=ssm.ssm,
                    length=ssm.length + tokens.shape[1])
+    if last_idx is not None:
+        # head on the last position only (see llama_paged.forward_paged)
+        x = jnp.take_along_axis(x, last_idx[:, None, None], axis=1)
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
     lm_head = params.get("lm_head")
     if lm_head is None:
@@ -408,9 +415,9 @@ def make_paged_forward(cfg: UniversalConfig):
         from .llama_paged import forward_paged
 
         def fwd(params, cfg, tokens, cache, positions, slots, bts, seq_lens,
-                state_rows=None):
+                state_rows=None, last_idx=None):
             return forward_paged(params, cfg, tokens, cache, positions,
-                                 slots, bts, seq_lens)
+                                 slots, bts, seq_lens, last_idx=last_idx)
         return fwd
     if kind == "mla":
         return mla_forward_paged

@@ -587,3 +587,14 @@ def quant_matmul_pallas(x: jax.Array, qt: QuantTensor) -> jax.Array:
 #   (10.8x the B=1 HBM roofline; 62% of linear at B=32). The r1 batched
 #   anomaly (B=8 only 2.8x) was the repeat_kv materialization in
 #   attention — the grouped-GQA einsum fixed it. TTFT p50 56.5 ms warm.
+# ROUND-3 WAVE-FLAT VALIDATION (bench.py sweep, same chip, 2026-08-19):
+#   B=64 @ ctx512: 3549.6 tok/s aggregate — 1.80x the B=32 point, i.e.
+#   per-step wall is still ~flat in B well past 32 rows, exactly the
+#   MXU-wave prediction (output-row waves pad to 128; extra rows ride the
+#   same waves). B=64@ctx1024 and B=128@ctx256 failed in the REMOTE
+#   COMPILE helper (HTTP 500, logged in batch_sweep_errors) — an
+#   infrastructure cap, not a chip limit; B>=64 serving should target
+#   ctx<=512 KV budgets until the compile path handles the bigger
+#   allocations. The B>32 regime is therefore EXPLOITABLE: the serving
+#   engine's max_batch default stays 32 only for KV-memory headroom at
+#   ctx 1024.

@@ -50,6 +50,9 @@ app.inference.prefill_chunk_size = 512
 horizon = _flag("horizon")
 if horizon:
     app.inference.decode_horizon = int(horizon)
+depth = _flag("depth")
+if depth:
+    app.inference.decode_pipe_depth = int(depth)
 spec_k = _flag("spec")
 draft = None
 if _flag("draft") or spec_k:
