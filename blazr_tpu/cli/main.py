@@ -509,9 +509,12 @@ def cmd_serve(args) -> int:
 
         try:
             ex = scheduler.get_executor("default")
-        except FileNotFoundError:
-            print("error: --continuous-batching requires a resolvable "
-                  "default model (none found at startup)", file=sys.stderr)
+        except FileNotFoundError as e:
+            # Distinguish "no model dir" from a model dir whose load
+            # failed on a missing artifact (e.g. no tokenizer files —
+            # the error already names the expected ones).
+            print("error: --continuous-batching requires a loadable "
+                  f"default model: {e}", file=sys.stderr)
             return 2
         ex.app_cfg.inference.max_batch_size = args.max_batch_size
         ex.app_cfg.inference.prefix_cache = True

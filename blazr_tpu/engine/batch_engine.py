@@ -723,6 +723,12 @@ class BatchEngine:
         self._horizon_step = bind(horizon_step)
         self._verify_step = bind(verify_step)
         self._spec_finish = bind(spec_finish, with_params=False)
+        # Raw jitted fns for retrace detection (tests assert that serving
+        # after warmup() never grows these tracing caches — a retrace is
+        # seconds of serve-time stall on the real chip).
+        self._jit_fns = {"prefill": prefill_step, "decode": decode_step,
+                         "horizon": horizon_step, "verify": verify_step,
+                         "spec_finish": spec_finish}
 
         # Host fetch across a MULTI-PROCESS mesh: a jit output that spans
         # non-addressable devices can't be np.asarray'd directly — route
@@ -821,9 +827,16 @@ class BatchEngine:
                 ptab[:, self._po["win"] : self._po["win"] + 64] = PAD_TOKEN
                 ptab[:, self._po["bt"] : self._po["bt"] + mb] = 0x7FFFFFFF
                 self._fill_tail(ptab, self._po["sp"], cfgs_p, 0)
+                # NOTE every call site passes the FULL static-kwarg set:
+                # jax's tracing cache keys on the kwargs-dict STRUCTURE,
+                # so omitting a default (use_topk) here while serve-time
+                # calls spell it out forces a serve-time RETRACE of the
+                # whole program — measured ~3 s apiece for the 7B prefill
+                # and horizon programs through the remote link, paid on
+                # the first real request after a "complete" warmup.
                 _, _, self.cache = self._prefill_step(
                     self.cache, jnp.asarray(toks), jnp.asarray(ptab),
-                    self._dummy_mask, use_mask=False)
+                    self._dummy_mask, use_mask=False, use_topk=False)
                 if self._draft is not None:
                     self._draft_cache = self._draft_prefill(
                         self._draft_cache, jnp.asarray(toks),
@@ -844,12 +857,12 @@ class BatchEngine:
             self._fill_tail(mtab, self._mo["sp"], cfgs, 0)
             tok_dev, _, self.cache = self._decode_step(
                 self.cache, jnp.asarray(mtab), self._dummy_mask,
-                use_mask=False)
+                use_mask=False, use_topk=False)
             if self._horizon > 1:
                 ct, cw, cg = self._carry_zero(b)
                 out_dev, _, _, _, self.cache = self._horizon_step(
                     self.cache, jnp.asarray(mtab), *self._gdummy,
-                    ct, cw, cg, use_grammar=False)
+                    ct, cw, cg, use_grammar=False, use_topk=False)
                 tok_dev = out_dev
             if self._draft is not None:
                 dtab = np.full((b, 2 + mb), 0x7FFFFFFF, dtype=np.int32)
@@ -1241,7 +1254,7 @@ class BatchEngine:
             ptab[0, 1] = sub
             packed, last, self.cache = self._prefill_step(
                 self.cache, jnp.asarray(toks), jnp.asarray(ptab),
-                mask, use_mask=any_mask,
+                mask, use_mask=any_mask, use_topk=False,
             )
             sub_start += sub
         self.scheduler.prefill_complete(seq.seq_id, len(piece))

@@ -774,6 +774,33 @@ def test_draft_spec_near_context_limit(model):
     assert len(eng.scheduler.running) == 0
 
 
+def test_warmup_covers_serving_traces(model):
+    """Serving after warmup() must NOT retrace any engine program.
+
+    jax's tracing cache keys on the kwargs-dict STRUCTURE, so a warmup
+    call that omits a static kwarg (e.g. ``use_topk``) which serve-time
+    calls spell out is a different cache key — the first real request
+    then retraces the full program (~3 s apiece for 7B prefill/horizon
+    through a remote link, measured round 3)."""
+    async def main():
+        eng = _mk_engine(model)
+        eng.warmup()
+        sizes = {k: f._cache_size() for k, f in eng._jit_fns.items()}
+        task = asyncio.create_task(eng.run())
+        hs = [eng.submit([10 + i, 20, 30, 40], GenerationConfig(
+                  max_tokens=6, temperature=0.0)) for i in range(3)]
+        for h in hs:
+            await asyncio.wait_for(_collect(h), timeout=60)
+        eng.stop()
+        await task
+        return eng, sizes
+
+    eng, sizes = asyncio.run(main())
+    after = {k: f._cache_size() for k, f in eng._jit_fns.items()}
+    grown = {k: (sizes[k], after[k]) for k in sizes if after[k] > sizes[k]}
+    assert not grown, f"serve-time retrace of warmed programs: {grown}"
+
+
 def test_batch_engine_warmup_then_generate(model):
     """warmup() pre-compiles every decode bucket and leaves the engine
     fully functional (cache buffers cycle through donation)."""
