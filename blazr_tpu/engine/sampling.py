@@ -231,22 +231,33 @@ def sample_tokens(
 
     greedy_tokens = jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
-    temp = jnp.maximum(params.temperature, 1e-6)[:, None]
-    scaled = logits / temp
-    scaled = apply_top_k_top_p(scaled, params.top_k, params.top_p)
-    scaled = apply_min_p(scaled, params.min_p)
+    def _sampled_chain(_):
+        temp = jnp.maximum(params.temperature, 1e-6)[:, None]
+        scaled = logits / temp
+        scaled = apply_top_k_top_p(scaled, params.top_k, params.top_p)
+        scaled = apply_min_p(scaled, params.min_p)
 
-    # Gumbel-max seeded sampling, one key per row. The key is derived
-    # in-trace from the (seed, step) pair — identical threefry ops to a
-    # host-side fold_in, but zero per-row host↔device round-trips.
-    def row_sample(seed_step, row_logits):
-        key = jax.random.fold_in(jax.random.PRNGKey(seed_step[0]),
-                                 seed_step[1])
-        g = jax.random.gumbel(key, row_logits.shape, dtype=jnp.float32)
-        safe = jnp.where(jnp.isfinite(row_logits), row_logits + g, -jnp.inf)
-        return jnp.argmax(safe).astype(jnp.int32)
+        # Gumbel-max seeded sampling, one key per row. The key is derived
+        # in-trace from the (seed, step) pair — identical threefry ops to
+        # a host-side fold_in, but zero per-row host↔device round-trips.
+        def row_sample(seed_step, row_logits):
+            key = jax.random.fold_in(jax.random.PRNGKey(seed_step[0]),
+                                     seed_step[1])
+            g = jax.random.gumbel(key, row_logits.shape, dtype=jnp.float32)
+            safe = jnp.where(jnp.isfinite(row_logits), row_logits + g,
+                             -jnp.inf)
+            return jnp.argmax(safe).astype(jnp.int32)
 
-    sampled = jax.vmap(row_sample)(params.key, scaled)
+        return jax.vmap(row_sample)(params.key, scaled)
+
+    # The stochastic chain costs a full [B, V] sort + softmax + 1M-element
+    # gumbel draw per step; all-greedy batches (temperature 0 everywhere —
+    # the dominant serving regime) skip it entirely via a scalar-predicate
+    # branch. When ANY row samples, the chain runs exactly as before and
+    # greedy rows still take the argmax via the final where.
+    any_sampled = jnp.any(params.temperature > 0.0)
+    sampled = jax.lax.cond(any_sampled, _sampled_chain,
+                           lambda _: greedy_tokens, None)
 
     tokens = jnp.where(params.temperature <= 0.0, greedy_tokens, sampled)
     return tokens, logprobs
