@@ -44,7 +44,10 @@ model = synth_model(cfg, quant="awq", dtype=jnp.bfloat16)
 print(f"model synthesized {time.time()-t0:.1f}s", flush=True)
 
 app = AppConfig(model=cfg)
-app.inference.max_seq_len = 1024
+# --ctx: KV budget per row. B=64 serving targets ctx<=512 (B=64@ctx1024
+# KV is ~8.6 GB + 4.5 GB weights — over the compile helper's cap; the
+# wave-flat sweep showed B=64@ctx512 reaches 1.8x the B=32 aggregate).
+app.inference.max_seq_len = _flag("ctx", 1024)
 app.inference.max_batch_size = MAX_BATCH
 app.inference.prefill_chunk_size = 512
 horizon = _flag("horizon")
