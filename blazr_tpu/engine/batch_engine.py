@@ -65,6 +65,13 @@ _PREFILL_GROUP = 32
 # rows slice to their requested k host-side).
 TOPK_K = 20
 
+# Pad-row sampling config: GREEDY (temperature=0). Pad rows are discarded
+# host-side so any config is semantically safe, but the fused sampler's
+# all-greedy fast path gates on `jnp.any(temperature > 0)` over the WHOLE
+# padded batch — a default-temperature (1.0) pad row would silently defeat
+# it at every non-power-of-two occupancy (ADVICE r3, medium).
+_PAD_CFG = GenerationConfig(temperature=0.0)
+
 # Packed decode-table (itab) column layout — shared by decode_step,
 # horizon_step, warmup, and the host-side batch builders:
 #   0 token | 1 position | 2 slot | 3 seq_len | 4 state_row |
@@ -775,7 +782,8 @@ class BatchEngine:
             vals.view(np.int32)
 
     # ------------------------------------------------------------------
-    def warmup(self, t_buckets: Optional[list[int]] = None) -> float:
+    def warmup(self, t_buckets: Optional[list[int]] = None,
+               warm_topk: bool = True) -> float:
         """Pre-compile EVERY serve-time shape: the full prefill grid
         (pow-2 group sizes × pow-2 token buckets up to the chunk), every
         pow-2 decode bucket, the horizon program, and speculative
@@ -837,6 +845,15 @@ class BatchEngine:
                 _, _, self.cache = self._prefill_step(
                     self.cache, jnp.asarray(toks), jnp.asarray(ptab),
                     self._dummy_mask, use_mask=False, use_topk=False)
+                if warm_topk and t <= 256:
+                    # use_topk=True is a separate compile of the whole
+                    # program; without it the first logprobs request pays
+                    # a serve-time compile (ADVICE r3). Long-chunk topk
+                    # prefills stay cold — rare, and the t>256 grid would
+                    # double warmup wall time.
+                    _, _, self.cache = self._prefill_step(
+                        self.cache, jnp.asarray(toks), jnp.asarray(ptab),
+                        self._dummy_mask, use_mask=False, use_topk=True)
                 if self._draft is not None:
                     self._draft_cache = self._draft_prefill(
                         self._draft_cache, jnp.asarray(toks),
@@ -858,11 +875,19 @@ class BatchEngine:
             tok_dev, _, self.cache = self._decode_step(
                 self.cache, jnp.asarray(mtab), self._dummy_mask,
                 use_mask=False, use_topk=False)
+            if warm_topk:
+                tok_dev, _, self.cache = self._decode_step(
+                    self.cache, jnp.asarray(mtab), self._dummy_mask,
+                    use_mask=False, use_topk=True)
             if self._horizon > 1:
                 ct, cw, cg = self._carry_zero(b)
                 out_dev, _, _, _, self.cache = self._horizon_step(
                     self.cache, jnp.asarray(mtab), *self._gdummy,
                     ct, cw, cg, use_grammar=False, use_topk=False)
+                if warm_topk:
+                    out_dev, _, _, _, self.cache = self._horizon_step(
+                        self.cache, jnp.asarray(mtab), *self._gdummy,
+                        ct, cw, cg, use_grammar=False, use_topk=True)
                 tok_dev = out_dev
             if self._draft is not None:
                 dtab = np.full((b, 2 + mb), 0x7FFFFFFF, dtype=np.int32)
@@ -968,6 +993,9 @@ class BatchEngine:
     # main loop (reference BatchEngine::run, batch_engine.rs:93-143)
     # ------------------------------------------------------------------
     async def run(self) -> None:
+        # Support repeated run() cycles (stop() then run() again) without
+        # callers reaching into private state (ADVICE r3).
+        self._stop = False
         logger.info("batch engine started (max_batch=%d, blocks=%d)",
                     self.max_batch, self.allocator.num_blocks)
         while not self._stop:
@@ -1188,7 +1216,7 @@ class BatchEngine:
             else:
                 ids.append(-1)
         for _ in range(len(group), p2):
-            cfgs.append(GenerationConfig())
+            cfgs.append(_PAD_CFG)
             ids.append(-1)
         self._fill_tail(ptab, po["sp"], cfgs, 0)
         mask = (jnp.asarray(self._grammar_mask(ids, p2)) if any_mask
@@ -1380,7 +1408,7 @@ class BatchEngine:
             cfgs.append(seq.gen_cfg)
             any_mask |= seq.seq_id in self._grammars
         for i in range(n, bmax):
-            cfgs.append(GenerationConfig())
+            cfgs.append(_PAD_CFG)
 
         logits_dev, self.cache = self._verify_step(
             self.cache, jnp.asarray(vtab))
@@ -1519,7 +1547,7 @@ class BatchEngine:
         cfgs: list[GenerationConfig] = []
         for i, seq in enumerate(rows):
             if seq is None:
-                cfgs.append(GenerationConfig())
+                cfgs.append(_PAD_CFG)
                 continue
             pos = seq.total_len - 1 + lag[i]   # position of the last token
             itab[i, 0] = seq.all_tokens[-1]

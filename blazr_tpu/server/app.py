@@ -350,6 +350,24 @@ def _apply_request_lora(request: web.Request, executor, cfg) -> None:
             raise ApiError(400, str(e))
 
 
+def _context_prefix(executor, body: dict) -> str:
+    """Ollama-style ``context`` continuation: caller-supplied token ids
+    from a previous turn, decoded to a string prefix prepended before the
+    prompt (reference chat_types.rs:50, completions.rs:242, applied at
+    chat.rs:56-65/152-156 via decode_context_prefix,
+    generation.rs:374-387)."""
+    ctx = body.get("context")
+    if not ctx:
+        return ""
+    if not isinstance(ctx, list) or not all(
+            isinstance(t, int) and not isinstance(t, bool) for t in ctx):
+        raise ApiError(400, "context must be an array of token ids")
+    try:
+        return executor.tokenizer.decode([int(t) for t in ctx])
+    except Exception as e:
+        raise ApiError(400, f"Failed to decode context tokens: {e}")
+
+
 async def completions(request: web.Request) -> web.Response:
     state = request.app[STATE_KEY]
     body = await _json(request)
@@ -358,6 +376,7 @@ async def completions(request: web.Request) -> web.Response:
     cfg = gen_config_from_body(body, executor.app_cfg.generation)
     _apply_request_lora(request, executor, cfg)
 
+    ctx_prefix = _context_prefix(executor, body)
     prompt = body.get("prompt", "")
     prompts = prompt if isinstance(prompt, list) else [prompt]
     if prompts and all(isinstance(p, int) for p in prompts):
@@ -365,11 +384,18 @@ async def completions(request: web.Request) -> web.Response:
         # both [int, ...] and [[int, ...], ...]).
         prompt_ids_list = [list(map(int, prompts))]
     elif prompts and all(isinstance(p, str) for p in prompts):
-        prompt_ids_list = [executor.tokenizer.encode(p) for p in prompts]
+        prompt_ids_list = [executor.tokenizer.encode(ctx_prefix + p)
+                           for p in prompts]
+        ctx_prefix = ""
     elif prompts and all(isinstance(p, list) for p in prompts):
         prompt_ids_list = [list(map(int, p)) for p in prompts]
     else:
         raise ApiError(400, "prompt must be a string or array")
+    if ctx_prefix:
+        # Pre-tokenized prompts: prepend the context token ids directly
+        # (decode+re-encode could drift on byte-level merges).
+        ctx_ids = [int(t) for t in body["context"]]
+        prompt_ids_list = [ctx_ids + p for p in prompt_ids_list]
     if any(not p for p in prompt_ids_list):
         raise ApiError(400, "prompt must not be empty")
 
@@ -442,6 +468,7 @@ async def chat_completions(request: web.Request) -> web.Response:
     _apply_request_lora(request, executor, cfg)
 
     prompt, _ = _build_prompt(body, executor, executor.model.cfg)
+    prompt = _context_prefix(executor, body) + prompt
     prompt_ids = executor.tokenizer.encode(prompt)
 
     # Multimodal content parts: decode images/audio and bind them to a

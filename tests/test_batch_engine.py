@@ -8,6 +8,7 @@ import asyncio
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from blazr_tpu.config import GenerationConfig
@@ -782,6 +783,9 @@ def test_warmup_covers_serving_traces(model):
     calls spell out is a different cache key — the first real request
     then retraces the full program (~3 s apiece for 7B prefill/horizon
     through a remote link, measured round 3)."""
+    if not hasattr(jax.jit(lambda x: x), "_cache_size"):
+        pytest.skip("jax PjitFunction._cache_size not available")
+
     async def main():
         eng = _mk_engine(model)
         eng.warmup()

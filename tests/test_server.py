@@ -498,3 +498,42 @@ def test_logprobs_via_batch_engine(model_dir):
             outs = await asyncio.gather(one(0, True), one(1, False))
             assert outs[0] is not None and outs[1] is None
     run(main())
+
+
+def test_chat_context_token_prefix(model_dir):
+    """Ollama-style ``context`` continuation (reference chat_types.rs:50,
+    applied chat.rs:56-65): caller-supplied token ids are decoded and
+    prepended before the templated prompt — visible as exactly
+    len(context) extra prompt tokens under the byte tokenizer."""
+    async def main():
+        async with _client(model_dir) as c:
+            base = {"messages": [{"role": "user", "content": "hi"}],
+                    "max_tokens": 2, "temperature": 0.0}
+            r0 = await c.post("/v1/chat/completions", json=base)
+            p0 = (await r0.json())["usage"]["prompt_tokens"]
+            ctx = [ord(x) for x in "prior turn"]
+            r1 = await c.post("/v1/chat/completions",
+                              json={**base, "context": ctx})
+            assert r1.status == 200
+            p1 = (await r1.json())["usage"]["prompt_tokens"]
+            assert p1 == p0 + len(ctx)
+
+            # completions: string prompt gets the decoded prefix...
+            r2 = await c.post("/v1/completions", json={
+                "prompt": "abc", "max_tokens": 2, "temperature": 0.0,
+                "context": ctx})
+            assert r2.status == 200
+            u2 = (await r2.json())["usage"]["prompt_tokens"]
+            assert u2 == len(ctx) + 3
+            # ...and a pre-tokenized prompt gets the ids prepended raw.
+            r3 = await c.post("/v1/completions", json={
+                "prompt": [104, 105], "max_tokens": 2, "temperature": 0.0,
+                "context": ctx})
+            assert (await r3.json())["usage"]["prompt_tokens"] == \
+                len(ctx) + 2
+
+            # malformed context -> 400
+            r4 = await c.post("/v1/chat/completions",
+                              json={**base, "context": ["x", 1]})
+            assert r4.status == 400
+    run(main())

@@ -121,7 +121,7 @@ async def main():
         dt = time.time() - t0
         eng.stop()
         await task
-        eng._stop = False
+        # run() clears _stop on entry, so repeated passes need no reset.
         if p_i < PASSES - 1:
             print(f"pass {p_i}: wall {dt:.1f}s "
                   f"AGG {done_tokens[0]/dt:.1f} tok/s (warmup pass)",
