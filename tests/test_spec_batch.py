@@ -183,3 +183,37 @@ def test_spec_default_penalty_rows_stay_plain(ckpt):
     out = _run(eng, jobs)
     assert eng.spec_drafted == 0
     assert out == _run(_engine(ckpt), jobs)
+
+
+def test_spec_logprobs_row_rides_along(ckpt):
+    """A logprobs row must not force a spec-capable batch onto the plain
+    path (VERDICT r3 weak #4b): the fused top-K fetch in spec_finish lets
+    it ride along at position 0 while greedy rows keep drafting."""
+    lp_cfg = GenerationConfig(max_tokens=8, temperature=0.0,
+                              repeat_penalty=1.0, logprobs=True,
+                              top_logprobs=3)
+    prompt_lp = [11, 12, 13, 11, 12]
+
+    async def run(spec_k):
+        eng = _engine(ckpt, spec_k=spec_k)
+        task = asyncio.create_task(eng.run())
+        h_g = eng.submit(list(_REPEAT), _greedy())
+        h_lp = eng.submit(list(prompt_lp),
+                          GenerationConfig.from_dict(lp_cfg.to_dict()))
+        toks_g = [t.token_id async for t in h_g.tokens()]
+        gts = [t async for t in h_lp.tokens()]
+        eng.stop()
+        await task
+        return eng, toks_g, gts
+
+    eng0, ref_g, ref_gts = asyncio.run(run(0))
+    eng, out_g, gts = asyncio.run(run(4))
+    assert out_g == ref_g
+    assert [t.token_id for t in gts] == [t.token_id for t in ref_gts]
+    # Spec engaged despite the logprobs row...
+    assert eng.spec_drafted > 0
+    # ...and the logprobs row still got its fused top-K entries.
+    assert all(t.top_logprobs and len(t.top_logprobs) == 3 for t in gts)
+    for t, r in zip(gts, ref_gts):
+        assert [e.token_id for e in t.top_logprobs] == \
+            [e.token_id for e in r.top_logprobs]
