@@ -436,7 +436,8 @@ class BatchEngine:
         # axis — a SEPARATE jit whose closed-over config carries the ring
         # mesh, writing into the SAME paged cache. Same eligibility as the
         # single-stream path (executor.py ring_ok): llama family, no
-        # sliding window / softcap / ALiBi, no recurrent state.
+        # softcap / ALiBi, no recurrent state. Sliding-window configs ride
+        # the window-aware ring (parallel/ring_attention.py n_hops bound).
         sp_prefill_step = None
         self._sp = self.mesh.shape.get("sp", 1) if self.mesh else 1
         if self._sp > 1 and not self._needs_state_rows:
@@ -444,7 +445,6 @@ class BatchEngine:
 
             att = cfg.attention
             if (resolve_paged_kind(cfg) == "llama" and att is not None
-                    and not att.sliding_window
                     and not att.use_alibi
                     and not cfg.attn_logit_softcapping):
                 import copy as _copy

@@ -238,7 +238,6 @@ class Executor:
             ring_ok = (
                 fwd is _llama.forward
                 and att is not None
-                and not att.sliding_window
                 and not cfg.attn_logit_softcapping
                 and not self.model.needs_ssm_state
             )

@@ -95,15 +95,17 @@ def _paged_attention_block(
         # in-chunk causal — ring attention over the ``sp`` axis instead
         # of the page gather (K/V were still written to their pages above
         # for the decode steps that follow). The engine only installs
-        # _sp_ring_mesh on its dedicated sp-prefill jit (llama family, no
-        # sliding window / softcap / ALiBi, start_pos == 0). Same design
-        # as the single-stream path (llama.py:82-95).
+        # _sp_ring_mesh on its dedicated sp-prefill jit (llama family,
+        # no softcap / ALiBi, start_pos == 0); sliding-window configs
+        # ride the window-aware ring (fewer hops, VERDICT r3 #3). Same
+        # design as the single-stream path (llama.py:82-95).
         from ..parallel.ring_attention import ring_attention
         from .layers import repeat_kv
 
         rep = n_heads // n_kv
         out = ring_attention(q, repeat_kv(k, rep), repeat_kv(v, rep),
-                             ring_mesh, axis_name="sp")
+                             ring_mesh, axis_name="sp",
+                             sliding_window=att.sliding_window or None)
         out = out.reshape(b, t, n_heads * head_dim).astype(x.dtype)
         return linear(out, p["o"], p.get("o_bias")), cache
 

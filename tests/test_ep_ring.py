@@ -170,3 +170,37 @@ def test_ep_adversarial_imbalance(rng):
     jax.block_until_ready(auto)
     assert ep_mod.DROPPED_TOKENS["count"] > 0
     ep_mod.DROPPED_TOKENS["count"] = 0
+
+
+@pytest.mark.parametrize("window", [1, 5, 8, 17, 31])
+def test_ring_attention_sliding_window_matches_dense(window, rng):
+    """Window-aware ring (VERDICT r3 #3): per-element global-position
+    masking + a static hop bound must reproduce dense windowed causal
+    attention for windows smaller than / spanning / larger than a shard."""
+    import numpy as _np
+    from jax.sharding import Mesh
+
+    mesh = Mesh(_np.array(jax.devices()[:4]).reshape(4), axis_names=("sp",))
+    b, s, h, d = 2, 32, 4, 16
+    q = jnp.asarray(rng.standard_normal((b, s, h, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, s, h, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, s, h, d)).astype(np.float32))
+
+    ref = reference_causal_attention(q, k, v, sliding_window=window)
+    got = ring_attention(q, k, v, mesh, axis_name="sp",
+                         sliding_window=window)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_ring_hops_bound():
+    """The hop count drops with the window: skipped hops are skipped
+    ppermutes (less ICI traffic), not just masked compute."""
+    from blazr_tpu.parallel.ring_attention import ring_hops
+
+    assert ring_hops(8, 4096, None) == 8
+    assert ring_hops(8, 4096, 4096) == 2       # window spans 2 blocks max
+    assert ring_hops(8, 512, 4096) == 8        # window covers the ring
+    assert ring_hops(8, 1024, 4096) == 5
+    assert ring_hops(8, 1024, 1) == 1          # self-block only
+    assert ring_hops(4, 8, 17) == 3
