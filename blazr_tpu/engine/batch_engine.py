@@ -256,6 +256,18 @@ class BatchEngine:
             else 0)
         self.spec_drafted = 0
         self.spec_accepted = 0
+        # Adaptive speculative depth (reference SpeculativeConfig.
+        # adaptive_depth, inference.rs:205-207): the drafting budget
+        # shrinks when the measured acceptance is poor (each rejected
+        # draft position is a wasted verify-row FLOP and, with a draft
+        # model, a wasted chain step) and regrows when drafts land. The
+        # verify program stays compiled at [B, spec_k+1]; depth only
+        # bounds how many proposals fill the span.
+        self._spec_adaptive = bool(spec is not None
+                                   and getattr(spec, "adaptive_depth", False))
+        self._spec_depth = self._spec_k
+        self._spec_win = [0, 0]          # drafted, accepted (rolling window)
+        self._spec_rounds = 0
         # Horizon telemetry (/metrics horizon_steps_per_dispatch).
         self.horizon_dispatches = 0
         self.horizon_steps = 0
@@ -1417,7 +1429,7 @@ class BatchEngine:
             history = seq.all_tokens
             draft: list[int] = []
             if self._spec_eligible(seq):
-                budget = min(k, seq.gen_cfg.max_tokens
+                budget = min(self._spec_depth, seq.gen_cfg.max_tokens
                              - seq.emitted,
                              self.max_seq_len - 1 - seq.total_len)
                 if budget > 0:
@@ -1472,6 +1484,7 @@ class BatchEngine:
                 toks[i] = self._host_pick(decodes[i], last_np[i])
                 lps[i] = float("nan")
 
+        drafted0, accepted0 = self.spec_drafted, self.spec_accepted
         for i, seq in enumerate(decodes):
             draft = drafts[i]
             if not draft:
@@ -1497,6 +1510,27 @@ class BatchEngine:
                     break                 # finished (EOS / length) mid-chain
             if seq.state == SequenceState.RUNNING:
                 self._emit(seq, int(argmax_np[i, emitted]), float("nan"))
+
+        self._adapt_spec_depth(self.spec_drafted - drafted0,
+                               self.spec_accepted - accepted0)
+
+    def _adapt_spec_depth(self, drafted: int, accepted: int) -> None:
+        """Step the adaptive speculation depth from one round's acceptance
+        (reference SpeculativeConfig.adaptive_depth): rounds that actually
+        drafted feed a rolling window; every 8 such rounds the depth steps
+        toward [1, spec_k] — >80% acceptance grows it, <40% shrinks it."""
+        if not self._spec_adaptive or drafted <= 0:
+            return
+        self._spec_win[0] += drafted
+        self._spec_win[1] += accepted
+        self._spec_rounds += 1
+        if self._spec_rounds % 8 == 0:
+            rate = self._spec_win[1] / max(1, self._spec_win[0])
+            if rate > 0.8:
+                self._spec_depth = min(self._spec_depth + 1, self._spec_k)
+            elif rate < 0.4:
+                self._spec_depth = max(self._spec_depth - 1, 1)
+            self._spec_win = [0, 0]
 
     def _process_decode_batch_plain(self, decodes: list[Sequence]) -> None:
         """ONE fused forward+sample for all running sequences

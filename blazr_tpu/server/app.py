@@ -292,6 +292,7 @@ async def metrics_handler(request: web.Request) -> web.Response:
         state.metrics.spec_accepted.set(accepted)
         if drafted:
             state.metrics.spec_acceptance_rate.set(accepted / drafted)
+        state.metrics.spec_depth.set(getattr(inner, "_spec_depth", 0))
         dispatches = getattr(inner, "horizon_dispatches", 0)
         if dispatches:
             state.metrics.horizon_steps_per_dispatch.set(

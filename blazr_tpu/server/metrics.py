@@ -70,6 +70,8 @@ class Metrics:
                                "Speculative tokens accepted")
         self.spec_acceptance_rate = g("spec_acceptance_rate",
                                       "Draft acceptance fraction")
+        self.spec_depth = g("spec_depth",
+                            "Current (adaptive) speculation depth")
         self.horizon_steps_per_dispatch = g(
             "horizon_steps_per_dispatch",
             "Mean decode steps fused per horizon dispatch")

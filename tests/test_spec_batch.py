@@ -217,3 +217,45 @@ def test_spec_logprobs_row_rides_along(ckpt):
     for t, r in zip(gts, ref_gts):
         assert [e.token_id for e in t.top_logprobs] == \
             [e.token_id for e in r.top_logprobs]
+
+
+def test_adaptive_depth_shrinks_on_bad_draft(ckpt, other_ckpt):
+    """Adaptive speculation depth (reference SpeculativeConfig.
+    adaptive_depth): a divergent draft model's near-zero acceptance must
+    shrink the drafting budget toward 1 — and output stays exact."""
+    jobs = [([1, 2, 3, 4, 5], _greedy(n=60))]
+
+    eng_bad = _engine_draft(ckpt, other_ckpt, spec_k=4)
+    out_bad = _run(eng_bad, jobs)
+    assert eng_bad._spec_depth < 4, (
+        f"depth stayed {eng_bad._spec_depth} despite acceptance "
+        f"{eng_bad.spec_accepted}/{eng_bad.spec_drafted}")
+    assert out_bad == _run(_engine(ckpt), jobs)
+
+
+def test_adaptive_depth_steps_and_bounds(ckpt):
+    """Depth unit dynamics: grows one step per 8 high-acceptance rounds
+    up to spec_k, shrinks on low acceptance down to 1, holds in the
+    middle band."""
+    eng = _engine(ckpt, spec_k=4)
+    assert eng._spec_adaptive and eng._spec_depth == 4
+
+    for _ in range(8):                       # 0% acceptance → shrink
+        eng._adapt_spec_depth(4, 0)
+    assert eng._spec_depth == 3
+    for _ in range(16):
+        eng._adapt_spec_depth(4, 0)
+    assert eng._spec_depth == 1
+    for _ in range(80):                      # floor holds
+        eng._adapt_spec_depth(4, 0)
+    assert eng._spec_depth == 1
+    for _ in range(8):                       # full acceptance → grow
+        eng._adapt_spec_depth(1, 1)
+    assert eng._spec_depth == 2
+    for _ in range(80):                      # ceiling holds at spec_k
+        eng._adapt_spec_depth(2, 2)
+    assert eng._spec_depth == 4
+    d = eng._spec_depth
+    for _ in range(16):                      # middle band: no movement
+        eng._adapt_spec_depth(10, 6)
+    assert eng._spec_depth == d
