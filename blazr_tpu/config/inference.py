@@ -64,6 +64,13 @@ class InferenceConfig:
     # Chunked prefill (interleaves decode between chunks to protect ITL)
     prefill_chunk_size: Optional[int] = None
 
+    # Prefill-priority pacing: a same-round burst of FINISHING prefill
+    # rows dispatches in ramped groups [g, g, 2g, …] instead of one full
+    # slab, so early requests' first tokens land when their small group
+    # completes (TTFT p50 ~halves on a 1-shot burst for ~5% extra prefill
+    # wall). 0 disables the ramp (always full-width groups).
+    prefill_first_group: int = 8
+
     # Prompt tokens the scheduler may ADMIT per scheduling round (reference
     # max_batch_tokens, src/config/inference.rs). Distinct from
     # prefill_chunk_size (the per-sequence chunk): grouped prefill runs

@@ -122,6 +122,31 @@ def _next_pow2(n: int, minimum: int = 16) -> int:
     return b
 
 
+def _ramp_sizes(n: int, first: int, cap: int) -> list[int]:
+    """Prefill-priority pacing (VERDICT r3 #2): split an n-row burst of
+    FINISHING prefill rows into groups [first, first, 2·first, …, cap,
+    cap, …] so the earliest requests' first tokens land when their small
+    group completes instead of after the whole slab. cumsum hits n/2 by
+    the second group at n == 4·first, putting TTFT p50 at ~half the slab
+    time for a 1-shot burst. Chunked mid-prompt rows (no token to emit)
+    are NOT ramped — they keep full-width slabs."""
+    if first <= 0 or first >= cap:
+        return [min(n, cap)] * -(-n // cap) if n else []
+    seq = [first, first]
+    g = first * 2
+    while g < cap:
+        seq.append(g)
+        g *= 2
+    out = []
+    i = 0
+    while n > 0:
+        s = min(seq[i] if i < len(seq) else cap, n)
+        out.append(s)
+        n -= s
+        i += 1
+    return out
+
+
 @dataclasses.dataclass
 class RequestHandle:
     """Token stream handle (reference RequestHandle, request_scheduler.rs:25-46)."""
@@ -1171,11 +1196,26 @@ class BatchEngine:
             bucket = _next_pow2(n, minimum=max(16, self._sp * 16))
             pending.append(self._prefill_group(
                 [seq], bucket, n, step=self._sp_prefill_step))
+        first = getattr(self.app_cfg.inference, "prefill_first_group", 8)
         for bucket in sorted(groups):
             group = groups[bucket]
-            for off in range(0, len(group), _PREFILL_GROUP):
+            # Finishing rows carry the request's FIRST token — pace them
+            # in a ramp so early groups land early (TTFT p50 ~halves on a
+            # one-shot burst); mid-prompt chunk rows emit nothing and keep
+            # full-width slabs (ramping them would just multiply weight
+            # streams and dispatches every chunked round).
+            fin = [s for s in group
+                   if len(s.prompt_tokens) - s.prefilled_tokens <= chunk_cfg]
+            cont = [s for s in group
+                    if len(s.prompt_tokens) - s.prefilled_tokens > chunk_cfg]
+            off = 0
+            for sz in _ramp_sizes(len(fin), first, _PREFILL_GROUP):
                 pending.append(self._prefill_group(
-                    group[off:off + _PREFILL_GROUP], bucket, chunk_cfg))
+                    fin[off:off + sz], bucket, chunk_cfg))
+                off += sz
+            for off in range(0, len(cont), _PREFILL_GROUP):
+                pending.append(self._prefill_group(
+                    cont[off:off + _PREFILL_GROUP], bucket, chunk_cfg))
         t1 = time.perf_counter()
         self.perf["p_dispatch"] += t1 - t0
         return pending
@@ -1261,6 +1301,15 @@ class BatchEngine:
             # reuses the already-uploaded tokens/ptab.
             self._draft_cache = self._draft_prefill(
                 self._draft_cache, toks_dev, ptab_dev)
+        if finishing:
+            try:
+                # Queue the D2H transfer now: first tokens start moving
+                # the moment this group completes on device, so the
+                # per-group fetch in _finish_prefills lands group k's
+                # TTFT at group k's completion, not the full slab's.
+                packed.copy_to_host_async()
+            except Exception:   # pragma: no cover — backend-optional
+                pass
         return group, chunks, finishing, packed, last
 
     def _process_prefill_ssm(self, seq: Sequence) -> None:

@@ -851,3 +851,56 @@ def test_mixed_host_sampler_batch_keeps_horizon(model):
     assert mixed == solo
     # The greedy rows rode the horizon path despite the mirostat row.
     assert eng.horizon_dispatches > 0
+
+
+def test_ramp_sizes():
+    from blazr_tpu.engine.batch_engine import _ramp_sizes
+
+    assert _ramp_sizes(32, 8, 32) == [8, 8, 16]
+    assert _ramp_sizes(64, 8, 32) == [8, 8, 16, 32]
+    assert _ramp_sizes(8, 8, 32) == [8]
+    assert _ramp_sizes(12, 8, 32) == [8, 4]
+    assert _ramp_sizes(9, 2, 32) == [2, 2, 4, 1]
+    assert _ramp_sizes(0, 8, 32) == []
+    # disabled ramp -> full-width slabs
+    assert _ramp_sizes(64, 0, 32) == [32, 32]
+    assert _ramp_sizes(40, 0, 32) == [32, 32]  # ceil slab count
+
+
+def test_prefill_ramp_paces_burst(model):
+    """Prefill-priority pacing (VERDICT r3 #2): a burst of finishing
+    prompts dispatches in ramped group sizes, first tokens per group,
+    with token-for-token parity vs the unramped engine."""
+    from blazr_tpu.config import AppConfig
+
+    def mk(first):
+        app = AppConfig(model=model.cfg)
+        app.inference.max_seq_len = 64
+        app.inference.max_batch_size = 8
+        app.inference.prefill_first_group = first
+        return BatchEngine(model, ByteTok(), app)
+
+    prompts = [[10 + i, 20, 30, 40] for i in range(8)]
+
+    async def run(eng):
+        sizes = []
+        orig = eng._prefill_group
+
+        def spy(group, *a, **kw):
+            sizes.append(len(group))
+            return orig(group, *a, **kw)
+
+        eng._prefill_group = spy
+        task = asyncio.create_task(eng.run())
+        hs = [eng.submit(p, GenerationConfig(max_tokens=4, temperature=0.0))
+              for p in prompts]
+        res = [await asyncio.wait_for(_collect(h), timeout=120) for h in hs]
+        eng.stop()
+        await task
+        return sizes, res
+
+    sizes_r, out_r = asyncio.run(run(mk(first=2)))
+    sizes_p, out_p = asyncio.run(run(mk(first=0)))
+    assert out_r == out_p
+    assert sizes_r[:3] == [2, 2, 4], sizes_r   # ramped burst
+    assert sizes_p[0] == 8, sizes_p            # unramped: one slab
