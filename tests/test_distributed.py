@@ -339,3 +339,94 @@ def test_multihost_bringup_two_processes():
         assert info["process_count"] == 2
         assert info["global_devices"] == 2
         assert sorted(gathered) == [1.0, 2.0]
+
+
+@pytest.mark.slow
+def test_disagg_http_layer_matches_single_process(tmp_path):
+    """Multi-process disagg driving the REAL HTTP layer (VERDICT r3 #8):
+    the router serves OpenAI /v1/completions; generation crosses the
+    TcpMesh to prefill+decode worker processes; tokens must match the
+    single-process greedy stream."""
+    import asyncio
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    from aiohttp.test_utils import TestClient, TestServer
+
+    from blazr_tpu.distributed.disagg import (DisaggConfig, DisaggRouter,
+                                              make_router_app)
+    from blazr_tpu.distributed.transport import TcpMesh
+    from blazr_tpu.loader import load_model
+    from blazr_tpu.tokenizer import load_tokenizer
+    from fixtures import (write_byte_tokenizer_json,
+                          write_tiny_llama_checkpoint)
+
+    write_tiny_llama_checkpoint(tmp_path, np.random.default_rng(13))
+    write_byte_tokenizer_json(tmp_path)
+    tok = load_tokenizer(tmp_path)
+    prompt_text = "hi!?"
+    prompt = tok.encode(prompt_text)
+
+    # Single-process greedy reference (6 tokens).
+    model, _ = load_model(tmp_path, dtype="f32")
+    cache = model.init_cache(1, 64)
+    pos = np.arange(len(prompt), dtype=np.int32)[None, :]
+    logits, cache = model.forward(jnp.asarray([prompt], dtype=jnp.int32),
+                                  cache, jnp.asarray(pos))
+    ref = []
+    cur = int(np.asarray(logits)[0, -1].argmax())
+    p = len(prompt)
+    for i in range(6):
+        ref.append(cur)
+        if i == 5:
+            break
+        logits, cache = model.forward(
+            jnp.asarray([[cur]], dtype=jnp.int32), cache,
+            jnp.asarray([[p + i]], dtype=jnp.int32))
+        cur = int(np.asarray(logits)[0, -1].argmax())
+
+    seed_port = _free_port()
+    ctx = mp.get_context("spawn")
+    procs = [
+        ctx.Process(target=_disagg_worker_proc,
+                    args=(seed_port, "prefill", str(tmp_path)), daemon=True),
+        ctx.Process(target=_disagg_worker_proc,
+                    args=(seed_port, "decode", str(tmp_path)), daemon=True),
+    ]
+    for pr in procs:
+        pr.start()
+    mesh = TcpMesh.bootstrap_leader(3, seed_port=seed_port)
+    router = DisaggRouter(mesh, DisaggConfig())
+    router.wait_workers()
+
+    async def drive():
+        app = make_router_app(router, tok)
+        async with TestClient(TestServer(app)) as c:
+            h = await c.get("/health")
+            assert h.status == 200
+            hb = await h.json()
+            assert hb["prefill_workers"] == 1 and hb["decode_workers"] == 1
+            r = await c.post("/v1/completions", json={
+                "prompt": prompt_text, "max_tokens": 6})
+            assert r.status == 200
+            body = await r.json()
+            assert body["object"] == "text_completion"
+            choice = body["choices"][0]
+            assert body["usage"]["prompt_tokens"] == len(prompt)
+            # malformed prompt -> 400 through the real middleware
+            r2 = await c.post("/v1/completions", json={"prompt": {}})
+            assert r2.status == 400
+            return choice
+
+    try:
+        choice = asyncio.run(drive())
+    finally:
+        router.shutdown()
+        for pr in procs:
+            pr.join(timeout=30)
+        mesh.close()
+    assert choice["tokens"] == ref
+    eos = tok.eos_token_id
+    assert choice["text"] == tok.decode([t for t in ref if t != eos])

@@ -8,7 +8,7 @@ Usage: python tools/bench_engine_serving.py [n_requests] [max_batch]
   --draft: batched draft-MODEL speculation with a small synthetic draft
   --spec K: speculative depth (with --draft) or prompt-lookup otherwise
 """
-import asyncio, sys, time
+import asyncio, json, sys, time
 sys.path.insert(0, "/root/repo"); sys.path.insert(0, "/root/repo/tests")
 import jax, jax.numpy as jnp, numpy as np
 
@@ -23,12 +23,6 @@ from blazr_tpu.engine.batch_engine import BatchEngine
 from blazr_tpu.utils.synthetic import mistral_7b_config, synth_model
 from tests_helpers import ByteTok
 
-args = [a for a in sys.argv[1:] if not a.startswith("--")]
-N_REQ = int(args[0]) if len(args) > 0 else 64
-MAX_BATCH = int(args[1]) if len(args) > 1 else 32
-PROMPT_LEN, GEN = 128, 64
-
-
 def _flag(name, default=None, cast=int):
     if f"--{name}" in sys.argv:
         i = sys.argv.index(f"--{name}")
@@ -36,6 +30,19 @@ def _flag(name, default=None, cast=int):
             return cast(sys.argv[i + 1])
         return True
     return default
+
+
+# Positionals must precede flags (flag values would otherwise be
+# mistaken for positionals).
+args = []
+for a in sys.argv[1:]:
+    if a.startswith("--"):
+        break
+    args.append(a)
+N_REQ = int(args[0]) if len(args) > 0 else 64
+MAX_BATCH = int(args[1]) if len(args) > 1 else 32
+PROMPT_LEN = _flag("prompt", 128)
+GEN = _flag("gen", 64)
 
 
 cfg = mistral_7b_config()
@@ -153,6 +160,41 @@ async def main():
             parts.append(f"{k}={eng.perf[k]*1e3:.0f}ms"
                          + (f"/{int(n)}" if n else ""))
         print("PERF " + "  ".join(parts), flush=True)
+
+    # ONE machine-readable line for bench.py (VERDICT r3 #1a: the phase
+    # breakdown + ITL percentiles must LAND IN THE BENCH ARTIFACT).
+    phases = {k: round(v * 1e3, 1) for k, v in sorted(eng.perf.items())
+              if not k.endswith("_n")}
+    # Decode-phase rate: generated tokens over the host wall spent in the
+    # decode/horizon phases — the steady-state figure the burst AGG
+    # (which mixes 2 prompt tokens per generated token) cannot show.
+    dec_wall = (eng.perf.get("decode", 0.0) + eng.perf.get("h_fetch", 0.0)
+                + eng.perf.get("h_emit", 0.0))
+    stats = {
+        "requests": N_REQ, "max_batch": MAX_BATCH,
+        "prompt_len": PROMPT_LEN, "gen": GEN,
+        "wall_s": round(dt, 2), "decoded_tokens": done_tokens[0],
+        "agg_tok_s": round(agg, 1),
+        "req_per_s": round(N_REQ / dt, 2),
+        "ttft_ms": {"p50": round(float(np.percentile(ttfts, 50)) * 1e3, 1),
+                    "p95": round(float(np.percentile(ttfts, 95)) * 1e3, 1)},
+        "itl_ms": ({"p50": round(float(np.percentile(itls, 50)) * 1e3, 2),
+                    "p95": round(float(np.percentile(itls, 95)) * 1e3, 2),
+                    "p99": round(float(np.percentile(itls, 99)) * 1e3, 2)}
+                   if itls else {}),
+        "phase_ms": phases,
+        "decode_phase_tok_s": (round(done_tokens[0] / dec_wall, 1)
+                               if dec_wall > 0 else None),
+        "horizon": {"dispatches": eng.horizon_dispatches,
+                    "steps": eng.horizon_steps},
+    }
+    if eng.spec_drafted:
+        stats["spec"] = {"drafted": eng.spec_drafted,
+                         "accepted": eng.spec_accepted,
+                         "acceptance": round(
+                             eng.spec_accepted / eng.spec_drafted, 3),
+                         "depth": eng._spec_depth}
+    print("STATS " + json.dumps(stats), flush=True)
 
 asyncio.run(main())
 print("done", flush=True)
