@@ -181,6 +181,10 @@ def build_parser() -> argparse.ArgumentParser:
     swarm.add_argument("--world-size", type=int, default=2)
     swarm.add_argument("--capacity", type=int, default=2048)
     swarm.add_argument("--dtype", choices=["f32", "f16", "bf16"])
+    swarm.add_argument("--mdns", action="store_true",
+                       help="LAN auto-discovery (reference --mdns, "
+                            "cli/commands.rs:300-302): the leader beacons "
+                            "its seed address; workers join without --seed")
 
     disagg = sub.add_parser("disagg",
                             help="disaggregated prefill/decode node")
@@ -671,9 +675,12 @@ def cmd_tokenize(args) -> int:
 def cmd_swarm(args) -> int:
     """Pipeline-parallel swarm mode (reference cli/swarm.rs)."""
     from ..distributed.swarm import SwarmLeader, SwarmWorker
-    from ..distributed.transport import TcpMesh
+    from ..distributed.transport import TcpMesh, announce_seed, discover_seed
 
     host, port = args.seed.rsplit(":", 1)
+    if args.role == "worker" and args.mdns:
+        host, port = discover_seed()
+        print(f"discovered leader at {host}:{port}", file=sys.stderr)
     if args.role == "leader":
         if not args.model:
             print("--model required for the leader", file=sys.stderr)
@@ -682,8 +689,11 @@ def cmd_swarm(args) -> int:
         from ..formats import detect_model_source
 
         cfg = resolve_config(detect_model_source(args.model))
+        beacon = (announce_seed(host, int(port)) if args.mdns else None)
         mesh = TcpMesh.bootstrap_leader(args.world_size, host=host,
                                         seed_port=int(port))
+        if beacon is not None:
+            beacon.set()        # all workers connected; stop beaconing
         leader = SwarmLeader(mesh, args.model, cfg.model.num_layers)
         leader.start_workers()
         print(f"swarm ready: {len(leader.schedule.stages)} stages; "

@@ -212,3 +212,70 @@ class TcpMesh:
             self._listener.close()
         except OSError:
             pass
+
+
+# ---------------------------------------------------------------------------
+# LAN seed discovery (reference --mdns flag, cli/commands.rs:300-302:
+# nexar's optional mDNS worker discovery; here a UDP broadcast beacon —
+# same operational contract: workers find the leader without --seed)
+# ---------------------------------------------------------------------------
+
+DISCOVERY_PORT = 29529
+_BEACON_MAGIC = b"blazr-tpu-seed "
+
+
+def announce_seed(host: str, port: int,
+                  discovery_port: int = DISCOVERY_PORT,
+                  interval: float = 1.0) -> "threading.Event":
+    """Broadcast the seed address on the LAN from a daemon thread until
+    the returned Event is set. Runs concurrently with bootstrap_leader
+    (which blocks until every worker connects)."""
+    stop = threading.Event()
+    payload = _BEACON_MAGIC + f"{host}:{port}".encode()
+
+    def loop():
+        s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        s.setsockopt(socket.SOL_SOCKET, socket.SO_BROADCAST, 1)
+        while not stop.is_set():
+            for dst in ("255.255.255.255", "127.0.0.1"):
+                try:
+                    s.sendto(payload, (dst, discovery_port))
+                except OSError:
+                    pass
+            stop.wait(interval)
+        s.close()
+
+    threading.Thread(target=loop, daemon=True).start()
+    return stop
+
+
+def discover_seed(timeout: float = 30.0,
+                  discovery_port: int = DISCOVERY_PORT) -> tuple[str, int]:
+    """Listen for a leader beacon; returns (host, port) of the seed.
+    Raises TimeoutError when no beacon arrives in ``timeout`` seconds."""
+    s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    s.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    try:  # several workers on one host listen on the same port
+        s.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEPORT, 1)
+    except (AttributeError, OSError):   # pragma: no cover — platform
+        pass
+    s.bind(("", discovery_port))
+    s.settimeout(timeout)
+    deadline = time.time() + timeout
+    try:
+        while True:
+            remaining = deadline - time.time()
+            if remaining <= 0:
+                raise TimeoutError("no leader beacon heard")
+            s.settimeout(remaining)
+            try:
+                data, addr = s.recvfrom(256)
+            except socket.timeout:
+                raise TimeoutError("no leader beacon heard")
+            if data.startswith(_BEACON_MAGIC):
+                host, port = data[len(_BEACON_MAGIC):].decode().rsplit(":", 1)
+                if host in ("0.0.0.0", ""):
+                    host = addr[0]      # beacon sender is the leader
+                return host, int(port)
+    finally:
+        s.close()

@@ -430,3 +430,26 @@ def test_disagg_http_layer_matches_single_process(tmp_path):
     assert choice["tokens"] == ref
     eos = tok.eos_token_id
     assert choice["text"] == tok.decode([t for t in ref if t != eos])
+
+
+def test_seed_discovery_beacon():
+    """LAN seed discovery (reference --mdns flag, cli/commands.rs:300-302):
+    a worker finds the leader's seed address from the UDP beacon."""
+    from blazr_tpu.distributed.transport import announce_seed, discover_seed
+
+    port = _free_port()
+    dport = _free_port()
+    stop = announce_seed("127.0.0.1", port, discovery_port=dport,
+                         interval=0.1)
+    try:
+        host, got = discover_seed(timeout=10, discovery_port=dport)
+        assert (host, got) == ("127.0.0.1", port)
+    finally:
+        stop.set()
+
+
+def test_seed_discovery_timeout():
+    from blazr_tpu.distributed.transport import discover_seed
+
+    with pytest.raises(TimeoutError):
+        discover_seed(timeout=0.3, discovery_port=_free_port())
