@@ -102,6 +102,7 @@ async def main():
     # buffer materialization, allocator high-water growth); the LAST pass
     # is the reported steady state.
     for p_i in range(PASSES):
+        eng.perf.clear()           # phase walls are per-pass, not cumulative
         task = asyncio.create_task(eng.run())
         ttfts = []
         itls = []
@@ -166,10 +167,11 @@ async def main():
     phases = {k: round(v * 1e3, 1) for k, v in sorted(eng.perf.items())
               if not k.endswith("_n")}
     # Decode-phase rate: generated tokens over the host wall spent in the
-    # decode/horizon phases — the steady-state figure the burst AGG
-    # (which mixes 2 prompt tokens per generated token) cannot show.
-    dec_wall = (eng.perf.get("decode", 0.0) + eng.perf.get("h_fetch", 0.0)
-                + eng.perf.get("h_emit", 0.0))
+    # decode phase — the steady-state figure the burst AGG (which mixes
+    # 2 prompt tokens per generated token) cannot show. h_fetch/h_emit
+    # are NESTED inside the decode wall (the horizon round fetches from
+    # within _process_decode_batch), so "decode" alone is the phase wall.
+    dec_wall = eng.perf.get("decode", 0.0)
     stats = {
         "requests": N_REQ, "max_batch": MAX_BATCH,
         "prompt_len": PROMPT_LEN, "gen": GEN,
