@@ -124,26 +124,20 @@ def _next_pow2(n: int, minimum: int = 16) -> int:
 
 def _ramp_sizes(n: int, first: int, cap: int) -> list[int]:
     """Prefill-priority pacing (VERDICT r3 #2): split an n-row burst of
-    FINISHING prefill rows into groups [first, first, 2·first, …, cap,
-    cap, …] so the earliest requests' first tokens land when their small
-    group completes instead of after the whole slab. cumsum hits n/2 by
-    the second group at n == 4·first, putting TTFT p50 at ~half the slab
-    time for a 1-shot burst. Chunked mid-prompt rows (no token to emit)
-    are NOT ramped — they keep full-width slabs."""
+    FINISHING prefill rows into flat groups of `first` so each group's
+    first tokens land as soon as that group completes instead of after
+    the whole slab. Measured on-chip (r4): prefill rate is batch-FLAT
+    (b8 ≈ b32 ≈ 6.3k tok/s on the 7B AWQ flagship), so small groups cost
+    only the extra dispatches (~5 ms each) while TTFT p50 drops to about
+    half the slab wall. Chunked mid-prompt rows (no token to emit) are
+    NOT ramped — they keep full-width slabs."""
     if first <= 0 or first >= cap:
         return [min(n, cap)] * -(-n // cap) if n else []
-    seq = [first, first]
-    g = first * 2
-    while g < cap:
-        seq.append(g)
-        g *= 2
     out = []
-    i = 0
     while n > 0:
-        s = min(seq[i] if i < len(seq) else cap, n)
+        s = min(first, n)
         out.append(s)
         n -= s
-        i += 1
     return out
 
 

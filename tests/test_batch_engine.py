@@ -856,11 +856,11 @@ def test_mixed_host_sampler_batch_keeps_horizon(model):
 def test_ramp_sizes():
     from blazr_tpu.engine.batch_engine import _ramp_sizes
 
-    assert _ramp_sizes(32, 8, 32) == [8, 8, 16]
-    assert _ramp_sizes(64, 8, 32) == [8, 8, 16, 32]
+    assert _ramp_sizes(32, 8, 32) == [8, 8, 8, 8]
+    assert _ramp_sizes(64, 8, 32) == [8] * 8
     assert _ramp_sizes(8, 8, 32) == [8]
     assert _ramp_sizes(12, 8, 32) == [8, 4]
-    assert _ramp_sizes(9, 2, 32) == [2, 2, 4, 1]
+    assert _ramp_sizes(9, 2, 32) == [2, 2, 2, 2, 1]
     assert _ramp_sizes(0, 8, 32) == []
     # disabled ramp -> full-width slabs
     assert _ramp_sizes(64, 0, 32) == [32, 32]
@@ -902,5 +902,5 @@ def test_prefill_ramp_paces_burst(model):
     sizes_r, out_r = asyncio.run(run(mk(first=2)))
     sizes_p, out_p = asyncio.run(run(mk(first=0)))
     assert out_r == out_p
-    assert sizes_r[:3] == [2, 2, 4], sizes_r   # ramped burst
+    assert sizes_r[:4] == [2, 2, 2, 2], sizes_r   # flat paced burst
     assert sizes_p[0] == 8, sizes_p            # unramped: one slab
