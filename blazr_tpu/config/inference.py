@@ -39,8 +39,13 @@ class InferenceConfig:
     max_seq_len: Optional[int] = None
 
     # Quantized-matmul compute mode for signed 4/8-bit weights:
-    #   auto  — platform default (resolved by the engine)
+    #   auto  — platform default: w4a8-prefill on TPU, w4a16 elsewhere
     #   w4a16 — int4 HBM stream, bf16 MXU (bit-exact dequant)
+    #   w4a8-prefill — prefill-shaped matmuls (≥256 rows) ride the int8
+    #           MXU (r4 race: 94 vs 77 TF/s at m=1024, 145 vs 107 at
+    #           m=4096); decode stays bit-exact w4a16. The TPU analogue
+    #           of the reference preferring dp4a int8 CUDA kernels
+    #           (README "Model Formats") — dp4a is int8 compute too.
     #   w4a8  — int4 HBM stream, dynamic int8 activation quant, int8 MXU
     #   w8a8  — int8-widened HBM stream (2× bytes, zero-op weight feed),
     #           dynamic int8 activation quant, int8 MXU

@@ -64,10 +64,14 @@ def quant_matmul(x: jax.Array, qt: QuantTensor) -> jax.Array:
     # int8-MXU compute (W4A8/W8A8): tensors tagged by mark_act_quant /
     # widen_to_int8 (inference.quant_compute) carry dynamic per-row
     # activation quant through the int8 MXU — zero/one VPU op per weight
-    # element vs the int4→bf16 convert chain (pallas PERF LOG). The
-    # user-selected compute mode outranks the experimental XLA-grouped
-    # knob below.
-    if (qt.act_quant and not _force_xla() and (_on_tpu() or _force_pallas())):
+    # element vs the int4→bf16 convert chain (pallas PERF LOG). With
+    # act_quant_min_m set (w4a8-prefill / auto-on-TPU), only
+    # prefill-shaped matmuls take this route; decode (m ≤ max_batch)
+    # stays on the bit-exact dequant path below. The row count is a
+    # trace-time shape, so the dispatch is jit-static. The user-selected
+    # compute mode outranks the experimental XLA-grouped knob below.
+    if (qt.act_quant and _rows(x) >= qt.act_quant_min_m
+            and not _force_xla() and (_on_tpu() or _force_pallas())):
         from .pallas.int_matmul import quant_matmul_int8mxu
 
         try:

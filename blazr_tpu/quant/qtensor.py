@@ -64,6 +64,11 @@ class QuantTensor:
     # mark_act_quant/widen_to_int8; never set by the format decoders.
     act_quant: bool = dataclasses.field(
         default=False, metadata=dict(static=True))
+    # Minimum matmul row count (static under jit) for the int8-MXU route:
+    # 0 = always (w4a8/w8a8); _PREFILL_A8_MIN_M = prefill-only (decode
+    # stays on the bit-exact bf16-MXU dequant path).
+    act_quant_min_m: int = dataclasses.field(
+        default=0, metadata=dict(static=True))
 
     @property
     def shape(self) -> tuple[int, int]:
@@ -452,29 +457,49 @@ def widen_to_int8(qt: QuantTensor) -> QuantTensor:
     return dataclasses.replace(qt, qweight=words, bits=8, act_quant=True)
 
 
-def mark_act_quant(qt: QuantTensor) -> QuantTensor:
+# Row threshold above which a matmul counts as "prefill-shaped": the
+# int8-MXU kernel beats the fused int4→bf16 path from a few hundred rows
+# up (r4 on-chip race, 7B gate/up shapes: 94 vs 77 TF/s at m=1024, 145
+# vs 107 at m=4096), while decode (m ≤ max_batch) stays bit-exact on the
+# bf16-MXU dequant path.
+_PREFILL_A8_MIN_M = 256
+
+
+def mark_act_quant(qt: QuantTensor, min_m: int = 0) -> QuantTensor:
     """Tag a signed 4/8-bit tensor for the int8-MXU kernel WITHOUT
-    widening the storage (W4A8: int4 HBM stream + in-kernel int4→int8)."""
-    if qt.act_quant:
+    widening the storage (W4A8: int4 HBM stream + in-kernel int4→int8).
+    ``min_m`` restricts the route to matmuls with at least that many
+    rows (prefill-only act quant)."""
+    if qt.act_quant and qt.act_quant_min_m == min_m:
         return qt
     if not qt.signed or qt.bits not in (4, 8):
         raise NotImplementedError(
             f"act-quant compute: only signed 4/8-bit payloads (got "
             f"bits={qt.bits} signed={qt.signed})")
-    return dataclasses.replace(qt, act_quant=True)
+    return dataclasses.replace(qt, act_quant=True, act_quant_min_m=min_m)
 
 
 def apply_quant_compute(params, mode: Optional[str]):
     """Apply an ``inference.quant_compute`` mode to a param tree.
 
     ``w4a8`` tags signed int tensors for the int8-MXU kernel; ``w8a8``
-    additionally widens 4-bit storage to int8 (see widen_to_int8).
-    ``auto``/``w4a16``/None leave the tree untouched (bit-exact bf16-MXU
-    dequant compute). Unsupported leaves (unsigned/2-bit payloads) pass
-    through unchanged rather than failing the whole model."""
-    if mode in (None, "auto", "w4a16"):
+    additionally widens 4-bit storage to int8 (see widen_to_int8);
+    ``w4a8-prefill`` routes only prefill-shaped matmuls (≥
+    ``_PREFILL_A8_MIN_M`` rows) through the int8 MXU — decode stays
+    bit-exact. ``auto`` resolves to ``w4a8-prefill`` on TPU (the
+    analogue of the reference preferring its dp4a int8 CUDA tier —
+    README "Model Formats" — whose dp4a dot is likewise int8-activation
+    compute) and to no-op elsewhere. ``w4a16``/None leave the tree
+    untouched (bit-exact bf16-MXU dequant compute everywhere).
+    Unsupported leaves (unsigned/2-bit payloads) pass through unchanged
+    rather than failing the whole model."""
+    if mode == "auto":
+        from .matmul import _on_tpu
+
+        mode = "w4a8-prefill" if _on_tpu() else None
+    if mode in (None, "w4a16"):
         return params
-    if mode not in ("w4a8", "w8a8"):
+    if mode not in ("w4a8", "w8a8", "w4a8-prefill"):
         raise ValueError(f"unknown quant_compute mode {mode!r}")
 
     def f(leaf):
@@ -484,7 +509,11 @@ def apply_quant_compute(params, mode: Optional[str]):
             # Stacked [E, ...] expert tensors pass through unchanged —
             # the int8-MXU kernel serves 2-D weights; the MoE paths
             # dequantize per expert (widen_to_int8 would crash on 3-D).
-            return widen_to_int8(leaf) if mode == "w8a8" else mark_act_quant(leaf)
+            if mode == "w8a8":
+                return widen_to_int8(leaf)
+            if mode == "w4a8-prefill":
+                return mark_act_quant(leaf, min_m=_PREFILL_A8_MIN_M)
+            return mark_act_quant(leaf)
         return leaf
 
     return jax.tree.map(

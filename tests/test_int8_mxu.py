@@ -147,3 +147,91 @@ def test_executor_quant_compute_e2e(rng):
     # Greedy argmax on a tiny random model is not guaranteed stable under
     # activation quant; assert the first token agrees (dominant logit).
     assert out_a[0] == out_b[0]
+
+
+def test_prefill_a8_min_m_routing(rng, monkeypatch):
+    """w4a8-prefill tags route ONLY prefill-shaped matmuls (rows >=
+    _PREFILL_A8_MIN_M) through the int8 MXU; decode-shaped calls stay on
+    the bit-exact dequant path."""
+    from blazr_tpu.quant import matmul as qm
+    from blazr_tpu.quant.pallas import int_matmul as im
+    from blazr_tpu.quant.qtensor import _PREFILL_A8_MIN_M, apply_quant_compute
+
+    qt = _awq_qt(5, 256, 128, 64)
+    tagged = apply_quant_compute({"w": qt}, "w4a8-prefill")["w"]
+    assert tagged.act_quant and tagged.act_quant_min_m == _PREFILL_A8_MIN_M
+
+    monkeypatch.setenv("BLAZR_TPU_FORCE_PALLAS_QUANT", "1")
+    calls = []
+    real = im.quant_matmul_int8mxu
+    monkeypatch.setattr(im, "quant_matmul_int8mxu",
+                        lambda x, q: calls.append(x.shape) or real(x, q))
+
+    x_dec = jnp.asarray(rng.standard_normal((8, 256)), dtype=jnp.float32)
+    y_dec = np.asarray(qm.quant_matmul(x_dec, tagged))
+    assert not calls, "decode-shaped matmul must not take the int8 route"
+    # decode path is IDENTICAL to the untagged (w4a16) route
+    np.testing.assert_array_equal(y_dec, np.asarray(qm.quant_matmul(x_dec, qt)))
+
+    m = _PREFILL_A8_MIN_M
+    x_pre = jnp.asarray(rng.standard_normal((m, 256)), dtype=jnp.float32)
+    y_pre = np.asarray(qm.quant_matmul(x_pre, tagged))
+    assert calls and calls[0][0] == m
+    ref = np.asarray(x_pre) @ dequantize_np(tagged)
+    scale = np.maximum(np.abs(ref).max(), 1.0)
+    assert np.max(np.abs(y_pre - ref)) / scale < 2e-2
+
+
+def test_quant_compute_auto_resolves_by_platform(monkeypatch):
+    """auto -> w4a8-prefill on TPU, identity elsewhere (CPU CI)."""
+    from blazr_tpu.quant import matmul as qm
+    from blazr_tpu.quant.qtensor import apply_quant_compute
+
+    qt = _awq_qt(6, 256, 128, 64)
+    params = {"w": qt}
+    assert apply_quant_compute(params, "auto") is params   # CPU: no-op
+
+    monkeypatch.setattr(qm, "_on_tpu", lambda: True)
+    out = apply_quant_compute(params, "auto")
+    assert out["w"].act_quant and out["w"].act_quant_min_m > 0
+
+
+def test_prefill_a8_ppl_gate(rng, monkeypatch):
+    """End-to-end Δppl gate for the w4a8-prefill mode (BASELINE.md
+    quality gate): teacher-forced windows of 256 rows engage the int8
+    route; perplexity must track the bit-exact w4a16 path closely (the
+    only error source is ~1/254-relative dynamic activation quant)."""
+    import copy
+
+    from blazr_tpu.config import UniversalConfig, AttentionConfig
+    from blazr_tpu.models import llama
+    from blazr_tpu.models.registry import Model
+    from blazr_tpu.quant.pallas import int_matmul as im
+    from blazr_tpu.quant.qtensor import apply_quant_compute
+    from blazr_tpu.utils.ppl import perplexity
+    from blazr_tpu.utils.synthetic import synth_llama_params
+
+    cfg = UniversalConfig(
+        model_type="llama", vocab_size=256, hidden_size=256, num_layers=2,
+        max_seq_len=512, intermediate_size=512,
+        attention=AttentionConfig(num_heads=4, num_kv_heads=2, head_dim=64))
+    params = synth_llama_params(cfg, quant="awq", dtype=jnp.float32,
+                                group_size=128)
+    model_a = Model(cfg, params, jnp.float32, llama.forward)
+    model_b = Model(cfg, apply_quant_compute(copy.copy(params),
+                                             "w4a8-prefill"),
+                    jnp.float32, llama.forward)
+
+    monkeypatch.setenv("BLAZR_TPU_FORCE_PALLAS_QUANT", "1")
+    calls = []
+    real = im.quant_matmul_int8mxu
+    monkeypatch.setattr(im, "quant_matmul_int8mxu",
+                        lambda x, q: calls.append(x.shape) or real(x, q))
+
+    stream = (rng.integers(1, 250, 64).tolist() * 8)[:512]
+    p_a = perplexity(model_a, stream, window=256)
+    assert not calls, "w4a16 model must not touch the int8 route"
+    p_b = perplexity(model_b, stream, window=256)
+    assert calls, "256-row windows must engage the prefill-a8 route"
+    assert np.isfinite(p_a) and np.isfinite(p_b)
+    assert abs(p_b - p_a) / p_a < 0.02, (p_a, p_b)
