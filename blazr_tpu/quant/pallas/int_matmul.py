@@ -598,3 +598,19 @@ def quant_matmul_pallas(x: jax.Array, qt: QuantTensor) -> jax.Array:
 #   allocations. The B>32 regime is therefore EXPLOITABLE: the serving
 #   engine's max_batch default stays 32 only for KV-memory headroom at
 #   ctx 1024.
+# ROUND-4 PREFILL-REGIME RACE (same chip, 2026-08-20; /tmp/mm_race.py,
+# K=4096 N=28672 AWQ-int4 g128 — the 7B gateup shape):
+#   m=1024:  dense bf16 88.1 TF/s | w4a16 fused 76.5 | xla dequant-dot
+#            56.6 | W4A8 int8-MXU 94.3   <- int8 beats even dense
+#   m=4096:  dense bf16 134.8     | w4a16 fused 107.4 | xla 115.6
+#            | W4A8 int8-MXU 144.9
+# At prefill row counts the MXU wave floor is gone (output rows fill the
+# waves) and the int4->bf16 convert chain + bf16 MXU rate become the
+# binds; int8 activations halve the convert work AND ride the faster
+# int8 MXU issue rate: 1.23-1.35x the fused path. Hence quant_compute
+# "auto" = w4a8-prefill on TPU (quant/qtensor.apply_quant_compute):
+# matmuls with >= _PREFILL_A8_MIN_M rows ride the int8 MXU; decode
+# (m <= max_batch, wave-bound, no win) stays bit-exact w4a16. Engine
+# prefill measured flat ~6.3k tok/s (45% bf16 peak) before this change —
+# the burst-TTFT p50 floor (half-burst prompt tokens / prefill rate) was
+# 325 ms; the int8 tier moves the floor to ~265 ms.
