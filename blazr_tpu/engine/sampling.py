@@ -120,21 +120,33 @@ def apply_penalties(
     presence_penalty: jax.Array,  # [B]
 ) -> jax.Array:
     """Repetition (CTRL-style), frequency and presence penalties over the
-    recent-token window (reference sampling.rs penalty stage)."""
+    recent-token window (reference sampling.rs penalty stage).
+
+    Sparse formulation: penalties only change the ≤W logits named by the
+    window, so the stage gathers those, transforms them, and scatters
+    them back — O(B·W²) VPU work instead of the dense O(B·V) scatter-add
+    + elementwise chain over the [B, V] plane (the count is computed per
+    SLOT via a W×W equality sum). Pad slots (token id 0 after clamping)
+    write token 0's own final value, so duplicate scatter writes are
+    always identical and the nondeterministic write order is harmless.
+    """
     b, v = logits.shape
     valid = window_tokens >= 0
     safe = jnp.where(valid, window_tokens, 0)
-    one_hot_counts = jnp.zeros((b, v), dtype=jnp.float32).at[
-        jnp.arange(b)[:, None], safe
-    ].add(valid.astype(jnp.float32))
-    seen = one_hot_counts > 0
-
+    # counts[j] = occurrences of safe[j] among VALID slots (its own
+    # included), i.e. the dense one_hot_counts gathered at safe[j].
+    eq = (safe[:, :, None] == safe[:, None, :]) & valid[:, None, :]
+    counts = eq.sum(axis=2).astype(jnp.float32)            # [B, W]
+    in_win = counts > 0
+    cur = jnp.take_along_axis(logits, safe, axis=1)        # [B, W]
     rp = repeat_penalty[:, None]
-    penalized = jnp.where(logits > 0, logits / rp, logits * rp)
-    logits = jnp.where(seen, penalized, logits)
-    logits = logits - one_hot_counts * freq_penalty[:, None]
-    logits = logits - seen.astype(jnp.float32) * presence_penalty[:, None]
-    return logits
+    penalized = jnp.where(cur > 0, cur / rp, cur * rp)
+    val = jnp.where(
+        in_win,
+        penalized - counts * freq_penalty[:, None]
+        - presence_penalty[:, None],
+        cur)
+    return logits.at[jnp.arange(b)[:, None], safe].set(val)
 
 
 def apply_top_k(logits: jax.Array, top_k: jax.Array) -> jax.Array:

@@ -322,3 +322,45 @@ def test_finish_reason_openai_names():
 def test_is_valid_json():
     assert is_valid_json('{"a": 1}')
     assert not is_valid_json('{"a":')
+
+
+def test_apply_penalties_sparse_matches_dense():
+    """The sparse gather/scatter penalty stage must match the dense
+    [B, V] formulation bit-for-bit (same FP expressions per token),
+    including duplicate window entries and pad slots colliding with a
+    real token id 0 in the window."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from blazr_tpu.engine.sampling import PAD_TOKEN, apply_penalties
+
+    rng = np.random.default_rng(11)
+    b, v, w = 5, 97, 16
+    logits = jnp.asarray(rng.standard_normal((b, v)).astype(np.float32))
+    win = rng.integers(0, v, (b, w)).astype(np.int32)
+    win[0, :] = PAD_TOKEN                 # empty window row
+    win[1, 3:] = PAD_TOKEN                # short window
+    win[2, 0] = 0                         # token 0 IS in the window...
+    win[2, 5:] = PAD_TOKEN                # ...alongside pad slots
+    win[3, :4] = 42                       # duplicates
+    rp = jnp.asarray([1.3, 1.0, 1.1, 2.0, 0.9], dtype=jnp.float32)
+    fp = jnp.asarray([0.0, 0.5, 0.1, 0.0, 0.2], dtype=jnp.float32)
+    pp = jnp.asarray([0.2, 0.0, 0.3, 1.0, 0.0], dtype=jnp.float32)
+
+    got = np.asarray(apply_penalties(logits, jnp.asarray(win), rp, fp, pp))
+
+    # dense reference (the pre-r4 formulation)
+    valid = win >= 0
+    safe = np.where(valid, win, 0)
+    counts = np.zeros((b, v), dtype=np.float32)
+    np.add.at(counts, (np.arange(b)[:, None], safe),
+              valid.astype(np.float32))
+    seen = counts > 0
+    lg = np.asarray(logits).copy()
+    rpn = np.asarray(rp)[:, None]
+    pen = np.where(lg > 0, lg / rpn, lg * rpn)
+    ref = np.where(seen, pen, lg)
+    ref = ref - counts * np.asarray(fp)[:, None]
+    ref = ref - seen.astype(np.float32) * np.asarray(pp)[:, None]
+
+    np.testing.assert_array_equal(got, ref)
