@@ -126,11 +126,11 @@ def _ramp_sizes(n: int, first: int, cap: int) -> list[int]:
     """Prefill-priority pacing (VERDICT r3 #2): split an n-row burst of
     FINISHING prefill rows into flat groups of `first` so each group's
     first tokens land as soon as that group completes instead of after
-    the whole slab. Measured on-chip (r4): prefill rate is batch-FLAT
-    (b8 ≈ b32 ≈ 6.3k tok/s on the 7B AWQ flagship), so small groups cost
-    only the extra dispatches (~5 ms each) while TTFT p50 drops to about
-    half the slab wall. Chunked mid-prompt rows (no token to emit) are
-    NOT ramped — they keep full-width slabs."""
+    the whole slab. Measured on-chip (r4): prefill rate is near-flat in
+    batch (b8 ≈ b32 on the 7B AWQ flagship), so small groups cost only
+    the extra dispatches (~2 ms each) while TTFT p50 drops to about half
+    the slab wall. Chunked mid-prompt rows (no token to emit) are NOT
+    ramped — they keep full-width slabs."""
     if first <= 0 or first >= cap:
         return [min(n, cap)] * -(-n // cap) if n else []
     out = []
@@ -139,6 +139,29 @@ def _ramp_sizes(n: int, first: int, cap: int) -> list[int]:
         out.append(s)
         n -= s
     return out
+
+
+def _median_first_sizes(n: int, first: int, cap: int) -> list[int]:
+    """Cold-burst pacing: one front-loaded group covering the median
+    request, then small flat groups.
+
+    Prefill groups pad to powers of two (one compiled program per
+    bucket), and the large-m matmul rate RISES with rows on the int8
+    prefill tier (r4 race: 94 TF/s at m=1024 → 145 at m=4096), so the
+    burst's p50 TTFT is minimized by one group of the smallest power of
+    two ≥ ⌈n/2⌉ — the median request's first token lands when that
+    single maximal-rate slab completes — followed by `first`-wide groups
+    so the tail still paces out. For n=32, first=8: [16, 8, 8] → p50 is
+    ~2.3 slab-walls of flat-8 pacing down to ~1.3. Used only when no
+    decode rows are active (a big slab would otherwise stall running
+    sequences' ITL by its full wall)."""
+    if first <= 0 or first >= cap or n <= first:
+        return _ramp_sizes(n, first, cap)
+    lead = 1
+    while lead < min(-(-n // 2), cap):
+        lead *= 2
+    out = [min(lead, n)]
+    return out + _ramp_sizes(n - out[0], first, cap)
 
 
 @dataclasses.dataclass
@@ -1094,12 +1117,15 @@ class BatchEngine:
         # device execution in dispatch order, so the decode round simply
         # queues behind the prefills it must observe.
         pending: list = []
+        cold = not any(s.state == SequenceState.RUNNING
+                       for s in batch.decode_sequences)
         if batch.prefill_sequences:
             with tracing_span("prefill", backend="paged",
                               batch=len(batch.prefill_sequences)):
                 t0 = time.perf_counter()
                 pending = await asyncio.to_thread(self._dispatch_prefills,
-                                                  batch.prefill_sequences)
+                                                  batch.prefill_sequences,
+                                                  cold)
                 self.perf["prefill"] += time.perf_counter() - t0
                 self.perf["prefill_n"] += 1
         decodes = [s for s in batch.decode_sequences
@@ -1154,7 +1180,8 @@ class BatchEngine:
         if pending:
             self._finish_prefills(pending)
 
-    def _dispatch_prefills(self, seqs: list[Sequence]) -> list:
+    def _dispatch_prefills(self, seqs: list[Sequence],
+                           cold: bool = False) -> list:
         """Dispatch this step's prefill chunks, batching same-bucket
         chunks into ONE [P ≤ 8, T] step; first-token sampling is fused
         into each program. Returns the un-fetched outputs so the fetch
@@ -1216,7 +1243,8 @@ class BatchEngine:
             cont = [s for s in group
                     if len(s.prompt_tokens) - s.prefilled_tokens > chunk_cfg]
             off = 0
-            for sz in _ramp_sizes(len(fin), first, _PREFILL_GROUP):
+            pace = _median_first_sizes if cold else _ramp_sizes
+            for sz in pace(len(fin), first, _PREFILL_GROUP):
                 pending.append(self._prefill_group(
                     fin[off:off + sz], bucket, chunk_cfg))
                 off += sz

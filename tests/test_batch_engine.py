@@ -902,5 +902,66 @@ def test_prefill_ramp_paces_burst(model):
     sizes_r, out_r = asyncio.run(run(mk(first=2)))
     sizes_p, out_p = asyncio.run(run(mk(first=0)))
     assert out_r == out_p
-    assert sizes_r[:4] == [2, 2, 2, 2], sizes_r   # flat paced burst
+    # Cold burst (no active decodes) -> median-first pacing: a front
+    # group covering the median request, then flat `first` groups.
+    assert sizes_r[:3] == [4, 2, 2], sizes_r
     assert sizes_p[0] == 8, sizes_p            # unramped: one slab
+
+
+def test_median_first_sizes():
+    from blazr_tpu.engine.batch_engine import _median_first_sizes
+
+    assert _median_first_sizes(32, 8, 32) == [16, 8, 8]
+    assert _median_first_sizes(64, 8, 32) == [32, 8, 8, 8, 8]
+    assert _median_first_sizes(20, 8, 32) == [16, 4]
+    assert _median_first_sizes(12, 8, 32) == [8, 4]
+    assert _median_first_sizes(8, 8, 32) == [8]       # n <= first: flat
+    assert _median_first_sizes(3, 8, 32) == [3]
+    assert _median_first_sizes(0, 8, 32) == []
+    # disabled pacing -> full-width slabs
+    assert _median_first_sizes(64, 0, 32) == [32, 32]
+
+
+def test_warm_burst_keeps_flat_pacing(model):
+    """With decode rows ACTIVE, a prefill burst paces in flat `first`
+    groups (no median-first slab — it would stall running sequences'
+    ITL by the slab wall)."""
+    from blazr_tpu.config import AppConfig
+
+    app = AppConfig(model=model.cfg)
+    app.inference.max_seq_len = 64
+    app.inference.max_batch_size = 12
+    app.inference.prefill_first_group = 2
+    eng = BatchEngine(model, ByteTok(), app)
+
+    sizes = []
+    orig = eng._prefill_group
+
+    def spy(group, *a, **kw):
+        sizes.append(len(group))
+        return orig(group, *a, **kw)
+
+    eng._prefill_group = spy
+
+    async def run():
+        task = asyncio.create_task(eng.run())
+        # One long-running request decodes while the burst arrives.
+        h0 = eng.submit([1, 2, 3], GenerationConfig(max_tokens=40,
+                                                    temperature=0.0))
+        got = 0
+        async for _tok in h0.tokens():
+            got += 1
+            if got == 3:
+                break
+        sizes.clear()
+        hs = [eng.submit([10 + i, 20, 30, 40],
+                         GenerationConfig(max_tokens=4, temperature=0.0))
+              for i in range(8)]
+        for h in hs:
+            await asyncio.wait_for(_collect(h), timeout=120)
+        eng.stop()
+        await task
+
+    asyncio.run(run())
+    burst = [s for s in sizes if s <= 8]
+    assert burst and max(burst) <= 2, sizes   # flat groups of `first`
