@@ -55,6 +55,16 @@ app = AppConfig(model=cfg)
 # KV is ~8.6 GB + 4.5 GB weights — over the compile helper's cap; the
 # wave-flat sweep showed B=64@ctx512 reaches 1.8x the B=32 aggregate).
 app.inference.max_seq_len = _flag("ctx", 1024)
+# --block-size: KV block granularity. The PA decode kernel's cost is
+# per-grid-step overhead (grid = rows x blocks-per-row), so bigger
+# blocks cut kernel invocations linearly (r4 ablation: fwd+argmax at
+# b32/bs64 = 25.8 ms/step vs 16.2 contiguous).
+bs_flag = _flag("block-size")
+if bs_flag:
+    app.inference.block_size = int(bs_flag)
+first_flag = _flag("first")
+if first_flag is not None:
+    app.inference.prefill_first_group = int(first_flag)
 app.inference.max_batch_size = MAX_BATCH
 app.inference.prefill_chunk_size = 512
 horizon = _flag("horizon")
