@@ -150,18 +150,20 @@ def _median_first_sizes(n: int, first: int, cap: int) -> list[int]:
     prefill tier (r4 race: 94 TF/s at m=1024 → 145 at m=4096), so the
     burst's p50 TTFT is minimized by one group of the smallest power of
     two ≥ ⌈n/2⌉ — the median request's first token lands when that
-    single maximal-rate slab completes — followed by `first`-wide groups
-    so the tail still paces out. For n=32, first=8: [16, 8, 8] → p50 is
-    ~2.3 slab-walls of flat-8 pacing down to ~1.3. Used only when no
-    decode rows are active (a big slab would otherwise stall running
-    sequences' ITL by its full wall)."""
+    single maximal-rate slab completes — followed by tiny 2-wide groups:
+    for even bursts p50 averages the requests just before/after the
+    lead-group boundary, so the first trailing group's wall is on the
+    p50 path and smaller is strictly better (measured on the 32-burst:
+    tail 8 → p50 375 ms, tail 4 → 362, tail 2 → 327; aggregate and p95
+    unchanged). Used only when no decode rows are active (a big slab
+    would otherwise stall running sequences' ITL by its full wall)."""
     if first <= 0 or first >= cap or n <= first:
         return _ramp_sizes(n, first, cap)
     lead = 1
     while lead < min(-(-n // 2), cap):
         lead *= 2
     out = [min(lead, n)]
-    return out + _ramp_sizes(n - out[0], first, cap)
+    return out + _ramp_sizes(n - out[0], min(first, 2), cap)
 
 
 @dataclasses.dataclass

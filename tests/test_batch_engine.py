@@ -911,10 +911,10 @@ def test_prefill_ramp_paces_burst(model):
 def test_median_first_sizes():
     from blazr_tpu.engine.batch_engine import _median_first_sizes
 
-    assert _median_first_sizes(32, 8, 32) == [16, 8, 8]
-    assert _median_first_sizes(64, 8, 32) == [32, 8, 8, 8, 8]
-    assert _median_first_sizes(20, 8, 32) == [16, 4]
-    assert _median_first_sizes(12, 8, 32) == [8, 4]
+    assert _median_first_sizes(32, 8, 32) == [16] + [2] * 8
+    assert _median_first_sizes(64, 8, 32) == [32] + [2] * 16
+    assert _median_first_sizes(20, 8, 32) == [16, 2, 2]
+    assert _median_first_sizes(12, 8, 32) == [8, 2, 2]
     assert _median_first_sizes(8, 8, 32) == [8]       # n <= first: flat
     assert _median_first_sizes(3, 8, 32) == [3]
     assert _median_first_sizes(0, 8, 32) == []
