@@ -30,13 +30,21 @@ from jax.experimental.pallas import tpu as pltpu
 from ..kvcache.paged import PAD_BLOCK
 
 
-def _pa_kernel(bt_ref, sl_ref, q_ref, k_ref, v_ref, *rest,
+def _pa_kernel(bt_ref, sl_ref, q_ref, *rest,
                block_size: int, max_blocks: int, heads_per_group: int,
                num_kv_heads: int, scale: float, quantized: bool = False,
                sliding_window: int | None = None,
                logit_softcap: float | None = None,
-               has_alibi: bool = False):
-    """Grid (B, MB): each program streams ONE KV block for ALL kv heads.
+               has_alibi: bool = False, fan: int = 1):
+    """Grid (B, ⌈MB/fan⌉): each program streams ``fan`` KV blocks for ALL
+    kv heads.
+
+    ``fan`` > 1 amortizes the per-grid-step Mosaic overhead — the decode
+    regime's actual bind (B=64 × MB=8 = 512 grid steps of ~20-30 µs fixed
+    cost dwarf the ~0.2 ms of KV bytes; measured 25.8 ms/step engine vs
+    16.2 contiguous at b32/bs64). Each of the ``fan`` block-table slots
+    rides its own scalar-prefetch-indexed operand, so the unroll keeps
+    the allocator's block granularity while cutting grid steps fan×.
 
     Mosaic's block-shape rule requires the last two block dims to be
     8/128-divisible or full — so blocks carry the full [BS, H_kv, D]
@@ -54,9 +62,13 @@ def _pa_kernel(bt_ref, sl_ref, q_ref, k_ref, v_ref, *rest,
       has_alibi — an extra [H_q, 1] slopes operand adds
         ``slope * (kv_pos - q_pos)`` to the logits (falcon).
     """
+    k_refs = rest[:fan]
+    v_refs = rest[fan : 2 * fan]
+    rest = rest[2 * fan :]
     if quantized:
-        ks_ref, vs_ref = rest[:2]
-        rest = rest[2:]
+        ks_refs = rest[:fan]
+        vs_refs = rest[fan : 2 * fan]
+        rest = rest[2 * fan :]
     if has_alibi:
         alibi_ref = rest[0]
         rest = rest[1:]
@@ -71,9 +83,8 @@ def _pa_kernel(bt_ref, sl_ref, q_ref, k_ref, v_ref, *rest,
     if sliding_window is not None:
         # First block-table slot that holds any in-window key.
         lo = jnp.maximum(seq_len - sliding_window, 0) // block_size
-        tt = lo + t
     else:
-        tt = t
+        lo = 0
 
     @pl.when(t == 0)
     def _init():
@@ -81,6 +92,36 @@ def _pa_kernel(bt_ref, sl_ref, q_ref, k_ref, v_ref, *rest,
         l_ref[...] = jnp.zeros_like(l_ref)
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
+    for f in range(fan):
+        _pa_attend_block(
+            lo + (t * fan + f), seq_len,
+            q_ref, k_refs[f], v_refs[f],
+            ks_refs[f] if quantized else None,
+            vs_refs[f] if quantized else None,
+            alibi_ref if has_alibi else None,
+            m_ref, l_ref, acc_ref,
+            block_size=block_size, heads_per_group=hpg,
+            num_kv_heads=g_all, scale=scale,
+            sliding_window=sliding_window, logit_softcap=logit_softcap)
+
+    @pl.when(t == max_blocks - 1)
+    def _done():
+        denom = jnp.maximum(l_ref[...], 1e-30)
+        o_ref[0] = (acc_ref[...] / denom).reshape(
+            g_all, hpg, -1).astype(o_ref.dtype)
+
+
+def _pa_attend_block(tt, seq_len, q_ref, k_ref, v_ref, ks_ref, vs_ref,
+                     alibi_ref, m_ref, l_ref, acc_ref, *,
+                     block_size: int, heads_per_group: int,
+                     num_kv_heads: int, scale: float,
+                     sliding_window: int | None,
+                     logit_softcap: float | None):
+    """Online-softmax update for ONE streamed KV block (table slot tt)."""
+    g_all = num_kv_heads
+    hpg = heads_per_group
+    h_q = g_all * hpg
+    quantized = ks_ref is not None
     valid_block = (tt * block_size) < seq_len
 
     @pl.when(valid_block)
@@ -108,7 +149,7 @@ def _pa_kernel(bt_ref, sl_ref, q_ref, k_ref, v_ref, *rest,
             logits = jnp.tanh(logits / logit_softcap) * logit_softcap
         pos = tt * block_size + jax.lax.broadcasted_iota(
             jnp.int32, (1, 1, block_size), 2)
-        if has_alibi:
+        if alibi_ref is not None:
             # slope * (kv_pos - q_pos); q_pos = seq_len-1 for decode.
             rel = (pos - (seq_len - 1)).astype(jnp.float32)  # [1, 1, BS]
             logits = logits + (alibi_ref[...].reshape(g_all, hpg, 1)
@@ -140,17 +181,11 @@ def _pa_kernel(bt_ref, sl_ref, q_ref, k_ref, v_ref, *rest,
             preferred_element_type=jnp.float32)
         acc_ref[...] = acc_ref[...] * alpha + av.reshape(h_q, -1)
 
-    @pl.when(t == max_blocks - 1)
-    def _done():
-        denom = jnp.maximum(l_ref[...], 1e-30)
-        o_ref[0] = (acc_ref[...] / denom).reshape(
-            g_all, hpg, -1).astype(o_ref.dtype)
-
 
 @functools.partial(
     jax.jit,
     static_argnames=("block_size", "num_blocks", "interpret",
-                     "sliding_window", "logit_softcap"),
+                     "sliding_window", "logit_softcap", "fan"),
 )
 def paged_attention_decode(
     q: jax.Array,                 # [B, H_q, D]
@@ -167,6 +202,7 @@ def paged_attention_decode(
     sliding_window: int | None = None,
     logit_softcap: float | None = None,
     alibi=None,                   # [H_q] f32 slopes (falcon)
+    fan: int | None = None,       # block-table slots streamed per grid step
 ) -> jax.Array:
     b, h_q, d = q.shape
     h_kv = k_cache.shape[1]
@@ -188,60 +224,77 @@ def paged_attention_decode(
 
     quantized = k_scale is not None
 
-    # Sliding window: grid step t walks block-table slots lo(b)..lo(b)+t
-    # where lo is the first slot holding in-window keys — out-of-window
-    # blocks are never streamed from HBM (the index map does the offset;
-    # the kernel recomputes lo for its position math).
-    if sliding_window is None:
-        def _slot(b, t, bt, sl):
-            return bt[b, t]
-    else:
-        def _slot(b, t, bt, sl):
-            lo = jnp.maximum(sl[b] - sliding_window, 0) // block_size
-            return bt[b, jnp.minimum(lo + t, mb - 1)]
+    # A window of W keys ending at seq_len-1 straddles at most
+    # W//BS + 2 block-table slots — the grid never walks more than that.
+    mb_eff = mb if sliding_window is None else min(
+        mb, sliding_window // block_size + 2)
+
+    # Fan-out: stream `fan` table slots per grid step (each as its own
+    # scalar-prefetch-indexed operand). The decode regime is bound by
+    # per-grid-step fixed overhead, not KV bytes — B=64 × MB=8 is 512
+    # steps of ~20-30 µs; fan=4 cuts that 4× at ~1 MB extra VMEM.
+    if fan is None:
+        fan = min(4, mb_eff)
+    fan = max(1, min(fan, mb_eff))
+    grid_t = -(-mb_eff // fan)
+
+    # Sliding window: grid walks block-table slots lo(b)..lo(b)+t where
+    # lo is the first slot holding in-window keys — out-of-window blocks
+    # are never streamed from HBM (the index map does the offset; the
+    # kernel recomputes lo for its position math). Slot indices past the
+    # table clamp to mb-1; the kernel's seq_len guard ignores their data.
+    def _slot(f):
+        if sliding_window is None:
+            def _m(b, t, bt, sl):
+                return bt[b, jnp.minimum(t * fan + f, mb - 1)]
+        else:
+            def _m(b, t, bt, sl):
+                lo = jnp.maximum(sl[b] - sliding_window, 0) // block_size
+                return bt[b, jnp.minimum(lo + t * fan + f, mb - 1)]
+        return _m
 
     # Blocks carry FULL trailing dims ([BS, H_kv, D] per KV block) — the
     # Mosaic block-shape rule; the kernel batches the head axis in-register.
+    def _kv_spec(f):
+        m = _slot(f)
+        return pl.BlockSpec((1, block_size, h_kv, d),
+                            lambda b, t, bt, sl, _m=m: (_m(b, t, bt, sl),
+                                                        0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
     in_specs = [
         pl.BlockSpec((1, h_kv, hpg, d), lambda b, t, bt, sl: (b, 0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, block_size, h_kv, d),
-                     lambda b, t, bt, sl: (_slot(b, t, bt, sl), 0, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, block_size, h_kv, d),
-                     lambda b, t, bt, sl: (_slot(b, t, bt, sl), 0, 0, 0),
-                     memory_space=pltpu.VMEM),
+        *[_kv_spec(f) for f in range(fan)],
+        *[_kv_spec(f) for f in range(fan)],
     ]
-    operands = [qg, k4, v4]
+    operands = [qg, *([k4] * fan), *([v4] * fan)]
     if quantized:
         ks3 = k_scale[: num_blocks * block_size].reshape(
             num_blocks, block_size, h_kv)
         vs3 = v_scale[: num_blocks * block_size].reshape(
             num_blocks, block_size, h_kv)
+
         # whole [BS, H_kv] scale tile per block (lane dim full: H_kv < 128)
-        in_specs += [
-            pl.BlockSpec((1, block_size, h_kv),
-                         lambda b, t, bt, sl: (_slot(b, t, bt, sl), 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_size, h_kv),
-                         lambda b, t, bt, sl: (_slot(b, t, bt, sl), 0, 0),
-                         memory_space=pltpu.VMEM),
-        ]
-        operands += [ks3, vs3]
+        def _sc_spec(f):
+            m = _slot(f)
+            return pl.BlockSpec((1, block_size, h_kv),
+                                lambda b, t, bt, sl, _m=m: (
+                                    _m(b, t, bt, sl), 0, 0),
+                                memory_space=pltpu.VMEM)
+
+        in_specs += [_sc_spec(f) for f in range(fan)]
+        in_specs += [_sc_spec(f) for f in range(fan)]
+        operands += [*([ks3] * fan), *([vs3] * fan)]
     if alibi is not None:
         in_specs.append(pl.BlockSpec((h_q, 1),
                                      lambda b, t, bt, sl: (0, 0),
                                      memory_space=pltpu.VMEM))
         operands.append(jnp.asarray(alibi, jnp.float32).reshape(h_q, 1))
 
-    # A window of W keys ending at seq_len-1 straddles at most
-    # W//BS + 2 block-table slots — the grid never walks more than that.
-    mb_eff = mb if sliding_window is None else min(
-        mb, sliding_window // block_size + 2)
-
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,          # block tables + seq lens
-        grid=(b, mb_eff),
+        grid=(b, grid_t),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, h_kv, hpg, d),
                                lambda b, t, bt, sl: (b, 0, 0, 0),
@@ -253,10 +306,11 @@ def paged_attention_decode(
         ],
     )
     kernel = functools.partial(
-        _pa_kernel, block_size=block_size, max_blocks=mb_eff,
+        _pa_kernel, block_size=block_size, max_blocks=grid_t,
         heads_per_group=hpg, num_kv_heads=h_kv, scale=scale,
         quantized=quantized, sliding_window=sliding_window,
         logit_softcap=logit_softcap, has_alibi=alibi is not None,
+        fan=fan,
     )
     out = pl.pallas_call(
         kernel,

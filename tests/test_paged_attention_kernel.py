@@ -104,3 +104,30 @@ def test_kernel_window_softcap_combined(rng):
                                  sliding_window=10, logit_softcap=20.0)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("fan", [1, 2, 3, 4, 6])
+def test_kernel_fan_parity(rng, fan):
+    """fan>1 streams several table slots per grid step (amortizing the
+    per-grid-step Mosaic overhead that binds serving decode: B=64 x MB=8
+    was 512 steps of ~20-30 us fixed cost). Every fan must be bit-exact
+    vs fan=1, including non-divisible grids (mb=6, fan=4 -> pad slot)."""
+    q, kc, vc, bt, sl, bs, nb = _setup(rng)
+    base = paged_attention_decode(q, kc, vc, bt, sl, block_size=bs,
+                                  num_blocks=nb, interpret=True, fan=1)
+    got = paged_attention_decode(q, kc, vc, bt, sl, block_size=bs,
+                                 num_blocks=nb, interpret=True, fan=fan)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(base))
+
+
+@pytest.mark.parametrize("fan", [2, 3])
+def test_kernel_fan_windowed_quantized(rng, fan):
+    """fan composes with the windowed grid offset and int8-KV scales."""
+    q, kc, vc, bt, sl, bs, nb = _setup(rng)
+    ks = jnp.asarray(rng.uniform(0.5, 2.0, kc.shape[:2]).astype(np.float32))
+    vs = jnp.asarray(rng.uniform(0.5, 2.0, vc.shape[:2]).astype(np.float32))
+    kw = dict(block_size=bs, num_blocks=nb, interpret=True,
+              sliding_window=12, k_scale=ks, v_scale=vs)
+    base = paged_attention_decode(q, kc, vc, bt, sl, fan=1, **kw)
+    got = paged_attention_decode(q, kc, vc, bt, sl, fan=fan, **kw)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(base))
