@@ -65,6 +65,11 @@ if bs_flag:
 first_flag = _flag("first")
 if first_flag is not None:
     app.inference.prefill_first_group = int(first_flag)
+kv_flag = _flag("kv", cast=str)
+if kv_flag:
+    # --kv int8: quantized paged KV (halves the per-step KV read bytes
+    # AND the pool footprint; the PA kernel's int8 scale path).
+    app.inference.kv_cache_dtype = str(kv_flag)
 app.inference.max_batch_size = MAX_BATCH
 app.inference.prefill_chunk_size = 512
 horizon = _flag("horizon")
