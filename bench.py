@@ -1,21 +1,34 @@
-"""Flagship benchmark: Mistral-7B AWQ-INT4 decode on one chip.
+"""Flagship benchmark: Mistral-7B AWQ-INT4 decode + serving on one chip.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "tok/s", "vs_baseline": N/roofline, ...}
 
-The headline value is the BATCHED decode aggregate (best over the batch
-sweep) — the serving regime the engine optimizes for. Measured round-2
-fact (quant/pallas/int_matmul.py PERF LOG): single-stream decode on this
-chip is MXU-WAVE-bound at ~100 tok/s for 7B — with m<<128 query rows the
-systolic array pads the output wave, so NO weight-compression scheme can
-reach the 183 tok/s B=1 HBM roofline; batching amortizes the wave floor
-across sequences and is the honest throughput lever (the reference's own
-bench methodology sweeps concurrency {1..32}, bench_config.rs:200-203).
-The line also carries the single-stream number and warm p50 TTFT
-(BASELINE.md metric set).
+DEADLINE-AWARE AND KILL-SAFE (VERDICT r4 #1). Round 4's bench could
+exceed its caller's wall and printed its single JSON line only at the
+very end, so the driver's `timeout` kill yielded NOTHING (BENCH_r04.json
+rc=124, parsed=null). This version:
+  - keeps a global deadline (env `BLAZR_BENCH_DEADLINE_S`, default
+    1500 s) and derives every attempt/probe budget from time REMAINING;
+  - caps the tunnel-health loop at 3 attempts (~3 min worst case);
+  - maintains a best-so-far result dict and prints it from a
+    SIGTERM/SIGINT handler AND a `finally:` block, so a kill at ANY
+    point still yields a parsable artifact (exactly one line, last);
+  - orders serving probes by value: steady_b64 first (the headline),
+    then the round-over-round burst, then spec modes only with surplus.
+Reference bar for the methodology: timeboxed, always reports —
+/root/reference/src/cli/bench.rs:24-34.
 
-vs_baseline is the batched aggregate against the single-stream HBM
-roofline (weights + B=1 KV per token) — the bar BASELINE.md sets.
+The headline value is the real-BatchEngine serving aggregate (steady
+B=64@ctx512), falling back to the model-level batched decode sweep.
+Measured round-2 fact (quant/pallas/int_matmul.py PERF LOG):
+single-stream decode on this chip is MXU-WAVE-bound at ~100 tok/s for
+7B — with m<<128 query rows the systolic array pads the output wave, so
+no weight-compression scheme reaches the 183 tok/s B=1 HBM roofline;
+batching amortizes the wave floor (the reference's own bench sweeps
+concurrency {1..32}, bench_config.rs:200-203).
+
+vs_baseline is the aggregate against the single-stream HBM roofline
+(weights + B=1 KV per token) — the bar BASELINE.md sets.
 
 Weights are synthesized on device (no checkpoints in this environment);
 decode throughput is content-independent.
@@ -25,6 +38,7 @@ from __future__ import annotations
 
 import json
 import os
+import signal
 import sys
 import time
 
@@ -41,6 +55,38 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 # v5e (TPU v5 lite) HBM bandwidth, bytes/s (public spec: 819 GB/s).
 HBM_BW = 819e9
+
+# ---- global deadline -----------------------------------------------------
+_T0 = time.monotonic()
+DEADLINE_S = float(os.environ.get("BLAZR_BENCH_DEADLINE_S", "1500"))
+
+
+def _remaining() -> float:
+    return DEADLINE_S - (time.monotonic() - _T0)
+
+
+# ---- best-so-far result, emitted exactly once ----------------------------
+BEST: dict = {
+    "metric": "decode_tok_s_per_chip_mistral7b_awq_int4",
+    "value": 0.0, "unit": "tok/s", "vs_baseline": 0.0,
+    "error": "no measurement completed", "platform": "unknown",
+}
+_emitted = False
+
+
+def _emit() -> None:
+    global _emitted
+    if not _emitted:
+        _emitted = True
+        BEST["elapsed_s"] = round(time.monotonic() - _T0, 1)
+        sys.stdout.write(json.dumps(BEST) + "\n")
+        sys.stdout.flush()
+
+
+def _on_kill(signum, frame):  # noqa: ARG001
+    BEST.setdefault("note_kill", f"emitted from signal {signum} handler")
+    _emit()
+    os._exit(0)
 
 
 def _param_bytes(params) -> int:
@@ -190,7 +236,18 @@ def _config_by_name(name: str):
 def _child(name: str) -> None:
     """Run one bench attempt and print its JSON line (invoked by main() in
     a timeboxed subprocess: a dying tunnel HANGS in the data fetch rather
-    than raising, and a hung bench would leave the driver with no output)."""
+    than raising, and a hung bench would leave the driver with no output).
+
+    The child honors its OWN internal deadline (`BLAZR_BENCH_CHILD_S`,
+    set by the parent below its subprocess timeout): sweep points are
+    skipped once time runs low, so the child always finishes and prints
+    whatever it measured rather than being SIGKILLed with nothing."""
+    child_t0 = time.monotonic()
+    child_budget = float(os.environ.get("BLAZR_BENCH_CHILD_S", "1e9"))
+
+    def left() -> float:
+        return child_budget - (time.monotonic() - child_t0)
+
     if os.environ.get("BLAZR_BENCH_CPU"):
         # HARD platform pin: JAX_PLATFORM_NAME only sets a preference and
         # still initializes the remote TPU backend — which hangs forever
@@ -203,6 +260,8 @@ def _child(name: str) -> None:
     best = dict(single)
     per_batch = {"1": round(single["toks_per_s"], 2)}
     sweep_notes: dict = {}
+    ttft_p50_ms = None
+    prefill_sweep: dict = {}
     if on_tpu:
         # B=64@ctx1024 is KV ~8.6 GB + 3.8 GB params — near the HBM edge;
         # failures are LOGGED per batch point (VERDICT r2 #6), and the
@@ -222,6 +281,9 @@ def _child(name: str) -> None:
                 continue                  # full-ctx point worked; skip retry
             if kvq and str(b) in per_batch:
                 continue                  # bf16 full-ctx point worked
+            if left() < 90:               # compile+run of one point
+                sweep_notes[key] = "skipped: child deadline"
+                continue
             try:
                 r = fl.bench_decode(batch=b, ctx=ctx, kv_quant=kvq)
             except Exception as e:
@@ -230,11 +292,14 @@ def _child(name: str) -> None:
             per_batch[key] = round(r["toks_per_s"], 2)
             if r["toks_per_s"] > best["toks_per_s"]:
                 best = r
-        ttft_p50_ms = fl.bench_ttft() * 1e3
+        if left() > 45:
+            ttft_p50_ms = fl.bench_ttft() * 1e3
         # Prefill ceiling (chunk sweep at B=32): what the burst serving
         # number is bound by.
-        prefill_sweep = {}
         for t in (256, 512, 1024):
+            if left() < 75:
+                prefill_sweep[f"b32_t{t}"] = "skipped: child deadline"
+                continue
             try:
                 prefill_sweep[f"b32_t{t}"] = round(
                     fl.bench_prefill(batch=32, t=t), 1)
@@ -242,7 +307,6 @@ def _child(name: str) -> None:
                 prefill_sweep[f"b32_t{t}"] = f"{type(e).__name__}"
     else:
         ttft_p50_ms = fl.bench_ttft(reps=2) * 1e3
-        prefill_sweep = {}
 
     roofline_b1 = single["roofline"]
     print(json.dumps({
@@ -255,7 +319,8 @@ def _child(name: str) -> None:
         "single_stream_tok_s": round(single["toks_per_s"], 2),
         "single_stream_vs_roofline": round(
             single["toks_per_s"] / roofline_b1, 4),
-        "ttft_p50_ms": round(ttft_p50_ms, 1),
+        **({"ttft_p50_ms": round(ttft_p50_ms, 1)}
+           if ttft_p50_ms is not None else {}),
         "batch_sweep_tok_s": per_batch,
         **({"prefill_tok_s": prefill_sweep} if prefill_sweep else {}),
         **({"batch_sweep_errors": sweep_notes} if sweep_notes else {}),
@@ -296,130 +361,179 @@ def _one_probe(probe_args: list, timeout: int) -> dict:
     return out
 
 
-def _serving_probes() -> dict:
+def _apply_serving_headline(d: dict) -> None:
+    """Promote the best available serving probe to the headline metric.
+    Called after EVERY probe so a mid-probe kill still carries the
+    probes completed so far (BEST is re-pointed at d by the caller)."""
+    s = d.get("serving", {})
+    steady = s.get("steady_b64", {})
+    burst = s.get("burst_b32", {})
+    head = (steady if steady.get("agg_tok_s")
+            else burst if burst.get("agg_tok_s") else None)
+    if head is None:
+        return
+    if "model_level_metric" not in d:
+        d["model_level_metric"] = d["metric"]
+        d["model_level_tok_s"] = d["value"]
+    d["metric"] = (
+        "serving_agg_tok_s_mistral7b_awq_int4_"
+        f"{head['requests']}req_b{head['max_batch']}"
+        f"_gen{head['gen']}"
+        if "requests" in head else "serving_agg_tok_s")
+    d["value"] = head["agg_tok_s"]
+    d["vs_baseline"] = round(
+        head["agg_tok_s"] / d["roofline_tok_s_b1"], 4)
+    d["serving_agg_tok_s"] = head["agg_tok_s"]
+    # Burst TTFT is the round-over-round latency bar.
+    t = (burst.get("ttft_ms") or head.get("ttft_ms") or {})
+    if t.get("p50") is not None:
+        d["serving_ttft_p50_ms"] = t["p50"]
+
+
+def _serving_probes(d: dict) -> None:
     """Engine-level serving figures via the real BatchEngine
     (tools/bench_engine_serving.py), each in a timeboxed subprocess — the
     chip is held by one process at a time, so these run after the
-    flagship child has exited (VERDICT r3 #1/#5: steady-state at the
-    proven B=64 regime is the headline; burst32 keeps round-over-round
-    comparability; spec/draft modes are measured, not just exported).
+    flagship child has exited. Probes are ORDERED BY VALUE and each
+    budget is clamped to the time remaining; low-value probes are
+    dropped, never the headline (VERDICT r4 #1d).
 
-    Budgets cover a cold compile of the serving shapes through the remote
-    tunnel (~25-40 s per program; probes warm only their own buckets)
-    plus the run itself; warm runs ride the persistent compile cache."""
-    probes = {
+    (probe, args, cap, floor): cap = generous budget when time is
+    plentiful; floor = minimum useful budget — below it the probe is
+    skipped with an explicit note rather than half-run."""
+    probes = [
         # Steady-state serving at the wave-flat batch: 64 req, b=64,
         # ctx 512, 256 generated per request (1 prompt : 2 gen tokens —
-        # decode-dominated by construction).
-        "steady_b64": (["64", "64", "--ctx", "512", "--gen", "256"], 2700),
+        # decode-dominated by construction). THE HEADLINE.
+        ("steady_b64", ["64", "64", "--ctx", "512", "--gen", "256"],
+         900, 420),
         # Round-3-comparable burst: 32 req x (128 -> 64) all at t=0.
-        "burst_b32": (["32", "32"], 1800),
+        ("burst_b32", ["32", "32"], 600, 300),
         # Mode table (prompt-lookup spec / draft-model spec) on the burst
-        # shape; acceptance + adapted depth land in the artifact.
-        "spec_pl": (["32", "32", "--spec", "5"], 1500),
-        "spec_draft": (["32", "32", "--draft", "--spec", "5"], 1500),
-    }
+        # shape; acceptance + adapted depth land in the artifact
+        # (VERDICT r4 #5: one measured spec/draft line).
+        ("spec_pl", ["32", "32", "--spec", "5"], 540, 300),
+        ("spec_draft", ["32", "32", "--draft", "--spec", "5"], 600, 330),
+    ]
     if os.environ.get("BLAZR_BENCH_FAST"):
-        probes = {k: probes[k] for k in ("steady_b64", "burst_b32")}
-    out = {}
-    for name, (probe_args, budget) in probes.items():
-        out[name] = _one_probe(probe_args, budget)
-    return out
+        probes = probes[:2]
+    d["serving"] = {}
+    for name, probe_args, cap, floor in probes:
+        budget = int(min(cap, _remaining() - 20))
+        if budget < floor:
+            d["serving"][name] = {
+                "error": f"skipped: {int(max(0, _remaining()))}s left "
+                         f"< floor {floor}s"}
+            continue
+        d["serving"][name] = _one_probe(probe_args, budget)
+        _apply_serving_headline(d)
 
 
 def main() -> None:
-    # Probe TPU health in a SUBPROCESS: a half-dead axon tunnel makes
-    # jax.default_backend() hang rather than raise.
+    global BEST
+    signal.signal(signal.SIGTERM, _on_kill)
+    signal.signal(signal.SIGINT, _on_kill)
+
     import subprocess
 
-    healthy = False
-    for _attempt in range(10):        # the tunnel flakes; give it ~10 min
-        try:
-            # A real computation + fetch: device ENUMERATION can succeed
-            # while the compute path is dead.
-            r = subprocess.run(
-                [sys.executable, "-c",
-                 "import jax, jax.numpy as jnp;"
-                 "assert jax.default_backend() == 'tpu';"
-                 "print(float(jax.jit(lambda x: (x + 1).sum())(jnp.ones(8))))"],
-                capture_output=True, text=True, timeout=120)
-            healthy = r.returncode == 0 and "16.0" in r.stdout
-        except subprocess.TimeoutExpired:
-            healthy = False
-        if healthy:
-            break
-        time.sleep(50)
-    if not healthy:
-        jax.config.update("jax_platforms", "cpu")
-    platform = jax.default_backend()
-    if platform == "tpu":
-        # (name, timeout_s): cold 7B compile through the tunnel is 5-7 min
-        # and the batch sweep compiles 4 decode shapes; the persistent
-        # cache makes warm runs much faster.
-        attempts = [("mistral-7b-awq-int4", 3000),
-                    ("mistral-7b-awq-int4", 2400),
-                    ("llama-3.2-1b-awq-int4", 1500)]
-    else:
-        # No healthy TPU: report a CPU sanity number on a small config so
-        # the driver still gets a well-formed line.
-        attempts = [("llama-1b-2layer-cpu-fallback", 1200),
-                    ("tiny-cpu-fallback", 600)]
-    err: object = None
-    for name, budget in attempts:
-        # Timeboxed subprocess per attempt: a dying tunnel hangs in the
-        # device fetch; a hang here must fall through, not stall the driver.
-        env = dict(os.environ)
-        if platform != "tpu":
-            env["BLAZR_BENCH_CPU"] = "1"       # child must hard-pin CPU
-        try:
-            r = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--child", name],
-                capture_output=True, text=True, timeout=budget, env=env)
-        except subprocess.TimeoutExpired:
-            err = f"attempt {name} timed out after {budget}s"
-            continue
-        line = next((ln for ln in reversed(r.stdout.splitlines())
-                     if ln.startswith("{")), None)
-        if r.returncode == 0 and line:
-            d = json.loads(line)
-            if platform == "tpu":
-                # THE HEADLINE IS THE SERVING PATH (VERDICT r2 #1, r3 #1):
-                # the real BatchEngine steady-state aggregate at the
-                # proven B=64/ctx512 regime — continuous batching,
-                # scheduler, paged KV, every host overhead — with the
-                # phase breakdown, ITL percentiles, burst figure and
-                # spec/draft mode table all in the artifact. Falls back
-                # to the model-level headline if the probes fail.
-                s = _serving_probes()
-                d["serving"] = s
-                steady = s.get("steady_b64", {})
-                burst = s.get("burst_b32", {})
-                head = (steady if steady.get("agg_tok_s")
-                        else burst if burst.get("agg_tok_s") else None)
-                if head is not None:
-                    d["model_level_metric"] = d["metric"]
-                    d["model_level_tok_s"] = d["value"]
-                    d["metric"] = (
-                        "serving_agg_tok_s_mistral7b_awq_int4_"
-                        f"{head['requests']}req_b{head['max_batch']}"
-                        f"_gen{head['gen']}"
-                        if "requests" in head else "serving_agg_tok_s")
-                    d["value"] = head["agg_tok_s"]
-                    d["vs_baseline"] = round(
-                        head["agg_tok_s"] / d["roofline_tok_s_b1"], 4)
-                    d["serving_agg_tok_s"] = head["agg_tok_s"]
-                    # Burst TTFT is the round-over-round latency bar.
-                    t = (burst.get("ttft_ms") or head.get("ttft_ms") or {})
-                    if t.get("p50") is not None:
-                        d["serving_ttft_p50_ms"] = t["p50"]
-            print(json.dumps(d))
+    try:
+        # Probe TPU health in a SUBPROCESS: a half-dead axon tunnel makes
+        # jax.default_backend() hang rather than raise. Capped at 3
+        # attempts (~3.5 min worst case — VERDICT r4 #1b).
+        healthy = False
+        for attempt in range(3):
+            try:
+                # A real computation + fetch: device ENUMERATION can
+                # succeed while the compute path is dead.
+                r = subprocess.run(
+                    [sys.executable, "-c",
+                     "import jax, jax.numpy as jnp;"
+                     "assert jax.default_backend() == 'tpu';"
+                     "print(float(jax.jit(lambda x: (x + 1).sum())"
+                     "(jnp.ones(8))))"],
+                    capture_output=True, text=True,
+                    timeout=min(60, max(10, _remaining() / 4)))
+                healthy = r.returncode == 0 and "16.0" in r.stdout
+            except subprocess.TimeoutExpired:
+                healthy = False
+            if healthy or _remaining() < DEADLINE_S * 0.75:
+                break
+            if attempt < 2:
+                time.sleep(20)
+        if not healthy:
+            jax.config.update("jax_platforms", "cpu")
+        platform = jax.default_backend()
+        BEST["platform"] = platform
+
+        if platform == "tpu":
+            # Serving probes are the headline; reserve time for at least
+            # the steady_b64 floor + burst floor after the model-level
+            # child. Cold 7B compile through the tunnel is 5-7 min; the
+            # persistent cache makes warm runs much faster.
+            reserve = 800
+            attempts = [
+                ("mistral-7b-awq-int4",
+                 int(max(300, min(1200, _remaining() - reserve)))),
+            ]
+            # One cheaper retry only if the first leaves real surplus.
+            attempts.append(("mistral-7b-awq-int4", "retry"))
+        else:
+            # No healthy TPU: report a CPU sanity number on a small config
+            # so the driver still gets a well-formed line.
+            attempts = [
+                ("llama-1b-2layer-cpu-fallback",
+                 int(max(120, min(1200, _remaining() - 60)))),
+                ("tiny-cpu-fallback",
+                 int(max(60, min(600, _remaining() - 10)))),
+            ]
+        err: object = None
+        d = None
+        for name, budget in attempts:
+            if budget == "retry":
+                budget = int(_remaining() - 800)
+                if budget < 300:
+                    break
+            if _remaining() < 60:
+                break
+            # Timeboxed subprocess per attempt: a dying tunnel hangs in
+            # the device fetch; a hang here must fall through, not stall
+            # the driver. The child self-limits 30 s inside our timeout
+            # so it prints a partial line instead of being SIGKILLed.
+            env = dict(os.environ)
+            env["BLAZR_BENCH_CHILD_S"] = str(max(60, budget - 30))
+            if platform != "tpu":
+                env["BLAZR_BENCH_CPU"] = "1"   # child must hard-pin CPU
+            try:
+                r = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__),
+                     "--child", name],
+                    capture_output=True, text=True, timeout=budget, env=env)
+            except subprocess.TimeoutExpired:
+                err = f"attempt {name} timed out after {budget}s"
+                continue
+            line = next((ln for ln in reversed(r.stdout.splitlines())
+                         if ln.startswith("{")), None)
+            if r.returncode == 0 and line:
+                d = json.loads(line)
+                break
+            err = (r.stderr or r.stdout)[-200:] or f"attempt {name} failed"
+
+        if d is None:
+            BEST["error"] = str(err)[:200]
             return
-        err = (r.stderr or r.stdout)[-200:] or f"attempt {name} failed"
-    print(json.dumps({
-        "metric": "decode_tok_s_per_chip_mistral7b_awq_int4",
-        "value": 0.0, "unit": "tok/s", "vs_baseline": 0.0,
-        "error": str(err)[:200], "platform": platform,
-    }))
+        BEST = d                 # model-level line is already reportable
+        if platform == "tpu":
+            # THE HEADLINE IS THE SERVING PATH (VERDICT r2 #1, r3 #1):
+            # the real BatchEngine steady-state aggregate at the proven
+            # B=64/ctx512 regime — continuous batching, scheduler, paged
+            # KV, every host overhead — with the phase breakdown, ITL
+            # percentiles, burst figure and spec/draft mode table in the
+            # artifact. Falls back to the model-level headline if the
+            # probes fail. BEST is updated after every probe, so a kill
+            # mid-probes still reports everything measured so far.
+            _serving_probes(d)
+    finally:
+        _emit()
 
 
 if __name__ == "__main__":

@@ -76,6 +76,16 @@ class InferenceConfig:
     # wall). 0 disables the ramp (always full-width groups).
     prefill_first_group: int = 8
 
+    # Mixed-phase prefill interleave (reference chunked-prefill pattern,
+    # batch_engine.rs:171-319): when a burst arrives WHILE decode rows are
+    # active, at most this many finishing prefill rows are dispatched per
+    # engine step — the rest stay needs_prefill and re-schedule next step,
+    # so a decode round runs between every prefill group and the running
+    # sequences' ITL is bounded by ONE group's wall instead of the whole
+    # burst slab. Cold bursts (no active decodes) are unaffected and keep
+    # median-first pacing. None = prefill_first_group; 0 disables the cap.
+    mixed_prefill_rows: Optional[int] = None
+
     # Prompt tokens the scheduler may ADMIT per scheduling round (reference
     # max_batch_tokens, src/config/inference.rs). Distinct from
     # prefill_chunk_size (the per-sequence chunk): grouped prefill runs

@@ -1214,6 +1214,29 @@ class BatchEngine:
                 else:
                     rest.append(seq)
             seqs = rest
+        # Mixed-phase interleave (VERDICT r4 #6): with decode rows active,
+        # cap this step's prefill work so ITL is bounded by one group's
+        # wall, not the burst's. Deferred rows keep needs_prefill and are
+        # re-offered by the scheduler next step — a decode round runs in
+        # between (the reference's chunked-prefill interleave,
+        # batch_engine.rs:171-319). Cold bursts are untouched: they keep
+        # the median-first slab (no ITL to protect).
+        if not cold:
+            inf = self.app_cfg.inference
+            cap = inf.mixed_prefill_rows
+            if cap is None:
+                cap = getattr(inf, "prefill_first_group", 8)
+            if cap and cap > 0 and len(seqs) > cap:
+                fin_all, cont_all = [], []
+                for s in seqs:
+                    rem = len(s.prompt_tokens) - s.prefilled_tokens
+                    (fin_all if rem <= chunk_cfg else cont_all).append(s)
+                # Finishing rows (each carries a first token) get the cap;
+                # mid-prompt chunk rows keep at most one full-width group
+                # so long prompts still progress every step.
+                kept = fin_all[:max(1, cap)] + cont_all[:_PREFILL_GROUP]
+                self.perf["p_deferred"] += len(seqs) - len(kept)
+                seqs = kept
         groups: dict[int, list[Sequence]] = {}
         for seq in seqs:
             remaining = len(seq.prompt_tokens) - seq.prefilled_tokens
@@ -1763,6 +1786,14 @@ class BatchEngine:
         if newest is not None and not chain:
             self._flush_pipe()              # flush: layout/tables changed
             newest = None
+            # The flush's emits can FINISH sequences still in this call's
+            # decode list (their remaining budget was in flight) — keep
+            # only live rows, or the itab build below reads state that
+            # _cleanup_seq already dropped.
+            decodes = [s for s in decodes
+                       if s.state == SequenceState.RUNNING]
+            if not decodes:
+                return
 
         # Row layout: chained sequences keep their previous row (their
         # carry lives there); newcomers take free rows as fresh.

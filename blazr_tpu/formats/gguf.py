@@ -397,6 +397,12 @@ def _pack_value(v: Any) -> tuple[int, bytes]:
     raise TypeError(f"Cannot encode GGUF value of type {type(v)}")
 
 
+def _iq_grid_types():
+    from .iq_quants import IQ_GRID_TYPES   # lazy: iq_quants imports gguf
+
+    return IQ_GRID_TYPES
+
+
 def write_gguf(path: str | Path, metadata: dict[str, Any],
                tensors: dict[str, tuple[np.ndarray | bytes, GgmlType, tuple[int, ...]]],
                alignment: int = 32) -> None:
@@ -411,6 +417,14 @@ def write_gguf(path: str | Path, metadata: dict[str, Any],
     # silently misreading every tensor.
     if alignment != 32 and "general.alignment" not in metadata:
         metadata = {**metadata, "general.alignment": alignment}
+    # Grid-coded IQ tensors: stamp the codebook fingerprint so the loader
+    # can tell OUR files (decodable with whatever grids produced them)
+    # from external llama.cpp files (which need the official tables).
+    if any(gt in _iq_grid_types() for _, gt, _ in tensors.values()):
+        from .iq_quants import IQ_GRIDS_META_KEY, grids_fingerprint
+
+        if IQ_GRIDS_META_KEY not in metadata:
+            metadata = {**metadata, IQ_GRIDS_META_KEY: grids_fingerprint()}
     out = bytearray()
     out += struct.pack("<IIQQ", GGUF_MAGIC, 3, len(tensors), len(metadata))
     for k, v in metadata.items():

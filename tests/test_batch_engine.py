@@ -965,3 +965,74 @@ def test_warm_burst_keeps_flat_pacing(model):
     asyncio.run(run())
     burst = [s for s in sizes if s <= 8]
     assert burst and max(burst) <= 2, sizes   # flat groups of `first`
+
+
+def test_mixed_burst_interleaves_decode(model):
+    """Mixed-phase pacing (VERDICT r4 #6): a burst arriving while decode
+    rows are ACTIVE dispatches at most ``mixed_prefill_rows`` finishing
+    rows per engine step; the remainder stay needs_prefill and a decode
+    round runs between consecutive prefill groups (reference
+    chunked-prefill interleave, batch_engine.rs:171-319). Tokens match
+    the uncapped engine exactly."""
+    from blazr_tpu.config import AppConfig
+
+    def mk(cap):
+        app = AppConfig(model=model.cfg)
+        app.inference.max_seq_len = 64
+        app.inference.max_batch_size = 12
+        app.inference.prefill_first_group = 2
+        app.inference.mixed_prefill_rows = cap
+        return BatchEngine(model, ByteTok(), app)
+
+    async def run(eng):
+        events = []
+        orig_pg = eng._prefill_group
+
+        def spy_pg(group, *a, **kw):
+            events.append(("p", len(group)))
+            return orig_pg(group, *a, **kw)
+
+        orig_dec = eng._process_decode_batch
+
+        def spy_dec(rows, *a, **kw):
+            events.append(("d", len(rows)))
+            return orig_dec(rows, *a, **kw)
+
+        eng._prefill_group = spy_pg
+        eng._process_decode_batch = spy_dec
+        task = asyncio.create_task(eng.run())
+        # One long-running request decodes while the burst arrives.
+        h0 = eng.submit([1, 2, 3], GenerationConfig(max_tokens=40,
+                                                    temperature=0.0))
+        got = 0
+        async for _tok in h0.tokens():
+            got += 1
+            if got == 3:
+                break
+        events.clear()
+        hs = [eng.submit([10 + i, 20, 30, 40],
+                         GenerationConfig(max_tokens=4, temperature=0.0))
+              for i in range(8)]
+        res = [await asyncio.wait_for(_collect(h), timeout=120) for h in hs]
+        eng.stop()
+        await task
+        return events, res
+
+    ev_cap, out_cap = asyncio.run(run(mk(cap=2)))
+    ev_off, out_off = asyncio.run(run(mk(cap=0)))
+    assert out_cap == out_off                    # token-for-token parity
+    p_cap = [n for k, n in ev_cap if k == "p"]
+    assert p_cap and max(p_cap) <= 2, ev_cap     # capped group sizes
+    # Interleave: every consecutive pair of prefill groups has a decode
+    # round between them (deferred rows wait a step).
+    kinds = [k for k, _ in ev_cap]
+    for i in range(len(kinds) - 1):
+        if kinds[i] == "p":
+            nxt = kinds[i + 1:]
+            if "p" in nxt:
+                assert "d" in nxt[:nxt.index("p") + 1], ev_cap
+    # Uncapped control: the whole burst dispatches before any decode —
+    # that is the ITL stall the cap removes.
+    kinds_off = [k for k, _ in ev_off]
+    first_d = kinds_off.index("d")
+    assert kinds_off[:first_d].count("p") >= 4, ev_off

@@ -194,3 +194,124 @@ def test_official_grid_override(tmp_path, monkeypatch):
     finally:
         monkeypatch.delenv("BLAZR_TPU_IQ_GRIDS")
         importlib.reload(iq)
+
+
+# ---------------------------------------------------------------------------
+# Grid-provenance gate (VERDICT r4 weak #4): an EXTERNAL IQ file (no
+# fingerprint stamp) must fail loud under synthetic grids instead of
+# dequantizing to silently wrong weights; our own writer's stamped files
+# and canonical-grid installs load normally.
+# ---------------------------------------------------------------------------
+
+def _write_unstamped_iq_gguf(path, weights, monkeypatch):
+    """Simulate a llama.cpp-produced file: IQ tensors, no blazr stamp."""
+    import blazr_tpu.formats.gguf as gguf_mod
+    from test_gguf_e2e import write_tiny_llama_gguf
+
+    with monkeypatch.context() as mp:
+        mp.setattr(gguf_mod, "_iq_grid_types", frozenset)
+        write_tiny_llama_gguf(path, weights, quant=GgmlType.IQ2_XS)
+
+
+def test_external_iq_file_fails_loud_by_default(tmp_path, monkeypatch):
+    from blazr_tpu.loader import load_model
+    from fixtures import write_tiny_llama_checkpoint
+
+    st = tmp_path / "st"
+    weights = write_tiny_llama_checkpoint(st, np.random.default_rng(31))
+    d = tmp_path / "ext"
+    d.mkdir()
+    _write_unstamped_iq_gguf(d / "m.gguf", weights, monkeypatch)
+    with pytest.raises(RuntimeError, match="BLAZR_TPU_IQ_GRIDS"):
+        load_model(d, dtype="f32")
+
+
+def test_external_iq_file_allows_explicit_synth_optin(tmp_path, monkeypatch):
+    from blazr_tpu.loader import load_model
+    from fixtures import write_tiny_llama_checkpoint
+
+    st = tmp_path / "st"
+    weights = write_tiny_llama_checkpoint(st, np.random.default_rng(31))
+    d = tmp_path / "ext"
+    d.mkdir()
+    _write_unstamped_iq_gguf(d / "m.gguf", weights, monkeypatch)
+    monkeypatch.setenv("BLAZR_TPU_IQ_ALLOW_SYNTH", "1")
+    m = load_model(d, dtype="f32")[0]
+    assert m.num_layers == 2
+
+
+def test_stamped_iq_file_loads_by_default(tmp_path):
+    """Our writer stamps the grid fingerprint; round trips need no env."""
+    from blazr_tpu.formats.gguf import Gguf
+    from blazr_tpu.formats.iq_quants import IQ_GRIDS_META_KEY, grids_fingerprint
+    from blazr_tpu.loader import load_model
+    from fixtures import write_tiny_llama_checkpoint
+    from test_gguf_e2e import write_tiny_llama_gguf
+
+    st = tmp_path / "st"
+    weights = write_tiny_llama_checkpoint(st, np.random.default_rng(31))
+    d = tmp_path / "ours"
+    d.mkdir()
+    write_tiny_llama_gguf(d / "m.gguf", weights, quant=GgmlType.IQ2_XS)
+    with Gguf.open(d / "m.gguf") as g:
+        assert g.metadata().kv[IQ_GRIDS_META_KEY] == grids_fingerprint()
+    m = load_model(d, dtype="f32")[0]
+    assert m.num_layers == 2
+
+
+def test_canonical_env_grids_accept_external_files(tmp_path, monkeypatch):
+    import importlib
+
+    import blazr_tpu.formats.iq_quants as iq
+    from blazr_tpu.loader import load_model
+    from fixtures import write_tiny_llama_checkpoint
+
+    st = tmp_path / "st"
+    weights = write_tiny_llama_checkpoint(st, np.random.default_rng(31))
+    d = tmp_path / "ext"
+    d.mkdir()
+    _write_unstamped_iq_gguf(d / "m.gguf", weights, monkeypatch)
+
+    grids = {k: np.asarray(v) for k, v in {
+        "iq2xxs_grid": iq.IQ2XXS_GRID, "iq2xs_grid": iq.IQ2XS_GRID,
+        "iq2s_grid": iq.IQ2S_GRID, "iq3xxs_grid": iq.IQ3XXS_GRID,
+        "iq3s_grid": iq.IQ3S_GRID,
+        "iq1s_grid": (iq.IQ1S_GRID + 1).astype(np.uint8),
+    }.items()}
+    path = tmp_path / "grids.npz"
+    np.savez(path, **grids)
+    monkeypatch.setenv("BLAZR_TPU_IQ_GRIDS", str(path))
+    try:
+        importlib.reload(iq)
+        assert iq.grids_are_canonical()
+        m = load_model(d, dtype="f32")[0]
+        assert m.num_layers == 2
+    finally:
+        monkeypatch.delenv("BLAZR_TPU_IQ_GRIDS")
+        importlib.reload(iq)
+
+
+def test_bake_tool_parses_c_tables(tmp_path):
+    """tools/bake_iq_grids.py parses ggml-common.h-style constant arrays
+    into the package grid representation (incl. signed iq1s bytes)."""
+    import importlib.util
+    import sys as _sys
+
+    spec = importlib.util.spec_from_file_location(
+        "bake_iq_grids", "/root/repo/tools/bake_iq_grids.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    src = """
+    static const uint32_t demo_grid[4] = {
+        0x04040404, 0x0c0c0c0c, 0x14141414, 0x3e3e3e3e,
+    };
+    """
+    g = mod.parse_c_table(src, "demo_grid", 4, 4)
+    assert g.shape == (4, 4) and g[0, 0] == 0x04 and g[3, 3] == 0x3E
+
+    signed = np.array([[0xFF, 0x00, 0x01, 0xFF]], dtype=np.uint8)
+    norm = mod.normalize_iq1s(signed)
+    np.testing.assert_array_equal(norm, [[0, 1, 2, 0]])
+    already = np.array([[0, 1, 2, 1]], dtype=np.uint8)
+    np.testing.assert_array_equal(mod.normalize_iq1s(already), already)

@@ -133,3 +133,84 @@ def test_delta_ppl_absolute_per_format(models, stream, fmt, limit):
     pq = perplexity(mq, stream, window=64)
     assert abs(pq - p0) / p0 < limit, (
         f"{fmt}: |dppl|/ppl = {abs(pq - p0) / p0:.5f} exceeds {limit}")
+
+
+# ---------------------------------------------------------------------------
+# quant_compute tiers (VERDICT r4 #7): the int8-activation compute modes —
+# including "auto", which silently resolves to w4a8-prefill on TPU and
+# changes prefill numerics for every large prompt — must stay within the
+# AWQ int4 budget. The only error the tier adds on top of the storage
+# error gated above is ~1/254-relative dynamic activation quant.
+# ---------------------------------------------------------------------------
+
+def _awq_qt_from_float(w: np.ndarray, gs: int = 32):
+    """Quantize a float [K, N] weight to a canonical AWQ QuantTensor
+    (asymmetric per-group int4 along K — the exact storage model
+    qtensor.from_awq produces)."""
+    from blazr_tpu.quant.qtensor import _finish
+
+    k, n = w.shape
+    g = w.reshape(k // gs, gs, n)
+    mn, mx = g.min(1), g.max(1)
+    s = np.maximum((mx - mn) / 15.0, 1e-10)
+    z = np.clip(np.round(-mn / s), 0, 15)
+    q = np.clip(np.round(g / s[:, None, :] + z[:, None, :]), 0, 15)
+    return _finish(q.astype(np.uint8).reshape(k, n).astype(np.uint8),
+                   s.astype(np.float32), (s * z).astype(np.float32),
+                   bits=4, group_size=gs, signed=False, fmt="awq")
+
+
+@pytest.mark.parametrize("mode", ["auto", "w4a8"])
+def test_quant_compute_ppl_gate(models, mode, monkeypatch):
+    import copy
+
+    from blazr_tpu.quant import matmul as qm
+    from blazr_tpu.quant.pallas import int_matmul as im
+    from blazr_tpu.quant.qtensor import QuantTensor, apply_quant_compute
+
+    base = models["f32"]
+    m2 = copy.copy(base)
+    params = dict(base.params)
+    layers = []
+    for lp in params["layers"]:
+        lp2 = dict(lp)
+        for key in _QKEYS & set(lp):
+            w = lp.get(key)
+            if w is not None:
+                lp2[key] = _awq_qt_from_float(np.asarray(w, np.float32))
+        layers.append(lp2)
+    params["layers"] = layers
+    if params.get("lm_head") is not None:
+        params["lm_head"] = _awq_qt_from_float(
+            np.asarray(params["lm_head"], np.float32))
+
+    # "auto" must resolve exactly as it does on TPU (w4a8-prefill tags).
+    with monkeypatch.context() as mp:
+        if mode == "auto":
+            mp.setattr(qm, "_on_tpu", lambda: True)
+        params = apply_quant_compute(params, mode)
+    tagged = [v for lp in params["layers"] for v in lp.values()
+              if isinstance(v, QuantTensor)]
+    assert tagged and all(t.act_quant for t in tagged)
+    if mode == "auto":
+        assert all(t.act_quant_min_m > 0 for t in tagged)
+    m2.params = params
+
+    # Run the real int8-MXU kernel (interpret mode off-TPU) and require
+    # the route to ENGAGE — a silently-untagged tree must not pass.
+    monkeypatch.setenv("BLAZR_TPU_FORCE_PALLAS_QUANT", "1")
+    calls = []
+    real = im.quant_matmul_int8mxu
+    monkeypatch.setattr(im, "quant_matmul_int8mxu",
+                        lambda x, q: calls.append(x.shape) or real(x, q))
+
+    rng = np.random.default_rng(7)
+    long_stream = (rng.integers(1, 250, 64).tolist() * 8)[:512]
+    # 256-token windows: rows >= _PREFILL_A8_MIN_M, so "auto"'s
+    # prefill-only tags route these forwards through the int8 MXU.
+    p0 = perplexity(models["f32"], long_stream, window=256)
+    pq = perplexity(m2, long_stream, window=256)
+    assert calls, "int8-MXU route must engage for 256-row windows"
+    # Same absolute budget as the awq_int4_g32 storage gate above.
+    assert abs(pq - p0) / p0 < 0.008, (
+        f"quant_compute={mode}: |dppl|/ppl = {abs(pq - p0) / p0:.5f}")

@@ -69,6 +69,11 @@ kv_flag = _flag("kv", cast=str)
 if kv_flag:
     # --kv int8: quantized paged KV (halves the per-step KV read bytes
     # AND the pool footprint; the PA kernel's int8 scale path).
+    # A bare `--kv` (flag without value) would reach here as True and
+    # silently run UNQUANTIZED (batch_engine only checks for
+    # "int8"/"int4"), misattributing the bench — fail loudly instead.
+    if str(kv_flag) not in ("int8", "int4", "auto"):
+        sys.exit(f"--kv requires a value in int8|int4|auto, got {kv_flag!r}")
     app.inference.kv_cache_dtype = str(kv_flag)
 app.inference.max_batch_size = MAX_BATCH
 app.inference.prefill_chunk_size = 512
