@@ -68,19 +68,43 @@ def load_tokenizer(model_dir: str | Path,
 
         with Gguf.open(ggufs[0]) as g:
             return tokenizer_from_gguf(g)
-    # No tokenizer artifact at all. The reference ships pretrained vocab
-    # TABLES in-crate (splintr_tokenizer.rs:42-48: cl100k/o200k/llama3/
-    # deepseek_v3/mistral) so a bare checkpoint still tokenizes; this
-    # build has no bundled vocab data (zero-egress environment), so the
-    # only sources are checkpoint-local files — name them explicitly.
+    # Pretrained tier (reference splintr_tokenizer.rs:42-48 + 147-164):
+    # guess the vocab by the checkpoint's vocab size and load a BAKED
+    # rank table from package data (tools/bake_vocabs.py embeds them —
+    # the zero-egress build ships the machinery, not the tables).
+    from .pretrained import available_vocabs, load_pretrained
+
+    vocab_size = _config_vocab_size(model_dir)
+    if vocab_size is not None:
+        name = vocab_name_for_size(vocab_size)
+        try:
+            return load_pretrained(name)
+        except FileNotFoundError:
+            pass
     raise FileNotFoundError(
         f"No tokenizer found for {model_dir}: expected one of "
         f"'{model_dir / 'tokenizer.json'}' (HF fast-tokenizer JSON), a "
         f"'*.gguf' file with an embedded tokenizer (tokenizer.ggml.* "
-        f"metadata), or an explicit gguf_path argument. Unlike the "
-        f"reference (splintr), no pretrained vocab tables are bundled — "
-        f"copy the model's tokenizer.json next to the weights."
+        f"metadata), an explicit gguf_path argument, or a baked "
+        f"pretrained vocab matching the model's vocab size "
+        f"(baked: {available_vocabs() or 'none'} — run "
+        f"tools/bake_vocabs.py to embed the splintr vocab set). "
+        f"Fallback: copy the model's tokenizer.json next to the weights."
     )
+
+
+def _config_vocab_size(model_dir: Path) -> Optional[int]:
+    """vocab_size from a checkpoint-local config.json, if any."""
+    import json
+
+    cfg = model_dir / "config.json"
+    if not cfg.exists():
+        return None
+    try:
+        v = json.loads(cfg.read_text()).get("vocab_size")
+        return int(v) if v else None
+    except (ValueError, OSError):
+        return None
 
 
 __all__ = [
