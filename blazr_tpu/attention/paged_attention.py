@@ -182,6 +182,19 @@ def _pa_attend_block(tt, seq_len, q_ref, k_ref, v_ref, ks_ref, vs_ref,
         acc_ref[...] = acc_ref[...] * alpha + av.reshape(h_q, -1)
 
 
+def default_fan(block_size: int, h_kv: int, d: int, itemsize: int,
+                mb_eff: int) -> int:
+    """Default block-table fan-out, VMEM-guarded (ADVICE r4): each fan
+    unit streams K+V double-buffered (2·2·BS·H_kv·D·itemsize bytes);
+    large block sizes would otherwise scale fan=4's footprint past the
+    compiler's VMEM budget. The KV streaming window is capped at ~4 MB —
+    at the default bs=16/7B-GQA geometry fan=4 is untouched; bs=256
+    degrades to fan=2 and bs=512 to fan=1 instead of failing to
+    compile."""
+    kv_bytes_per_fan = 2 * 2 * block_size * h_kv * d * itemsize
+    return min(4, max(1, mb_eff), max(1, (4 << 20) // kv_bytes_per_fan))
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("block_size", "num_blocks", "interpret",
@@ -234,7 +247,7 @@ def paged_attention_decode(
     # per-grid-step fixed overhead, not KV bytes — B=64 × MB=8 is 512
     # steps of ~20-30 µs; fan=4 cuts that 4× at ~1 MB extra VMEM.
     if fan is None:
-        fan = min(4, mb_eff)
+        fan = default_fan(block_size, h_kv, d, k4.dtype.itemsize, mb_eff)
     fan = max(1, min(fan, mb_eff))
     grid_t = -(-mb_eff // fan)
 

@@ -131,3 +131,19 @@ def test_kernel_fan_windowed_quantized(rng, fan):
     base = paged_attention_decode(q, kc, vc, bt, sl, fan=1, **kw)
     got = paged_attention_decode(q, kc, vc, bt, sl, fan=fan, **kw)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(base))
+
+
+def test_default_fan_vmem_guard():
+    """Fan default caps its double-buffered KV streaming window at ~4 MB
+    (ADVICE r4): the 7B-GQA geometry keeps fan=4 at the default block
+    size, while bs=256 degrades instead of blowing VMEM at compile."""
+    from blazr_tpu.attention.paged_attention import default_fan
+
+    # Mistral-7B GQA: h_kv=8, d=128, bf16. Per-fan double-buffered K+V =
+    # 4*BS*8*128*2 bytes (bs=16: 128KB, bs=256: 2MB, bs=512: 4MB).
+    assert default_fan(16, 8, 128, 2, mb_eff=32) == 4         # untouched
+    assert default_fan(64, 8, 128, 2, mb_eff=8) == 4          # 0.5MB/fan
+    assert default_fan(256, 8, 128, 2, mb_eff=8) == 2         # 2MB/fan
+    assert default_fan(512, 8, 128, 2, mb_eff=8) == 1         # 4MB/fan
+    assert default_fan(16, 8, 128, 2, mb_eff=2) == 2          # mb bound
+    assert default_fan(16, 8, 128, 2, mb_eff=0) == 1          # floor
