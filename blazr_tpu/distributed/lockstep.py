@@ -90,6 +90,7 @@ class LockstepEngine:
         self.engine = engine
         self.heartbeat_s = heartbeat_s
         self.is_primary = jax.process_index() == 0
+        self._nprocs = jax.process_count()
         self._pending: list[tuple[dict[str, Any],
                                   Optional[asyncio.Future]]] = []
         self._wake = asyncio.Event()
@@ -152,6 +153,13 @@ class LockstepEngine:
                 if self._stop:
                     ops.append({"op": "stop"})
                 payload = encode_ops(ops)
+            if self._nprocs > 1:
+                # Drain in-flight SPMD programs (pipelined horizon rounds
+                # outlive step_once) BEFORE the op broadcast: overlapping
+                # their tp psums with this host collective interleaves on
+                # the shared gloo/DCN transport and corrupts both streams
+                # (see BatchEngine.sync_device).
+                await asyncio.to_thread(self.engine.sync_device)
             payload = await asyncio.to_thread(broadcast_payload, payload)
             ops = decode_ops(payload)
             futs = [f for _, f in items]

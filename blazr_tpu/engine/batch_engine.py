@@ -1151,6 +1151,27 @@ class BatchEngine:
         self.scheduler.cleanup_finished()
         return True
 
+    def sync_device(self) -> None:
+        """Block until every dispatched device program has completed.
+
+        Multi-process lockstep must not overlap its op-stream broadcast
+        (a host-level collective) with still-executing SPMD programs
+        (whose tp/sp psums ride the same gloo/DCN transport): concurrent
+        collectives interleave on the TCP pairs and corrupt each other
+        (observed as gloo "received data size doesn't match expected"
+        aborts in the 2-process tp=2 test). The donated-cache threading
+        makes every program a dependency of the newest cache buffer, so
+        blocking on it drains the whole dispatch queue; in-flight horizon
+        outputs are blocked explicitly as well for safety."""
+        import jax
+
+        if self.cache is not None:
+            leaves = jax.tree.leaves(self.cache)
+            if leaves:
+                jax.block_until_ready(leaves[0])
+        for p in self._pipe_q:
+            jax.block_until_ready(p["out"])
+
     def detach_handle(self, seq_id: int) -> None:
         """Stop streaming tokens for a sequence while letting it keep
         decoding (lockstep follower processes run every sequence but serve
