@@ -254,6 +254,12 @@ def _child(name: str) -> None:
         # when the tunnel is down (the exact case the CPU fallback serves).
         jax.config.update("jax_platforms", "cpu")
     on_tpu = jax.default_backend() == "tpu"
+    # Early liveness marker: the parent kills+retries an attempt whose
+    # backend init hangs (observed: a health probe can succeed and the
+    # very next process still hang forever in init) instead of burning
+    # the whole attempt budget.
+    print(f"INIT {jax.default_backend()} "
+          f"{float(jnp.ones(4).sum())}", flush=True)
     fl = _Flagship(_config_by_name(name))
 
     single = fl.bench_decode(batch=1)
@@ -332,32 +338,80 @@ def _child(name: str) -> None:
     }))
 
 
+def _run_watched(cmd: list, budget: float, init_marker: str,
+                 init_window: float = 120.0, retries: int = 2,
+                 env: dict | None = None) -> tuple[str, str | None]:
+    """Run ``cmd`` with an INIT WATCHDOG: if ``init_marker`` does not
+    appear on stdout within ``init_window`` seconds the process is hung
+    in backend init (observed failure mode: a health probe succeeds and
+    the very next process still hangs forever attaching to the tunnel) —
+    kill it and retry instead of burning the whole budget. Returns
+    (stdout_so_far, error_or_None)."""
+    import subprocess
+    import tempfile
+
+    deadline = time.monotonic() + budget
+    err = None
+    for attempt in range(retries + 1):
+        if time.monotonic() >= deadline - 10:
+            return "", err or "budget exhausted before launch"
+        with tempfile.NamedTemporaryFile("w+", suffix=".log",
+                                         delete=False) as logf:
+            path = logf.name
+        with open(path, "w") as out_f:
+            proc = subprocess.Popen(cmd, stdout=out_f,
+                                    stderr=subprocess.STDOUT, env=env)
+        t0 = time.monotonic()
+        inited = False
+        while True:
+            rc = proc.poll()
+            try:
+                txt = open(path).read()
+            except OSError:
+                txt = ""
+            if not inited and init_marker in txt:
+                inited = True
+            now = time.monotonic()
+            if rc is not None:
+                if rc == 0:
+                    return txt, None
+                err = f"rc={rc}: {txt[-200:]}"
+                break                       # crashed: retry if time allows
+            if not inited and now - t0 > init_window:
+                proc.kill()
+                proc.wait()
+                err = f"init hang >{int(init_window)}s (attempt {attempt})"
+                break
+            if now > deadline:
+                proc.kill()
+                proc.wait()
+                return txt, f"killed at budget ({int(budget)}s)"
+            time.sleep(2)
+    return "", err
+
+
 def _one_probe(probe_args: list, timeout: int) -> dict:
     """One bench_engine_serving.py run; returns its STATS json (or a
     regex-parsed fallback / {"error": ...})."""
     import re
-    import subprocess
 
     tool = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "tools", "bench_engine_serving.py")
-    try:
-        r = subprocess.run([sys.executable, tool, *probe_args],
-                           capture_output=True, text=True, timeout=timeout)
-    except subprocess.TimeoutExpired:
-        return {"error": f"timeout after {timeout}s"}
-    line = next((ln for ln in reversed(r.stdout.splitlines())
+    stdout, err = _run_watched([sys.executable, tool, *probe_args],
+                               timeout, init_marker="alive:")
+    line = next((ln for ln in reversed(stdout.splitlines())
                  if ln.startswith("STATS ")), None)
     if line:
         return json.loads(line[6:])
-    agg = re.search(r"AGG ([\d.]+) tok/s", r.stdout)
-    ttft = re.search(r"TTFT p50 (\d+) ms", r.stdout)
+    agg = re.search(r"AGG ([\d.]+) tok/s", stdout)
+    ttft = re.search(r"TTFT p50 (\d+) ms", stdout)
     out: dict = {}
     if agg:
         out["agg_tok_s"] = float(agg.group(1))
     if ttft:
         out["ttft_ms"] = {"p50": float(ttft.group(1))}
     if not out:
-        out["error"] = (r.stderr or r.stdout)[-200:]
+        out["error"] = (err or stdout[-200:] or "no output")
     return out
 
 
@@ -495,28 +549,26 @@ def main() -> None:
                     break
             if _remaining() < 60:
                 break
-            # Timeboxed subprocess per attempt: a dying tunnel hangs in
-            # the device fetch; a hang here must fall through, not stall
-            # the driver. The child self-limits 30 s inside our timeout
-            # so it prints a partial line instead of being SIGKILLed.
+            # Watched subprocess per attempt: a dying tunnel hangs in the
+            # device fetch; the INIT watchdog kills+retries an attempt
+            # that never finishes backend init instead of burning its
+            # whole budget (r4's failure mode). The child self-limits
+            # 30 s inside our budget so it prints a partial line instead
+            # of being killed mid-sweep.
             env = dict(os.environ)
             env["BLAZR_BENCH_CHILD_S"] = str(max(60, budget - 30))
             if platform != "tpu":
                 env["BLAZR_BENCH_CPU"] = "1"   # child must hard-pin CPU
-            try:
-                r = subprocess.run(
-                    [sys.executable, os.path.abspath(__file__),
-                     "--child", name],
-                    capture_output=True, text=True, timeout=budget, env=env)
-            except subprocess.TimeoutExpired:
-                err = f"attempt {name} timed out after {budget}s"
-                continue
-            line = next((ln for ln in reversed(r.stdout.splitlines())
+            stdout, werr = _run_watched(
+                [sys.executable, os.path.abspath(__file__),
+                 "--child", name],
+                budget, init_marker="INIT", env=env)
+            line = next((ln for ln in reversed(stdout.splitlines())
                          if ln.startswith("{")), None)
-            if r.returncode == 0 and line:
+            if line:
                 d = json.loads(line)
                 break
-            err = (r.stderr or r.stdout)[-200:] or f"attempt {name} failed"
+            err = werr or stdout[-200:] or f"attempt {name} failed"
 
         if d is None:
             BEST["error"] = str(err)[:200]

@@ -1256,7 +1256,7 @@ class BatchEngine:
                 # mid-prompt chunk rows keep at most one full-width group
                 # so long prompts still progress every step.
                 kept = fin_all[:max(1, cap)] + cont_all[:_PREFILL_GROUP]
-                self.perf["p_deferred"] += len(seqs) - len(kept)
+                self.perf["p_deferred_n"] += len(seqs) - len(kept)
                 seqs = kept
         groups: dict[int, list[Sequence]] = {}
         for seq in seqs:

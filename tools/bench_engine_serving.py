@@ -209,6 +209,7 @@ async def main():
                                if dec_wall > 0 else None),
         "horizon": {"dispatches": eng.horizon_dispatches,
                     "steps": eng.horizon_steps},
+        "deferred_prefill_rows": int(eng.perf.get("p_deferred_n", 0)),
     }
     if eng.spec_drafted:
         stats["spec"] = {"drafted": eng.spec_drafted,
