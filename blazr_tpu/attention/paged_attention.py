@@ -172,13 +172,15 @@ def default_fan(block_size: int, h_kv: int, d: int, itemsize: int,
                 mb_eff: int) -> int:
     """Default block-table fan-out, VMEM-guarded (ADVICE r4): each fan
     unit streams K+V double-buffered (2·2·BS·H_kv·D·itemsize bytes);
-    large block sizes would otherwise scale fan=4's footprint past the
-    compiler's VMEM budget. The KV streaming window is capped at ~4 MB —
-    at the default bs=16/7B-GQA geometry fan=4 is untouched; bs=256
+    large block sizes would otherwise scale the default fan's footprint
+    past the compiler's VMEM budget. The KV streaming window is capped
+    at ~4 MB, and fan at 8: the r5 merged-window microbench (7B GQA,
+    ctx 512) put bs=16 fan=4/8 within noise of native bs=64-128 while
+    fan=16's operand count slowed compiles for no further gain. bs=256
     degrades to fan=2 and bs=512 to fan=1 instead of failing to
     compile."""
     kv_bytes_per_fan = 2 * 2 * block_size * h_kv * d * itemsize
-    return min(4, max(1, mb_eff), max(1, (4 << 20) // kv_bytes_per_fan))
+    return min(8, max(1, mb_eff), max(1, (4 << 20) // kv_bytes_per_fan))
 
 
 @functools.partial(

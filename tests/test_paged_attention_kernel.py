@@ -145,8 +145,8 @@ def test_default_fan_vmem_guard():
 
     # Mistral-7B GQA: h_kv=8, d=128, bf16. Per-fan double-buffered K+V =
     # 4*BS*8*128*2 bytes (bs=16: 128KB, bs=256: 2MB, bs=512: 4MB).
-    assert default_fan(16, 8, 128, 2, mb_eff=32) == 4         # untouched
-    assert default_fan(64, 8, 128, 2, mb_eff=8) == 4          # 0.5MB/fan
+    assert default_fan(16, 8, 128, 2, mb_eff=32) == 8         # fan cap
+    assert default_fan(64, 8, 128, 2, mb_eff=8) == 8          # 0.5MB/fan
     assert default_fan(256, 8, 128, 2, mb_eff=8) == 2         # 2MB/fan
     assert default_fan(512, 8, 128, 2, mb_eff=8) == 1         # 4MB/fan
     assert default_fan(16, 8, 128, 2, mb_eff=2) == 2          # mb bound
