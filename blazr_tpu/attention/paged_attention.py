@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -235,7 +236,10 @@ def paged_attention_decode(
     # per-grid-step fixed overhead, not KV bytes — B=64 × MB=8 is 512
     # steps of ~20-30 µs; fan=4 cuts that 4× at ~1 MB extra VMEM.
     if fan is None:
-        fan = default_fan(block_size, h_kv, d, k4.dtype.itemsize, mb_eff)
+        env_fan = os.environ.get("BLAZR_TPU_PA_FAN")
+        fan = (int(env_fan) if env_fan
+               else default_fan(block_size, h_kv, d, k4.dtype.itemsize,
+                                mb_eff))
     fan = max(1, min(fan, mb_eff))
     grid_t = -(-mb_eff // fan)
 
