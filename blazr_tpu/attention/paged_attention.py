@@ -38,23 +38,19 @@ def _pa_kernel(bt_ref, sl_ref, q_ref, *rest,
                logit_softcap: float | None = None,
                has_alibi: bool = False, fan: int = 1):
     """Grid (B, ⌈MB/fan⌉): each program streams ``fan`` KV blocks for ALL
-    kv heads and applies ONE merged online-softmax update over the whole
-    fan·BS-key window.
+    kv heads.
 
-    The decode regime is VPU-LATENCY-bound, not bytes-bound: the r5
-    on-chip microbench (64 rows × ctx 512, 7B GQA geometry, 32 chained
-    in-program calls) measured the per-cell cost flat in ``fan`` when
-    each fan piece ran its own softmax update (1.78 ms/layer at bs=16
-    for fan ∈ {1..16} — the sequential max/exp/scale dependency chain
-    per update dominates, not DMA count or grid-cell count), while
-    bigger native blocks were ~30% faster (bs=64: 1.24 ms). Merging the
-    fan pieces into one wide attend gets the wide-block arithmetic shape
-    at any allocator granularity: fan=8 × bs=16 behaves like bs=128.
+    ``fan`` > 1 amortizes the per-grid-step Mosaic overhead — the decode
+    regime's actual bind (B=64 × MB=8 = 512 grid steps of ~20-30 µs fixed
+    cost dwarf the ~0.2 ms of KV bytes; measured 25.8 ms/step engine vs
+    16.2 contiguous at b32/bs64). Each of the ``fan`` block-table slots
+    rides its own scalar-prefetch-indexed operand, so the unroll keeps
+    the allocator's block granularity while cutting grid steps fan×.
 
-    Each of the ``fan`` block-table slots rides its own scalar-prefetch-
-    indexed operand (Mosaic's block-shape rule requires full [BS, H_kv,
-    D] trailing dims, so pieces are separate operands concatenated
-    in-register); the head axis is batched with one in-kernel dot.
+    Mosaic's block-shape rule requires the last two block dims to be
+    8/128-divisible or full — so blocks carry the full [BS, H_kv, D]
+    slice (the r1 per-head (…, 1, D) blocks only lowered in interpret
+    mode) and the head axis is handled with an in-kernel batched dot.
 
     Attention variants (semantics identical to models/layers.attend with
     a decode query at q_pos = seq_len-1):
@@ -83,7 +79,6 @@ def _pa_kernel(bt_ref, sl_ref, q_ref, *rest,
     g_all = num_kv_heads
     hpg = heads_per_group
     h_q = g_all * hpg
-    w = fan * block_size
 
     seq_len = sl_ref[b]
     if sliding_window is not None:
@@ -91,11 +86,6 @@ def _pa_kernel(bt_ref, sl_ref, q_ref, *rest,
         lo = jnp.maximum(seq_len - sliding_window, 0) // block_size
     else:
         lo = 0
-    # Key position of the window's first element. Tail pieces whose slot
-    # index clamped to mb-1 in the index map re-stream that block, but
-    # their ASSUMED positions here are ≥ mb·BS ≥ seq_len — masked out,
-    # exactly the old per-piece valid_block invariant.
-    base = (lo + t * fan) * block_size
 
     @pl.when(t == 0)
     def _init():
@@ -103,64 +93,17 @@ def _pa_kernel(bt_ref, sl_ref, q_ref, *rest,
         l_ref[...] = jnp.zeros_like(l_ref)
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    @pl.when(base < seq_len)
-    def _attend():
-        # Compute dtype follows Q (bf16 on chip → bf16 MXU rate, half the
-        # VMEM per streamed block); accumulation stays f32 via
-        # preferred_element_type — the attend fallback's exact policy.
-        # int8 KV converts to the compute dtype (its scales follow).
-        q = q_ref[0]                                    # [G, Hg, D]
-        k = jnp.concatenate([r[0] for r in k_refs],
-                            axis=0).astype(q.dtype)     # [W, G, D]
-        v = jnp.concatenate([r[0] for r in v_refs], axis=0).astype(q.dtype)
-        kt = jnp.transpose(k, (1, 0, 2))                # [G, W, D]
-        vt = jnp.transpose(v, (1, 0, 2))
-
-        # [G, Hg, W] — one batched dot over the kv-head axis; the f32
-        # scale multiplies the f32 logits (not the bf16 operands).
-        logits = jax.lax.dot_general(
-            q, kt, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32) * scale
-        if quantized:
-            # int8 KV: per-key scales [W, G] → [G, 1, W].
-            ks = jnp.transpose(
-                jnp.concatenate([r[0] for r in ks_refs], axis=0), (1, 0))
-            logits = logits * ks[:, None, :]
-        if logit_softcap is not None:
-            logits = jnp.tanh(logits / logit_softcap) * logit_softcap
-        pos = base + jax.lax.broadcasted_iota(jnp.int32, (1, 1, w), 2)
-        if has_alibi:
-            # slope * (kv_pos - q_pos); q_pos = seq_len-1 for decode.
-            rel = (pos - (seq_len - 1)).astype(jnp.float32)  # [1, 1, W]
-            logits = logits + (alibi_ref[...].reshape(g_all, hpg, 1)
-                               * rel)
-        mask = pos < seq_len                            # [1, 1, W]
-        if sliding_window is not None:
-            mask = mask & (pos > seq_len - 1 - sliding_window)
-        logits = jnp.where(mask, logits, -1e30)
-
-        # Flat [H_q, *] running stats (8-divisible sublane count) — ONE
-        # update for the whole window.
-        logits2 = logits.reshape(h_q, w)
-        m_prev = m_ref[...]                             # [H_q, 1]
-        l_prev = l_ref[...]
-        m_new = jnp.maximum(m_prev,
-                            jnp.max(logits2, axis=-1, keepdims=True))
-        alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(logits2 - m_new)
-        p = jnp.where(mask.reshape(1, w), p, 0.0)
-        l_ref[...] = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        m_ref[...] = m_new
-        p3 = p.reshape(g_all, hpg, w)
-        if quantized:
-            vs = jnp.transpose(
-                jnp.concatenate([r[0] for r in vs_refs], axis=0), (1, 0))
-            p3 = p3 * vs[:, None, :]                    # [G, Hg, W]·[G, W]
-        # [G, Hg, D] weighted values, batched over the kv-head axis —
-        av = jax.lax.dot_general(
-            p3.astype(q.dtype), vt, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)
-        acc_ref[...] = acc_ref[...] * alpha + av.reshape(h_q, -1)
+    for f in range(fan):
+        _pa_attend_block(
+            lo + (t * fan + f), seq_len,
+            q_ref, k_refs[f], v_refs[f],
+            ks_refs[f] if quantized else None,
+            vs_refs[f] if quantized else None,
+            alibi_ref if has_alibi else None,
+            m_ref, l_ref, acc_ref,
+            block_size=block_size, heads_per_group=hpg,
+            num_kv_heads=g_all, scale=scale,
+            sliding_window=sliding_window, logit_softcap=logit_softcap)
 
     @pl.when(t == max_blocks - 1)
     def _done():
@@ -169,19 +112,88 @@ def _pa_kernel(bt_ref, sl_ref, q_ref, *rest,
             g_all, hpg, -1).astype(o_ref.dtype)
 
 
+def _pa_attend_block(tt, seq_len, q_ref, k_ref, v_ref, ks_ref, vs_ref,
+                     alibi_ref, m_ref, l_ref, acc_ref, *,
+                     block_size: int, heads_per_group: int,
+                     num_kv_heads: int, scale: float,
+                     sliding_window: int | None,
+                     logit_softcap: float | None):
+    """Online-softmax update for ONE streamed KV block (table slot tt)."""
+    g_all = num_kv_heads
+    hpg = heads_per_group
+    h_q = g_all * hpg
+    quantized = ks_ref is not None
+    valid_block = (tt * block_size) < seq_len
+
+    @pl.when(valid_block)
+    def _attend():
+        # Compute dtype follows Q (bf16 on chip → bf16 MXU rate, half the
+        # VMEM per streamed block); accumulation stays f32 via
+        # preferred_element_type — the attend fallback's exact policy.
+        # int8 KV converts to the compute dtype (its scales follow).
+        q = q_ref[0]                                    # [G, Hg, D]
+        k = k_ref[0].astype(q.dtype)                    # [BS, G, D]
+        v = v_ref[0].astype(q.dtype)
+        kt = jnp.transpose(k, (1, 0, 2))                # [G, BS, D]
+        vt = jnp.transpose(v, (1, 0, 2))
+
+        # [G, Hg, BS] — one batched dot over the kv-head axis; the f32
+        # scale multiplies the f32 logits (not the bf16 operands).
+        logits = jax.lax.dot_general(
+            q, kt, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale
+        if quantized:
+            # int8 KV: per-key scales [BS, G] → [G, 1, BS].
+            ks = jnp.transpose(ks_ref[0], (1, 0))
+            logits = logits * ks[:, None, :]
+        if logit_softcap is not None:
+            logits = jnp.tanh(logits / logit_softcap) * logit_softcap
+        pos = tt * block_size + jax.lax.broadcasted_iota(
+            jnp.int32, (1, 1, block_size), 2)
+        if alibi_ref is not None:
+            # slope * (kv_pos - q_pos); q_pos = seq_len-1 for decode.
+            rel = (pos - (seq_len - 1)).astype(jnp.float32)  # [1, 1, BS]
+            logits = logits + (alibi_ref[...].reshape(g_all, hpg, 1)
+                               * rel)
+        mask = pos < seq_len                            # [1, 1, BS]
+        if sliding_window is not None:
+            mask = mask & (pos > seq_len - 1 - sliding_window)
+        logits = jnp.where(mask, logits, -1e30)
+
+        # Flat [H_q, *] running stats (8-divisible sublane count).
+        logits2 = logits.reshape(h_q, block_size)
+        m_prev = m_ref[...]                             # [H_q, 1]
+        l_prev = l_ref[...]
+        m_new = jnp.maximum(m_prev,
+                            jnp.max(logits2, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(logits2 - m_new)
+        p = jnp.where(mask.reshape(1, block_size), p, 0.0)
+        l_ref[...] = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        m_ref[...] = m_new
+        p3 = p.reshape(g_all, hpg, block_size)
+        if quantized:
+            vs = jnp.transpose(vs_ref[0], (1, 0))       # [G, BS]
+            p3 = p3 * vs[:, None, :]
+        # [G, Hg, D] weighted values, batched over the kv-head axis —
+        # probabilities drop to the compute dtype (attend does the same).
+        av = jax.lax.dot_general(
+            p3.astype(q.dtype), vt, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        acc_ref[...] = acc_ref[...] * alpha + av.reshape(h_q, -1)
+
+
 def default_fan(block_size: int, h_kv: int, d: int, itemsize: int,
                 mb_eff: int) -> int:
     """Default block-table fan-out, VMEM-guarded (ADVICE r4): each fan
     unit streams K+V double-buffered (2·2·BS·H_kv·D·itemsize bytes);
-    large block sizes would otherwise scale the default fan's footprint
-    past the compiler's VMEM budget. The KV streaming window is capped
-    at ~4 MB, and fan at 8: the r5 merged-window microbench (7B GQA,
-    ctx 512) put bs=16 fan=4/8 within noise of native bs=64-128 while
-    fan=16's operand count slowed compiles for no further gain. bs=256
+    large block sizes would otherwise scale fan=4's footprint past the
+    compiler's VMEM budget. The KV streaming window is capped at ~4 MB —
+    at the default bs=16/7B-GQA geometry fan=4 is untouched; bs=256
     degrades to fan=2 and bs=512 to fan=1 instead of failing to
     compile."""
     kv_bytes_per_fan = 2 * 2 * block_size * h_kv * d * itemsize
-    return min(8, max(1, mb_eff), max(1, (4 << 20) // kv_bytes_per_fan))
+    return min(4, max(1, mb_eff), max(1, (4 << 20) // kv_bytes_per_fan))
 
 
 @functools.partial(
