@@ -492,10 +492,13 @@ def main() -> None:
 
     try:
         # Probe TPU health in a SUBPROCESS: a half-dead axon tunnel makes
-        # jax.default_backend() hang rather than raise. Capped at 3
-        # attempts (~3.5 min worst case — VERDICT r4 #1b).
+        # jax.default_backend() hang rather than raise. The tunnel
+        # alternates working/dead phases of 10-25 min (observed r5), so
+        # persistence is BUDGETED, not counted: keep probing while the
+        # deadline still leaves room for a TPU attempt + serving floor
+        # (or, failing that, the ~300 s CPU fallback) — never past it.
         healthy = False
-        for attempt in range(3):
+        while True:
             try:
                 # A real computation + fetch: device ENUMERATION can
                 # succeed while the compute path is dead.
@@ -510,10 +513,9 @@ def main() -> None:
                 healthy = r.returncode == 0 and "16.0" in r.stdout
             except subprocess.TimeoutExpired:
                 healthy = False
-            if healthy or _remaining() < DEADLINE_S * 0.75:
+            if healthy or _remaining() < 400 + 350:
                 break
-            if attempt < 2:
-                time.sleep(20)
+            time.sleep(25)
         if not healthy:
             jax.config.update("jax_platforms", "cpu")
         platform = jax.default_backend()
@@ -570,8 +572,26 @@ def main() -> None:
                 break
             err = werr or stdout[-200:] or f"attempt {name} failed"
 
+        if d is None and platform == "tpu" and _remaining() > 330:
+            # The tunnel passed health but died during the attempts: a
+            # well-formed CPU sanity line still beats an error line.
+            env = dict(os.environ)
+            env["BLAZR_BENCH_CPU"] = "1"
+            env["BLAZR_BENCH_CHILD_S"] = str(int(_remaining() - 60))
+            stdout, werr = _run_watched(
+                [sys.executable, os.path.abspath(__file__),
+                 "--child", "llama-1b-2layer-cpu-fallback"],
+                _remaining() - 30, init_marker="INIT", env=env)
+            line = next((ln for ln in reversed(stdout.splitlines())
+                         if ln.startswith("{")), None)
+            if line:
+                d = json.loads(line)
+                d["note_fallback"] = (
+                    f"tpu attempts failed after healthy probe: "
+                    f"{str(err)[:120]}")
         if d is None:
-            BEST["error"] = str(err)[:200]
+            BEST["error"] = str(
+                err or "deadline left no room for any attempt")[:200]
             return
         BEST = d                 # model-level line is already reportable
         if platform == "tpu":
