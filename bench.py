@@ -9,7 +9,8 @@ very end, so the driver's `timeout` kill yielded NOTHING (BENCH_r04.json
 rc=124, parsed=null). This version:
   - keeps a global deadline (env `BLAZR_BENCH_DEADLINE_S`, default
     1500 s) and derives every attempt/probe budget from time REMAINING;
-  - caps the tunnel-health loop at 3 attempts (~3 min worst case);
+  - budgets tunnel-health persistence against the deadline (the
+    tunnel's dead phases outlast any fixed attempt count);
   - maintains a best-so-far result dict and prints it from a
     SIGTERM/SIGINT handler AND a `finally:` block, so a kill at ANY
     point still yields a parsable artifact (exactly one line, last);
